@@ -1,0 +1,186 @@
+"""Point-in-time (as-of) join — the north-rule centerpiece.
+
+Spark has no native ``merge_asof``; this implements the sort-merge
+union-sentinel composition (SURVEY.md §7.5) with *zero temporal leakage by
+construction*: a query row can only ever see feature rows that sort before
+it, and the sort places a feature at timestamp ``t`` before (inclusive) or
+after (strict) a query at ``t``.
+
+Physical shape: one shuffle on the (optionally salted) key, then a single
+window sort per partition — i.e. exactly a distributed sort-merge join.
+There is no build-side/probe-side asymmetry to blow memory on, no
+broadcast requirement, and AQE can split skewed partitions because the
+heavy lifting is a plain window aggregation.
+
+Skew: joining on a low-cardinality, zipf-skewed key (``source``) hotspots a
+partition. ``salt_buckets=K`` replicates the *feature* side K times and
+hashes queries into one of the K sub-keys — every sub-partition sees every
+feature but only 1/K of the queries. Feature replication is a narrow
+``explode`` (no extra shuffle beyond the one we already pay).
+
+A ``pandas.merge_asof``-backed ``applyInPandas`` variant is provided as a
+cross-check oracle (per-key groups; not the scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_IS_Q = "__tm_is_q"
+_SALT = "__tm_salt"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str] = "doc_id",
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    strict: bool = False,
+    tolerance_seconds: float | None = None,
+    salt_buckets: int = 0,
+    matched_ts_col: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right values with ts <= (or <) left ts.
+
+    Returns the left columns plus ``value_cols`` (and optionally the matched
+    right timestamp for leakage audits). Rows with no match keep NULLs
+    (left-outer semantics, like ``pandas.merge_asof``).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in set(keys) | {right_ts}]
+
+    lcols = [c for c in left.columns]
+    _ts = "__tm_ts"
+    _mts = matched_ts_col or "__tm_matched_ts"
+
+    l = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias(_ts),
+        F.lit(1).alias(_IS_Q),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__tm_v_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(_mts),
+    )
+    r = right.select(
+        *[F.col(k) for k in keys],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys],
+        F.col(right_ts).alias(_ts),
+        F.lit(0).alias(_IS_Q),
+        *[F.col(c).alias(f"__tm_v_{c}") for c in value_cols],
+        F.col(right_ts).alias(_mts),
+    )
+
+    part_keys: list[Column] = [F.col(k) for k in keys]
+    if salt_buckets > 1:
+        # Queries land in one sub-key; features are replicated into all K.
+        l = l.withColumn(
+            _SALT, (F.abs(F.xxhash64(*[F.col(c) for c in lcols], F.col(_ts))) % salt_buckets)
+        )
+        r = r.withColumn(
+            _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>"))
+        )
+        part_keys.append(F.col(_SALT))
+
+    u = l.unionByName(r)
+
+    # Ordering encodes the temporal predicate: inclusive (<=) sorts features
+    # before queries at equal ts; strict (<) sorts them after.
+    order = [F.col(_ts).asc(), F.col(_IS_Q).asc() if not strict else F.col(_IS_Q).desc()]
+    w = (
+        Window.partitionBy(*part_keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    filled = u
+    for c in value_cols:
+        filled = filled.withColumn(
+            f"__tm_v_{c}",
+            F.last(F.when(F.col(_IS_Q) == 0, F.col(f"__tm_v_{c}")), ignorenulls=True).over(w),
+        )
+    filled = filled.withColumn(
+        _mts, F.last(F.when(F.col(_IS_Q) == 0, F.col(_mts)), ignorenulls=True).over(w)
+    )
+
+    out = filled.where(F.col(_IS_Q) == 1)
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.col(_ts).cast("double") - F.col(_mts).cast("double") <= F.lit(tolerance_seconds)
+        )
+        for c in value_cols:
+            out = out.withColumn(f"__tm_v_{c}", F.when(in_tol, F.col(f"__tm_v_{c}")))
+        out = out.withColumn(_mts, F.when(in_tol, F.col(_mts)))
+
+    select = [F.col(c) for c in lcols]
+    select += [F.col(f"__tm_v_{c}").alias(c) for c in value_cols]
+    if matched_ts_col:
+        select.append(F.col(_mts).alias(matched_ts_col))
+    return out.select(*select)
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "doc_id",
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Cross-check oracle: per-key ``pandas.merge_asof`` via applyInPandas.
+
+    Arrow-batched (no per-row Python at the API level); used in tests to
+    verify the union-sentinel plan, not as the scale path (a giant key group
+    must fit in one executor's memory).
+    """
+    import pandas as pd
+
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in {on, right_ts}]
+    l_schema = left.schema
+    out_fields = [f"{f.name} {f.dataType.simpleString()}" for f in l_schema.fields]
+    out_fields += [
+        f"{c} {right.schema[c].dataType.simpleString()}" for c in value_cols
+    ]
+    schema = ", ".join(out_fields)
+    lcols = list(left.columns)
+
+    right_sel = right.select(on, right_ts, *value_cols)
+    tagged = left.select(*lcols).withColumn("__side", F.lit(1)).unionByName(
+        right_sel.withColumn("__side", F.lit(0)), allowMissingColumns=True
+    )
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        lp = pdf[pdf["__side"] == 1][lcols].sort_values(left_ts, kind="mergesort")
+        rp = pdf[pdf["__side"] == 0][[on, right_ts, *value_cols]].sort_values(
+            right_ts, kind="mergesort"
+        )
+        if rp.empty:
+            res = lp.copy()
+            for c in value_cols:
+                res[c] = None
+            return res
+        res = pd.merge_asof(
+            lp,
+            rp.rename(columns={right_ts: "__rts"}),
+            left_on=left_ts,
+            right_on="__rts",
+            by=on,
+            allow_exact_matches=not strict,
+        )
+        return res[lcols + value_cols]
+
+    return tagged.groupBy(on).applyInPandas(merge, schema=schema)
+
+
+def leakage_violations(
+    joined: DataFrame, ts_col: str, matched_ts_col: str, *, strict: bool = False
+) -> int:
+    """Count rows whose matched feature timestamp leaks future data (must be 0)."""
+    cmp = F.col(matched_ts_col) >= F.col(ts_col) if strict else F.col(matched_ts_col) > F.col(ts_col)
+    return joined.where(F.col(matched_ts_col).isNotNull() & cmp).count()

@@ -1,0 +1,325 @@
+"""Deduplication for training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle -> minhash -> band -> bucket
+join), SimHash, n-gram Jaccard verification, embedding-cosine near-dup.
+All candidate generation is *bucketed* — the engine never goes O(n²) on the
+full corpus; pairwise work happens only inside LSH buckets. That is the
+property that survives a 100 TB corpus: shuffle volume is O(n · bands), and
+bucket sizes are bounded by hash dispersion (plus an explicit cap).
+
+All hashes route through functions.hashing.md5_long so the DuckDB oracle
+can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from transmog_spark.functions.hashing import md5_long
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_dups, keep_id)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def dedupe_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id row per identical text (one shuffle, map-side combine)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# shingling + MinHash + LSH
+# --------------------------------------------------------------------------
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of lowercased text."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+    size = F.size(toks)
+    grams = F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(0), size - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """array<long> of per-seed minima: min over shingles of h(seed#shingle)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, b=b: md5_long(F.concat(F.lit(f"{b}#"), s)))
+            )
+            for b in range(num_hashes)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard on distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH, verified with exact Jaccard.
+
+    Plan shape: narrow shingle/signature projection -> explode to ``bands``
+    rows/doc -> shuffle on band key -> per-bucket self-join (bounded by
+    ``max_bucket``) -> exact-Jaccard filter -> distinct pairs.
+    Returns (id_a, id_b, jaccard_sim) with id_a < id_b.
+    """
+    rows = num_hashes // bands
+    sig = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            word_shingles(F.col(text_col), shingle_n).alias("__sh"),
+        )
+        .withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    )
+    banded = sig.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        ",", F.transform(F.slice("__sig", b * rows + 1, rows), lambda x: x.cast("string"))
+                    ).alias("bkey"),
+                ),
+            )
+        ).alias("__band"),
+    ).select("__id", "__sh", F.col("__band.band").alias("band"), F.col("__band.bkey").alias("bkey"))
+
+    # Cap pathological buckets (all-identical boilerplate) to keep the
+    # per-bucket join quadratic term bounded.
+    wb = Window.partitionBy("band", "bkey").orderBy("__id")
+    banded = banded.withColumn("__bn", F.row_number().over(wb)).where(F.col("__bn") <= max_bucket)
+
+    a = banded.select("band", "bkey", F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = banded.select("band", "bkey", F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    pairs = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
+        .where(F.col("jaccard_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs, candidates blocked on the min shingle hash.
+
+    Cheaper single-band variant of MinHash LSH: documents sharing their
+    globally minimal shingle hash are candidates. Recall is lower than
+    multi-band LSH; precision is exact (full Jaccard verification).
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"), word_shingles(F.col(text_col), shingle_n).alias("__sh")
+    ).withColumn("__minh", F.array_min(F.transform(F.col("__sh"), lambda s: md5_long(s))))
+    wb = Window.partitionBy("__minh").orderBy("__id")
+    base = base.withColumn("__bn", F.row_number().over(wb)).where(F.col("__bn") <= max_bucket)
+    a = base.select(F.col("__minh"), F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = base.select(F.col("__minh"), F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    return (
+        a.join(b, "__minh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
+        .where(F.col("jaccard_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(text: Column, *, bits: int = 32) -> Column:
+    """SimHash signature of whitespace tokens (weight = token frequency).
+
+    Per-row cost O(tokens + bits); entirely expression-level.
+    """
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+    hashes = F.transform(toks, lambda t: md5_long(t))
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda w, h: w + (F.shiftright(h, j.cast("int")) % 2) * 2 - 1,
+            )
+            > 0,
+            F.shiftleft(F.lit(1).cast("long"), j.cast("int")),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bits: int = 32,
+    max_hamming: int = 3,
+    band_bits: int = 8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """SimHash near-dup pairs: band on signature bytes, verify Hamming distance.
+
+    With ``bits/band_bits`` bands, any pair within ``bands-1`` differing
+    bands shares at least one identical band (pigeonhole) — standard
+    SimHash blocking.
+    """
+    bands = bits // band_bits
+    base = df.select(F.col(id_col).alias("__id"), simhash(F.col(text_col), bits=bits).alias("__sg"))
+    banded = base.select(
+        "__id",
+        "__sg",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    (
+                        F.shiftright(F.col("__sg"), (b * band_bits).cast("int"))
+                        % F.lit(1 << band_bits).cast("long")
+                    ).alias("bkey"),
+                ),
+            )
+        ).alias("__b"),
+    ).select("__id", "__sg", F.col("__b.band").alias("band"), F.col("__b.bkey").alias("bkey"))
+    wb = Window.partitionBy("band", "bkey").orderBy("__id")
+    banded = banded.withColumn("__bn", F.row_number().over(wb)).where(F.col("__bn") <= max_bucket)
+    a = banded.select("band", "bkey", F.col("__id").alias("id_a"), F.col("__sg").alias("sg_a"))
+    b = banded.select("band", "bkey", F.col("__id").alias("id_b"), F.col("__sg").alias("sg_b"))
+    hamming = F.bit_count(F.col("sg_a").bitwiseXOR(F.col("sg_b")))
+    return (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays (zip_with dot; JVM-side)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Embedding near-dup pairs: random-hyperplane LSH bucket, cosine verify.
+
+    Hyperplane weights derive deterministically from md5 (plane, dim) — no
+    RNG state, reproducible across engines and runs.
+    """
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    dim = len(df.select(vec_col).first()[0])
+    sig = _hyperplane_signature(F.col("__v"), dim, n_planes)
+    base = base.withColumn("__bkey", sig)
+    wb = Window.partitionBy("__bkey").orderBy("__id")
+    base = base.withColumn("__bn", F.row_number().over(wb)).where(F.col("__bn") <= max_bucket)
+    a = base.select("__bkey", F.col("__id").alias("id_a"), F.col("__v").alias("v_a"))
+    b = base.select("__bkey", F.col("__id").alias("id_b"), F.col("__v").alias("v_b"))
+    return (
+        a.join(b, "__bkey")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_sim(F.col("v_a"), F.col("v_b")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def hyperplane_weights(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic hyperplanes from md5 (no RNG state): w in [-1, 1].
+
+    Same 60-bit md5 formula as functions.hashing.md5_long, computed on the
+    driver so the executors see plain literals.
+    """
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:15], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def _hyperplane_signature(vec: Column, dim: int, n_planes: int) -> Column:
+    """Bit-packed signs of dot(vec, plane_p); plane weights are literals."""
+    planes = hyperplane_weights(dim, n_planes)
+    sig = F.lit(0).cast("long")
+    for p, weights in enumerate(planes):
+        warr = F.array(*[F.lit(w) for w in weights])
+        dot = F.aggregate(
+            F.zip_with(vec, warr, lambda x, w: (x * w).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig

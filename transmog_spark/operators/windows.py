@@ -1,0 +1,132 @@
+"""Windowed feature operators: lag/lead, ffill/bfill, gap sessionize, session aggs.
+
+All pure ``pyspark.sql.Window`` compositions — one shuffle on the partition
+key per window family, whole-stage codegen, no Python. These are the
+north-rule operators the reference lacks entirely (SURVEY.md §2.8): the
+reference stops at flattening; this engine turns the flattened
+entity×timestamp spine into point-in-time features.
+
+Scale notes: all windows here partition by a high-cardinality key
+(``doc_id``/``user_id``), so skew is bounded by the hottest single entity.
+Reuse one Window spec across features so Catalyst collapses them into a
+single sort (check: one Exchange + one Sort in the plan, N projects).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def entity_window(key: str | list[str], ts: str) -> WindowSpec:
+    keys = [key] if isinstance(key, str) else list(key)
+    return Window.partitionBy(*keys).orderBy(F.col(ts).asc())
+
+
+def with_lag_lead(
+    df: DataFrame,
+    key: str | list[str],
+    ts: str,
+    cols: list[str],
+    *,
+    offsets: tuple[int, ...] = (1,),
+    prefix: str = "",
+) -> DataFrame:
+    """Add ``{col}_lag{k}`` / ``{col}_lead{k}`` per entity ordered by ts."""
+    w = entity_window(key, ts)
+    out = df
+    for c in cols:
+        for k in offsets:
+            out = out.withColumn(f"{prefix}{c}_lag{k}", F.lag(c, k).over(w))
+            out = out.withColumn(f"{prefix}{c}_lead{k}", F.lead(c, k).over(w))
+    return out
+
+
+def with_ffill(
+    df: DataFrame, key: str | list[str], ts: str, cols: list[str], *, suffix: str = "_ffill"
+) -> DataFrame:
+    """Forward-fill nulls per entity: last non-null value at or before ts."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{c}{suffix}", F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def with_bfill(
+    df: DataFrame, key: str | list[str], ts: str, cols: list[str], *, suffix: str = "_bfill"
+) -> DataFrame:
+    """Backward-fill nulls per entity: first non-null value at or after ts."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts).asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{c}{suffix}", F.first(c, ignorenulls=True).over(w))
+    return out
+
+
+def sessionize(
+    df: DataFrame,
+    key: str | list[str],
+    ts: str,
+    *,
+    gap_seconds: float,
+    session_col: str = "session_id",
+    index_col: str = "session_index",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the entity is idle
+    longer than ``gap_seconds``.
+
+    ``session_index`` is the 0-based per-entity session ordinal (running sum
+    of session-start flags — the classic single-sort formulation);
+    ``session_id`` a deterministic global id (key + index).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    w = entity_window(keys, ts)
+    prev_ts = F.lag(F.col(ts)).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((F.col(ts).cast("double") - prev_ts.cast("double")) > F.lit(gap_seconds)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(*keys).orderBy(F.col(ts).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = df.withColumn(index_col, (F.sum(is_new).over(run) - F.lit(1)).cast("long"))
+    sid = F.concat_ws("#", *[F.col(k).cast("string") for k in keys], F.col(index_col))
+    return out.withColumn(session_col, sid)
+
+
+def session_aggregates(
+    sessions: DataFrame,
+    key: str | list[str],
+    ts: str,
+    *,
+    session_col: str = "session_id",
+    agg_cols: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Per-session aggregates over a sessionized frame.
+
+    ``agg_cols`` maps column -> list of aggs in {sum, mean, min, max}.
+    Always emits session_start / session_end / session_len (row count) —
+    the north rule's "session aggregates" feature family.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    aggs: list[Column] = [
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        F.count(F.lit(1)).alias("session_len"),
+    ]
+    for c, fns in (agg_cols or {}).items():
+        for fn in fns:
+            aggs.append(getattr(F, fn if fn != "mean" else "avg")(c).alias(f"session_{c}_{fn}"))
+    return sessions.groupBy(*keys, session_col).agg(*aggs)
