@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smokes the flagship pipeline at sf0.001; ``queries()``
+exposes every implemented operator over the driver tables; ``oracle_sql()``
+gives the DuckDB-equivalent SQL for the value-hash correctness gate.
+
+Engine: ``transmog_spark`` (this repo). Reference: scottdraper8/transmog
+(see SURVEY.md for the file:line parity map).
 """
 
 from __future__ import annotations
@@ -12,27 +13,489 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: flatten props -> as-of click join -> sessionize -> lag/lead."""
+    from transmog_spark.pipeline import event_features
+
+    return event_features(spark, SF_SMOKE)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # broadcast-dim join chain: region/nation are tiny -> broadcast by design
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
+def _q_flatten_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transmog_spark.pipeline import flatten_event_props
+
+    return flatten_event_props(_t(spark, sf_dir, "events"))
+
+
+def _q_flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nest lineitem under orders, engine-flatten back out (natural ids)."""
+    from transmog_spark.config import EngineConfig
+    from transmog_spark.operators.flatten import flatten
+
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    nested = (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.collect_list(
+                F.struct("l_partkey", "l_linenumber", "l_quantity", "l_extendedprice")
+            ).alias("items")
+        )
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .select("o_orderkey", "o_orderstatus", "items")
+    )
+    cfg = EngineConfig(
+        id_generation="natural", id_field="o_orderkey", time_field=None, array_mode="separate"
+    )
+    res = flatten(nested, "orders", cfg)
+    return res.tables["orders_items"].select(
+        "_parent_id", "l_partkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+def _q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transmog_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    return asof_join(purchases, clicks, on="user_id", value_cols=["click_value"])
+
+
+def _q_asof_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transmog_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    return asof_join(purchases, clicks, on="user_id", value_cols=["click_value"], strict=True)
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transmog_spark.operators.windows import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", ["ts", "event_id"], gap_seconds=1800.0)
+    return s.groupBy("user_id", "session_index").agg(
+        F.count(F.lit(1)).alias("session_len"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    )
+
+
+def _q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transmog_spark.operators.windows import with_lag_lead
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return with_lag_lead(e, "user_id", ["ts", "event_id"], ["value"]).select(
+        "event_id", "user_id", "ts", "value", "value_lag1", "value_lead1"
+    )
+
+
+def _q_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transmog_spark.operators.windows import with_bfill, with_ffill
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "value_masked", F.when(F.col("event_type") != "error", F.col("value"))
+    )
+    out = with_ffill(e, "user_id", ["ts", "event_id"], ["value_masked"])
+    out = with_bfill(out, "user_id", ["ts", "event_id"], ["value_masked"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value_masked",
+        F.col("value_masked_ffill").alias("value_ffill"),
+        F.col("value_masked_bfill").alias("value_bfill"),
+    )
+
+
+def _q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc()))
+        .alias("event_seq"),
+    )
+
+
+def _q_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+def _q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transmog_spark.operators.dedup import exact_duplicate_groups
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_duplicate_groups(d, "doc_id", "text")
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transmog_spark.operators.dedup import minhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        d, "doc_id", "text", shingle_n=3, num_hashes=8, bands=4, threshold=0.2, max_bucket=500
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transmog_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.15, max_bucket=500)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transmog_spark.operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash(F.col("text"), bits=32).alias("simhash"))
+
+
+def _q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transmog_spark.operators.text import text_profile
+
+    d = _t(spark, sf_dir, "documents")
+    return text_profile(d, "doc_id", "text")
+
+
+def _q_doc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transmog_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    out = brute_force_topk(e, q, id_col="vec_id", vec_col="embedding", k=5)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine pairs on a bounded slice (oracle-checkable)."""
+    from transmog_spark.operators.dedup import cosine_sim
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine_sim(F.col("va"), F.col("vb")), 4).alias("cosine"))
+        .where(F.col("cosine") >= 0.3)
+    )
+
+
+def _q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transmog_spark.pipeline import event_features
+
+    f = event_features(spark, sf_dir)
+    return f.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "props_k",
+        "click_value",
+        "session_index",
+        "value_lag1",
+        "value_lead1",
+        "session_len",
+        F.round("sess_value_sum", 4).alias("sess_value_sum"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tpch_q1": _q_tpch_q1,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "flatten_props": _q_flatten_props,
+        "flatten_roundtrip": _q_flatten_roundtrip,
+        "asof_clicks": _q_asof_clicks,
+        "asof_strict": _q_asof_strict,
+        "sessionize": _q_sessionize,
+        "lag_lead": _q_lag_lead,
+        "ffill_bfill": _q_ffill,
+        "running_sum": _q_running_sum,
+        "latest_event": _q_latest_event,
+        "event_type_stats": _q_event_type_stats,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_pairs": _q_minhash_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash": _q_simhash,
+        "text_profile": _q_text_profile,
+        "doc_source_stats": _q_doc_source_stats,
+        "embedding_topk": _q_embedding_topk,
+        "embedding_neardup": _q_embedding_neardup,
+        "flagship_pipeline": _q_flagship,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; tables pre-registered as views)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from transmog_spark.oracle import (
+        minhash_pairs_sql,
+        ngram_jaccard_pairs_sql,
+        simhash_sql,
+        text_profile_sql,
+    )
+
+    asof_common = """
+WITH clicks AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts, c.click_value
+FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts {op} c.ts
+"""
+    return {
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+""",
+        "revenue_by_nation": """
+SELECT r_name, n_name, count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+""",
+        "flatten_props": """
+SELECT event_id, ts, user_id, event_type, value,
+       CAST(json_extract_string(props, '$.k') AS INT) AS props_k
+FROM events
+""",
+        "flatten_roundtrip": """
+SELECT CAST(l_orderkey AS VARCHAR) AS _parent_id,
+       l_partkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
+""",
+        "asof_clicks": asof_common.format(op=">="),
+        "asof_strict": asof_common.format(op=">"),
+        "sessionize": """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS session_index
+  FROM o)
+SELECT user_id, session_index, count(*) AS session_len,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(sum(value), 4) AS value_sum
+FROM s GROUP BY 1, 2
+""",
+        "lag_lead": """
+SELECT event_id, user_id, ts, value,
+       lag(value, 1) OVER w AS value_lag1,
+       lead(value, 1) OVER w AS value_lead1
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+        "ffill_bfill": """
+WITH m AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type <> 'error' THEN value END AS value_masked
+  FROM events)
+SELECT event_id, user_id, ts, value_masked,
+       last_value(value_masked IGNORE NULLS) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+       first_value(value_masked IGNORE NULLS) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value_bfill
+FROM m
+""",
+        "running_sum": """
+SELECT event_id, user_id, ts,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 4) AS running_value,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS event_seq
+FROM events
+""",
+        "latest_event": """
+SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+""",
+        "event_type_stats": """
+SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+       round(avg(value), 4) AS avg_value,
+       round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
+FROM events GROUP BY 1
+""",
+        "dedup_exact": """
+SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""",
+        "minhash_pairs": minhash_pairs_sql(
+            shingle_n=3, num_hashes=8, bands=4, threshold=0.2, max_bucket=500
+        ),
+        "ngram_jaccard": ngram_jaccard_pairs_sql(shingle_n=3, threshold=0.15, max_bucket=500),
+        "simhash": simhash_sql(bits=32),
+        "text_profile": text_profile_sql(),
+        "doc_source_stats": """
+SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+       round(avg(n_chars), 4) AS avg_chars, sum(n_chars) AS total_chars
+FROM documents GROUP BY 1
+""",
+        "embedding_topk": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(c.v, q.v) AS cos
+  FROM e c, q WHERE c.vec_id <> q.vec_id)
+SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5
+""",
+        "embedding_neardup": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+""",
+        "flagship_pipeline": """
+WITH ev AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         CAST(json_extract_string(props, '$.k') AS INT) AS props_k
+  FROM events),
+clicks AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+joined AS (
+  SELECT e.event_id, e.user_id, e.ts, e.value, e.props_k, c.click_value
+  FROM ev e ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts),
+flagged AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM joined WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessioned AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS session_index
+  FROM flagged),
+lagged AS (
+  SELECT *, lag(value, 1) OVER w AS value_lag1, lead(value, 1) OVER w AS value_lead1
+  FROM sessioned WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, session_index, count(*) AS session_len,
+         round(sum(value), 4) AS sess_value_sum
+  FROM sessioned GROUP BY 1, 2)
+SELECT l.event_id, l.user_id, l.ts, l.value, l.props_k, l.click_value,
+       l.session_index, l.value_lag1, l.value_lead1,
+       s.session_len, s.sess_value_sum
+FROM lagged l JOIN sess s ON l.user_id = s.user_id AND l.session_index = s.session_index
+""",
+    }

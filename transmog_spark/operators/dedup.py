@@ -59,15 +59,16 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def _seeded_hash(seed: int):
+    # NB: factory, not `lambda s, b=b: ...` — PySpark passes the element
+    # INDEX as the 2nd arg to any 2-parameter HOF lambda (defaults count).
+    return lambda s: md5_long(F.concat(F.lit(f"{seed}#"), s))
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     """array<long> of per-seed minima: min over shingles of h(seed#shingle)."""
     return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s, b=b: md5_long(F.concat(F.lit(f"{b}#"), s)))
-            )
-            for b in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(shingles, _seeded_hash(b))) for b in range(num_hashes)]
     )
 
 
@@ -175,24 +176,24 @@ def ngram_jaccard_pairs(
 def simhash(text: Column, *, bits: int = 32) -> Column:
     """SimHash signature of whitespace tokens (weight = token frequency).
 
-    Per-row cost O(tokens + bits); entirely expression-level.
+    Per-row cost O(tokens × bits); entirely expression-level (the bit loop
+    unrolls at plan time since shiftright needs a literal shift).
     """
     toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
     hashes = F.transform(toks, lambda t: md5_long(t))
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, j: acc
-        + F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda w, h: w + (F.shiftright(h, j.cast("int")) % 2) * 2 - 1,
-            )
-            > 0,
-            F.shiftleft(F.lit(1).cast("long"), j.cast("int")),
-        ).otherwise(F.lit(0).cast("long")),
-    )
+
+    def bit_term(j: int) -> Column:
+        weight = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda w, h: w + (F.shiftright(h, j) % 2) * 2 - 1,
+        )
+        return F.when(weight > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        out = out + bit_term(j)
+    return out
 
 
 def simhash_near_duplicates(
@@ -249,13 +250,19 @@ def simhash_near_duplicates(
 
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity of two float arrays (zip_with dot; JVM-side)."""
+    # cast BEFORE multiplying: float*float then widen loses bits vs the
+    # all-double math the DuckDB oracle does on ::DOUBLE[] lists
     dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
     return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
 
 

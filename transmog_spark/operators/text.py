@@ -42,13 +42,19 @@ def token_count_bpe(text: Column) -> Column:
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_REGEX), F.lit(0)))
 
 
+def _contains_any(marker_arr: Column):
+    # factory, not a 2-param lambda: PySpark HOFs pass the element index to
+    # any 2-parameter callable (default args count as parameters)
+    return lambda t: F.array_contains(marker_arr, t)
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     """Per-language marker hit counts over whitespace tokens."""
     toks = ws_tokens(text)
     out = {}
     for lang, markers in LANG_MARKERS.items():
         marker_arr = F.array(*[F.lit(m) for m in markers])
-        out[lang] = F.size(F.filter(toks, lambda t, m=marker_arr: F.array_contains(m, t)))
+        out[lang] = F.size(F.filter(toks, _contains_any(marker_arr)))
     return out
 
 

@@ -18,15 +18,17 @@ from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
 
-def entity_window(key: str | list[str], ts: str) -> WindowSpec:
+def entity_window(key: str | list[str], ts: str | list[str]) -> WindowSpec:
+    """Per-entity time order; pass [ts, tiebreak_col] for determinism on ties."""
     keys = [key] if isinstance(key, str) else list(key)
-    return Window.partitionBy(*keys).orderBy(F.col(ts).asc())
+    order = [ts] if isinstance(ts, str) else list(ts)
+    return Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order])
 
 
 def with_lag_lead(
     df: DataFrame,
     key: str | list[str],
-    ts: str,
+    ts: str | list[str],
     cols: list[str],
     *,
     offsets: tuple[int, ...] = (1,),
@@ -43,15 +45,16 @@ def with_lag_lead(
 
 
 def with_ffill(
-    df: DataFrame, key: str | list[str], ts: str, cols: list[str], *, suffix: str = "_ffill"
+    df: DataFrame,
+    key: str | list[str],
+    ts: str | list[str],
+    cols: list[str],
+    *,
+    suffix: str = "_ffill",
 ) -> DataFrame:
     """Forward-fill nulls per entity: last non-null value at or before ts."""
     keys = [key] if isinstance(key, str) else list(key)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col(ts).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    w = entity_window(keys, ts).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     out = df
     for c in cols:
         out = out.withColumn(f"{c}{suffix}", F.last(c, ignorenulls=True).over(w))
@@ -59,15 +62,16 @@ def with_ffill(
 
 
 def with_bfill(
-    df: DataFrame, key: str | list[str], ts: str, cols: list[str], *, suffix: str = "_bfill"
+    df: DataFrame,
+    key: str | list[str],
+    ts: str | list[str],
+    cols: list[str],
+    *,
+    suffix: str = "_bfill",
 ) -> DataFrame:
     """Backward-fill nulls per entity: first non-null value at or after ts."""
     keys = [key] if isinstance(key, str) else list(key)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col(ts).asc())
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
+    w = entity_window(keys, ts).rowsBetween(Window.currentRow, Window.unboundedFollowing)
     out = df
     for c in cols:
         out = out.withColumn(f"{c}{suffix}", F.first(c, ignorenulls=True).over(w))
@@ -77,7 +81,7 @@ def with_bfill(
 def sessionize(
     df: DataFrame,
     key: str | list[str],
-    ts: str,
+    ts: str | list[str],
     *,
     gap_seconds: float,
     session_col: str = "session_id",
@@ -86,21 +90,25 @@ def sessionize(
     """Gap-based sessionization: a new session starts when the entity is idle
     longer than ``gap_seconds``.
 
-    ``session_index`` is the 0-based per-entity session ordinal (running sum
-    of session-start flags — the classic single-sort formulation);
-    ``session_id`` a deterministic global id (key + index).
+    The gap compare runs on integer microseconds (``unix_micros``), not
+    floats — exact, and reproducible bit-for-bit in the DuckDB oracle
+    (``epoch_us``). ``session_index`` is the 0-based per-entity session
+    ordinal (running sum of session-start flags — the classic single-sort
+    formulation); ``session_id`` a deterministic global id (key + index).
     """
     keys = [key] if isinstance(key, str) else list(key)
-    w = entity_window(keys, ts)
-    prev_ts = F.lag(F.col(ts)).over(w)
+    order = [ts] if isinstance(ts, str) else list(ts)
+    ts0 = order[0]
+    w = entity_window(keys, order)
+    gap_us = int(gap_seconds * 1_000_000)
+    # cast covers TIMESTAMP_NTZ parquet columns (session tz is UTC)
+    us = F.unix_micros(F.col(ts0).cast("timestamp"))
+    prev_us = F.lag(us).over(w)
     is_new = F.when(
-        prev_ts.isNull()
-        | ((F.col(ts).cast("double") - prev_ts.cast("double")) > F.lit(gap_seconds)),
+        prev_us.isNull() | ((us - prev_us) > F.lit(gap_us)),
         F.lit(1),
     ).otherwise(F.lit(0))
-    run = Window.partitionBy(*keys).orderBy(F.col(ts).asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    run = entity_window(keys, order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     out = df.withColumn(index_col, (F.sum(is_new).over(run) - F.lit(1)).cast("long"))
     sid = F.concat_ws("#", *[F.col(k).cast("string") for k in keys], F.col(index_col))
     return out.withColumn(session_col, sid)

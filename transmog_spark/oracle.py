@@ -1,0 +1,171 @@
+"""DuckDB oracle SQL generators mirroring the engine's expressions 1:1.
+
+Each generator emits ANSI-ish SQL (DuckDB dialect) computing *exactly* the
+same values as the corresponding Spark operator — same md5-based 60-bit
+hashes, same shingling, same tie-breaks — so the driver's value-hash
+comparison passes bit-for-bit (doubles only where the arithmetic is
+identical IEEE operations; otherwise rounded on both sides).
+"""
+
+from __future__ import annotations
+
+from transmog_spark.operators.text import BPE_REGEX, EN_STOPWORDS, LANG_MARKERS, MOD_P
+
+
+def duck_md5_long(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS UBIGINT)::BIGINT"
+
+
+def duck_ws_tokens(text_expr: str) -> str:
+    return f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), x -> x <> '')"
+
+
+def duck_shingles(toks_expr: str, n: int) -> str:
+    """Distinct word n-grams; mirrors operators.dedup.word_shingles."""
+    grams = (
+        f"list_transform(range(1, len({toks_expr}) - {n} + 2), "
+        f"i -> array_to_string(list_slice({toks_expr}, i, i + {n} - 1), ' '))"
+    )
+    return (
+        f"CASE WHEN len({toks_expr}) >= {n} THEN list_distinct({grams}) "
+        f"ELSE [array_to_string({toks_expr}, ' ')] END"
+    )
+
+
+def minhash_pairs_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> str:
+    rows = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        mins = ", ".join(
+            "list_min(list_transform(sh, s -> "
+            + duck_md5_long(f"'{b * rows + j}#' || s")
+            + "))"
+            for j in range(rows)
+        )
+        band_selects.append(
+            f"SELECT id, sh, {b} AS band, concat_ws(',', {mins}) AS bkey FROM base"
+        )
+    banded = " UNION ALL ".join(band_selects)
+    return f"""
+WITH docs AS (SELECT {id_col} AS id, {duck_ws_tokens(text_col)} AS t FROM {table}),
+base AS (SELECT id, {duck_shingles('t', shingle_n)} AS sh FROM docs),
+banded AS ({banded}),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY band, bkey ORDER BY id) AS rn FROM banded
+  ) WHERE rn <= {max_bucket}),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+              THEN len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh))::DOUBLE
+              ELSE 0.0 END AS jaccard_sim
+  FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)
+SELECT DISTINCT id_a, id_b, jaccard_sim FROM pairs WHERE jaccard_sim >= {threshold}
+"""
+
+
+def ngram_jaccard_pairs_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> str:
+    minh = f"list_min(list_transform(sh, s -> {duck_md5_long('s')}))"
+    return f"""
+WITH docs AS (SELECT {id_col} AS id, {duck_ws_tokens(text_col)} AS t FROM {table}),
+base0 AS (SELECT id, {duck_shingles('t', shingle_n)} AS sh FROM docs),
+base AS (SELECT id, sh, {minh} AS minh FROM base0),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY minh ORDER BY id) AS rn FROM base
+  ) WHERE rn <= {max_bucket}),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+              THEN len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh))::DOUBLE
+              ELSE 0.0 END AS jaccard_sim
+  FROM capped a JOIN capped b ON a.minh = b.minh AND a.id < b.id)
+SELECT DISTINCT id_a, id_b, jaccard_sim FROM pairs WHERE jaccard_sim >= {threshold}
+"""
+
+
+def simhash_sql(
+    *, table: str = "documents", id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> str:
+    h = duck_md5_long("tok")
+    return f"""
+WITH docs AS (SELECT {id_col}, {duck_ws_tokens(text_col)} AS t FROM {table}),
+hs AS (SELECT {id_col}, list_transform(t, tok -> {h}) AS hl FROM docs)
+SELECT {id_col},
+       COALESCE(CAST(list_sum(list_transform(range(0, {bits}), j ->
+         CASE WHEN COALESCE(list_sum(list_transform(hl, h -> ((h >> j) & 1) * 2 - 1)), 0) > 0
+              THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT), 0) AS simhash
+FROM hs
+"""
+
+
+def _lang_score(toks: str, lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter({toks}, x -> list_contains([{markers}], x)))"
+
+
+def text_profile_sql(
+    *, table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    stop = ", ".join(f"'{m}'" for m in EN_STOPWORDS)
+    # NOTE: lang_pred CASE chain is the SQL equivalent of operators.text.lang_id's
+    # later-wins loop over (es, fr, de, en) — verified equivalent in tests.
+    return f"""
+WITH docs AS (
+  SELECT {id_col}, {text_col} AS txt, {duck_ws_tokens(text_col)} AS t FROM {table}),
+scored AS (
+  SELECT {id_col}, txt, t,
+         {_lang_score('t', 'en')} AS s_en, {_lang_score('t', 'de')} AS s_de,
+         {_lang_score('t', 'fr')} AS s_fr, {_lang_score('t', 'es')} AS s_es,
+         len(t) AS n_words,
+         length(txt) AS n_chars,
+         len(regexp_extract_all(txt, '[^\\w\\s]')) AS n_punct,
+         len(list_filter(t, x -> list_contains([{stop}], x))) AS n_stop,
+         CASE WHEN len(t) > 0
+              THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+              ELSE 0.0 END AS mean_word_len
+  FROM docs),
+feat AS (
+  SELECT *,
+         CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_words > 0 THEN n_stop::DOUBLE / n_words ELSE 0.0 END AS stopword_ratio
+  FROM scored),
+quality AS (
+  SELECT *,
+         (CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.3
+         + least(stopword_ratio * 4.0, 1.0) * 0.4
+         + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.3 AS quality
+  FROM feat)
+SELECT {id_col},
+       n_words AS n_tokens_ws,
+       len(regexp_extract_all(lower(txt), '{BPE_REGEX}')) AS n_tokens_bpe,
+       CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+            WHEN s_es > 0 THEN 'es'
+            ELSE 'und' END AS lang_pred,
+       n_chars, punct_ratio, stopword_ratio, mean_word_len, quality,
+       COALESCE(CAST(
+         list_sum(list_transform(range(1, len(t) + 1),
+                  i -> {duck_md5_long("i || '#' || t[i]")} % {MOD_P})) % {MOD_P}
+         AS BIGINT), 0) AS fingerprint
+FROM quality
+"""
