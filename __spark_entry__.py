@@ -234,10 +234,10 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from transmog_spark.operators.dedup import simhash
+    from transmog_spark.operators.dedup import simhash_frame
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash(F.col("text"), bits=32).alias("simhash"))
+    return simhash_frame(d, "doc_id", "text", bits=32)
 
 
 def _q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced through the noop sink (full computation, no driver
+collect). Also runs the north-rule tokenized-sequence pipeline
+(``transmog_spark.pipeline.token_features``) over a deterministic synthetic
+table sized to the scale factor and reports its throughput in
+sequences/sec (the BASELINE.md headline metric).
+
+For the N-vs-4N scaling-efficiency evidence run ``scripts/scaling_bench.py``
+(fresh JVM per parallelism level; results land in BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Representative, scale-stressing subset of __spark_entry__.queries():
+# scan+agg, broadcast join chain, flatten, as-of, windows, dedup/LSH,
+# text analysis, ANN, and the composed flagship.
+HEADLINE = [
+    "tpch_q1",
+    "revenue_by_nation",
+    "flatten_props",
+    "asof_clicks",
+    "sessionize",
+    "lag_lead",
+    "running_sum",
+    "dedup_exact",
+    "minhash_pairs",
+    "text_profile",
+    "embedding_topk",
+    "flagship_pipeline",
+]
+
+# Synthetic tokenized-sequence docs per unit scale factor: sf0.1 -> 200k docs
+# (~600k revision rows through flatten -> as-of -> windows).
+TOKEN_DOCS_PER_SF = 2_000_000
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+
+    from transmog_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+
+    # JVM/codegen warm-up on a trivial read so q1 isn't charged for startup
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    # North-rule tokenized-sequence pipeline at matched scale
+    from transmog_spark.pipeline import token_features
+
+    n_docs = max(int(TOKEN_DOCS_PER_SF * sf), 10_000)
+    t0 = time.perf_counter()
+    _force(token_features(spark, n_docs, salt_buckets=0, partitions=cpus * 2))
+    tok_wall = time.perf_counter() - t0
+    times["token_pipeline"] = round(tok_wall, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "cpus": cpus,
+                "token_docs": n_docs,
+                "token_seq_per_sec": round(n_docs / tok_wall, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""As-of join correctness vs pandas.merge_asof (the oracle the north rule names).
+
+Covers: inclusive (<=) and strict (<) matching, left-outer semantics,
+tolerance, salt invariance (salted plan ≡ unsalted plan), and the zero
+temporal-leakage property on skewed synthetic data.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from transmog_spark.operators.asof import asof_join, asof_join_pandas, leakage_violations
+from transmog_spark.sources import synth
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    """Deterministic left/right frames with ties, gaps and no-match keys."""
+    import random
+
+    rng = random.Random(7)
+    left_rows = [
+        (f"k{rng.randrange(6)}", float(rng.randrange(100)), i) for i in range(300)
+    ]
+    right_rows = [
+        (f"k{rng.randrange(8)}", float(rng.randrange(100)), float(i)) for i in range(200)
+    ]
+    # inject exact-tie timestamps to pin <= vs < behavior
+    left_rows += [("k0", 50.0, 9001), ("k1", 50.0, 9002)]
+    right_rows += [("k0", 50.0, 777.0), ("k1", 50.0, 778.0)]
+    left = spark.createDataFrame(left_rows, "k string, ts double, qid long")
+    right = spark.createDataFrame(right_rows, "k string, ts double, v double")
+    return left, right
+
+
+def _pandas_asof(left, right, strict):
+    lp = left.toPandas().sort_values("ts", kind="mergesort")
+    rp = right.toPandas().sort_values("ts", kind="mergesort")
+    out = pd.merge_asof(
+        lp, rp, on="ts", by="k", allow_exact_matches=not strict
+    )
+    return sorted(
+        (r.k, r.ts, r.qid, None if pd.isna(r.v) else r.v) for r in out.itertuples()
+    )
+
+
+def _spark_asof(left, right, strict, **kw):
+    out = asof_join(left, right, on="k", value_cols=["v"], strict=strict, **kw)
+    return sorted((r.k, r.ts, r.qid, r.v) for r in out.collect())
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_matches_pandas(asof_frames, strict):
+    left, right = asof_frames
+    assert _spark_asof(left, right, strict) == _pandas_asof(left, right, strict)
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_salted_asof_identical_to_unsalted(asof_frames, strict):
+    left, right = asof_frames
+    assert _spark_asof(left, right, strict, salt_buckets=4) == _spark_asof(
+        left, right, strict
+    )
+
+
+def test_asof_applyinpandas_variant_agrees(asof_frames):
+    left, right = asof_frames
+    got = sorted(
+        (r.k, r.ts, r.qid, r.v)
+        for r in asof_join_pandas(left, right, on="k", value_cols=["v"]).collect()
+    )
+    assert got == _pandas_asof(left, right, strict=False)
+
+
+def test_asof_tolerance_masks_stale_matches(spark):
+    left = spark.createDataFrame([("a", 100.0, 1)], "k string, ts double, qid long")
+    right = spark.createDataFrame(
+        [("a", 10.0, 5.0), ("a", 95.0, 7.0)], "k string, ts double, v double"
+    )
+    # within 10s: match at ts=95 kept; tolerance 3s: masked to NULL
+    ok = asof_join(left, right, on="k", value_cols=["v"], tolerance_seconds=10).collect()
+    assert ok[0].v == 7.0
+    masked = asof_join(left, right, on="k", value_cols=["v"], tolerance_seconds=3).collect()
+    assert masked[0].v is None
+
+
+def test_left_outer_unmatched_keys_keep_nulls(asof_frames):
+    left, right = asof_frames
+    out = asof_join(left, right, on="k", value_cols=["v"])
+    assert out.count() == left.count()
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_zero_temporal_leakage_on_skewed_synth(spark, strict):
+    """North-rule invariant: matched feature ts never exceeds the query ts,
+    on the skewed synthetic tables (hot source ~50% of rows), salted."""
+    q = synth.query_points(spark, 800)
+    f = synth.feature_events(spark, 800)
+    joined = asof_join(
+        q,
+        f.select("doc_id", "ts", "feature_v"),
+        on="doc_id",
+        value_cols=["feature_v"],
+        strict=strict,
+        salt_buckets=4,
+        matched_ts_col="feature_ts",
+    )
+    assert leakage_violations(joined, "ts", "feature_ts", strict=strict) == 0
+    assert joined.count() == q.count()
+
+
+def test_asof_multi_key(spark):
+    left = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 10.0), ("b", 1, 10.0)], "k1 string, k2 int, ts double"
+    )
+    right = spark.createDataFrame(
+        [("a", 1, 5.0, 1.0), ("a", 2, 5.0, 2.0), ("b", 1, 20.0, 3.0)],
+        "k1 string, k2 int, ts double, v double",
+    )
+    out = asof_join(left, right, on=["k1", "k2"], value_cols=["v"]).collect()
+    got = {(r.k1, r.k2): r.v for r in out}
+    assert got == {("a", 1): 1.0, ("a", 2): 2.0, ("b", 1): None}

@@ -1,0 +1,165 @@
+"""Dedup, similarity and text-analysis operator tests."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from transmog_spark.operators.dedup import (
+    cosine_sim,
+    dedupe_exact,
+    exact_duplicate_groups,
+    embedding_near_duplicates,
+    jaccard,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_duplicates,
+    word_shingles,
+)
+from transmog_spark.operators.similarity import brute_force_topk
+from transmog_spark.operators.text import text_profile
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),        # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),        # near dup of 1
+    (4, "der hund ist nicht ein katze und das ist gut"),       # German
+    (5, "completely different words entirely unrelated text"),
+    (6, ""),                                                   # empty
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicate_groups(docs):
+    groups = exact_duplicate_groups(docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0].n_dups == 2 and groups[0].keep_id == 1
+
+
+def test_dedupe_exact_keeps_min_id(docs):
+    kept = dedupe_exact(docs, "doc_id", "text")
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [1, 3, 4, 5, 6]
+
+
+def test_jaccard_identity_and_disjoint(spark):
+    df = spark.createDataFrame([(["a", "b"], ["a", "b"], ["c"])], "x array<string>, y array<string>, z array<string>")
+    r = df.select(
+        jaccard(F.col("x"), F.col("y")).alias("same"),
+        jaccard(F.col("x"), F.col("z")).alias("disj"),
+    ).collect()[0]
+    assert r.same == 1.0 and r.disj == 0.0
+
+
+def test_word_shingles_short_text_fallback(spark):
+    df = spark.createDataFrame([("one two",)], "t string")
+    sh = df.select(word_shingles(F.col("t"), 3).alias("s")).collect()[0].s
+    assert sh == ["one two"]
+
+
+def test_minhash_finds_near_and_exact_dups(docs):
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", shingle_n=3, num_hashes=16, bands=8, threshold=0.5
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got  # exact dup always survives any banding
+    sim = {(r.id_a, r.id_b): r.jaccard_sim for r in pairs}
+    assert sim[(1, 2)] == 1.0
+    assert (4, 5) not in got and (1, 5) not in got
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard_sim for r in pairs.collect()}
+    assert got.get((1, 2)) == 1.0
+
+
+def test_simhash_identical_docs_equal_and_near_docs_close(docs):
+    sigs = {
+        r.doc_id: r.s
+        for r in docs.select("doc_id", simhash(F.col("text"), bits=32).alias("s")).collect()
+    }
+    assert sigs[1] == sigs[2]
+    ham_near = bin(sigs[1] ^ sigs[3]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[5]).count("1")
+    assert ham_near < ham_far
+
+
+def test_simhash_near_duplicates_blocking(docs):
+    pairs = simhash_near_duplicates(docs, "doc_id", "text", bits=32, max_hamming=0)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+
+
+def test_cosine_sim_exact(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0]), ([1.0, 0.0], [0.0, 0.0])],
+        "a array<float>, b array<float>",
+    )
+    vals = [r.c for r in df.select(cosine_sim(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert vals[0] == pytest.approx(0.0)
+    assert vals[1] == pytest.approx(1.0)
+    assert vals[2] == 0.0  # zero-norm guard
+
+
+def test_embedding_near_duplicates_finds_identical_vectors(spark):
+    rows = [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0, 3.0, 4.0]), (3, [-4.0, 3.0, -2.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, v array<float>")
+    pairs = embedding_near_duplicates(df, "vec_id", "v", threshold=0.99, n_planes=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 2)}
+
+
+def test_brute_force_topk_ranks_by_cosine(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [1.0, 0.05]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") == 0)
+    out = brute_force_topk(df, q, id_col="vec_id", vec_col="embedding", k=2).collect()
+    ranked = sorted(((r.rank, r.neighbor_id) for r in out))
+    assert ranked == [(1, 3), (2, 1)]  # 3 is closer to 0 than 1; 2 excluded
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def test_text_profile_values(docs):
+    prof = {r.doc_id: r for r in text_profile(docs, "doc_id", "text").collect()}
+    r1 = prof[1]
+    assert r1.n_tokens_ws == 9
+    assert r1.lang_pred == "en"
+    assert prof[4].lang_pred == "de"
+    assert prof[6].n_tokens_ws == 0 and prof[6].lang_pred == "und"
+    assert prof[6].fingerprint == 0
+    # identical docs -> identical fingerprints; different docs differ
+    assert prof[1].fingerprint == prof[2].fingerprint
+    assert prof[1].fingerprint != prof[3].fingerprint
+    # quality in [0,1]
+    assert all(0.0 <= r.quality <= 1.0 for r in prof.values())
+
+
+def test_fingerprint_is_order_aware(spark):
+    df = spark.createDataFrame([(1, "alpha beta"), (2, "beta alpha")], "doc_id long, text string")
+    prof = {r.doc_id: r.fingerprint for r in text_profile(df, "doc_id", "text").collect()}
+    assert prof[1] != prof[2]
+
+
+def test_punct_ratio_and_stopword_ratio(spark):
+    df = spark.createDataFrame([(1, "the cat!!!")], "doc_id long, text string")
+    r = text_profile(df, "doc_id", "text").collect()[0]
+    assert r.punct_ratio == pytest.approx(3 / 10)
+    assert r.stopword_ratio == pytest.approx(1 / 2)
+    assert r.n_tokens_bpe == 5  # the, cat, !, !, !

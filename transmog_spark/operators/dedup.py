@@ -66,9 +66,47 @@ def _seeded_hash(seed: int):
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """array<long> of per-seed minima: min over shingles of h(seed#shingle)."""
+    """array<long> of per-seed minima: min over shingles of h(seed#shingle).
+
+    Column-expression form — fine for a handful of hashes on small frames.
+    The scale path is ``minhash_signatures`` below (explode + partial-agg
+    min): Catalyst inlines the shingle expression into every one of the
+    ``num_hashes`` lambdas here, which bloats codegen and re-evaluates the
+    shingling; the DataFrame form keeps expressions tiny and shuffles only
+    ``num_hashes`` longs per doc (map-side combine), not shingle arrays.
+    """
     return F.array(
         *[F.array_min(F.transform(shingles, _seeded_hash(b))) for b in range(num_hashes)]
+    )
+
+
+def shingle_frame(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
+    """(__id, __sh: array<string>) — distinct word shingles, computed ONCE."""
+    return df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(F.col(text_col), shingle_n).alias("__sh"),
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int
+) -> DataFrame:
+    """(__id, h0..h{k-1}) minhash signature via explode + groupBy-min.
+
+    Plan shape at scale: narrow explode -> k tiny md5 expressions ->
+    hash-aggregate with map-side partial min -> shuffle of k longs per doc.
+    No shingle array ever crosses the wire.
+    """
+    ex = sh.select("__id", F.explode("__sh").alias("__s"))
+    hashed = ex.select(
+        "__id",
+        *[
+            md5_long(F.concat(F.lit(f"{b}#"), F.col("__s"))).alias(f"h{b}")
+            for b in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy("__id").agg(
+        *[F.min(f"h{b}").alias(f"h{b}") for b in range(num_hashes)]
     )
 
 
@@ -98,42 +136,49 @@ def minhash_near_duplicates(
     Returns (id_a, id_b, jaccard_sim) with id_a < id_b.
     """
     rows = num_hashes // bands
-    sig = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            word_shingles(F.col(text_col), shingle_n).alias("__sh"),
-        )
-        .withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
-    )
+    sh = shingle_frame(df, id_col, text_col, shingle_n)
+    sig = minhash_signatures(sh, num_hashes)
+
+    # band keys: plan-time unrolled concat of each band's hash columns —
+    # band rows carry only (id, band, bkey), never the shingle arrays
     banded = sig.select(
         "__id",
-        "__sh",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.concat_ws(
-                        ",", F.transform(F.slice("__sig", b * rows + 1, rows), lambda x: x.cast("string"))
-                    ).alias("bkey"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[F.col(f"h{b * rows + j}").cast("string") for j in range(rows)],
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("__band"),
-    ).select("__id", "__sh", F.col("__band.band").alias("band"), F.col("__band.bkey").alias("bkey"))
+    ).select("__id", F.col("__band.band").alias("band"), F.col("__band.bkey").alias("bkey"))
 
     # Cap pathological buckets (all-identical boilerplate) to keep the
     # per-bucket join quadratic term bounded.
     wb = Window.partitionBy("band", "bkey").orderBy("__id")
     banded = banded.withColumn("__bn", F.row_number().over(wb)).where(F.col("__bn") <= max_bucket)
 
-    a = banded.select("band", "bkey", F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
-    b = banded.select("band", "bkey", F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
-    pairs = (
+    a = banded.select("band", "bkey", F.col("__id").alias("id_a"))
+    b = banded.select("band", "bkey", F.col("__id").alias("id_b"))
+    cand = (
         a.join(b, ["band", "bkey"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # verify only the (small) candidate set with exact Jaccard: two joins
+    # back to the per-doc shingle arrays
+    pairs = (
+        cand.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
         .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
         .where(F.col("jaccard_sim") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
     )
     return pairs
 
@@ -153,19 +198,29 @@ def ngram_jaccard_pairs(
     globally minimal shingle hash are candidates. Recall is lower than
     multi-band LSH; precision is exact (full Jaccard verification).
     """
-    base = df.select(
-        F.col(id_col).alias("__id"), word_shingles(F.col(text_col), shingle_n).alias("__sh")
-    ).withColumn("__minh", F.array_min(F.transform(F.col("__sh"), lambda s: md5_long(s))))
+    sh = shingle_frame(df, id_col, text_col, shingle_n)
+    # blocking key = global min shingle hash, via explode + partial-agg min
+    minh = (
+        sh.select("__id", F.explode("__sh").alias("__s"))
+        .select("__id", md5_long(F.col("__s")).alias("__h"))
+        .groupBy("__id")
+        .agg(F.min("__h").alias("__minh"))
+    )
     wb = Window.partitionBy("__minh").orderBy("__id")
-    base = base.withColumn("__bn", F.row_number().over(wb)).where(F.col("__bn") <= max_bucket)
-    a = base.select(F.col("__minh"), F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
-    b = base.select(F.col("__minh"), F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
-    return (
+    capped = minh.withColumn("__bn", F.row_number().over(wb)).where(F.col("__bn") <= max_bucket)
+    a = capped.select("__minh", F.col("__id").alias("id_a"))
+    b = capped.select("__minh", F.col("__id").alias("id_b"))
+    cand = (
         a.join(b, "__minh")
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
         .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
         .where(F.col("jaccard_sim") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -196,6 +251,40 @@ def simhash(text: Column, *, bits: int = 32) -> Column:
     return out
 
 
+def simhash_frame(df: DataFrame, id_col: str, text_col: str, *, bits: int = 32) -> DataFrame:
+    """(id, simhash) via explode + groupBy bit-weight sums — the scale path.
+
+    The Column form above inlines the token-hash array into every one of the
+    ``bits`` aggregate lambdas (huge codegen, re-evaluation); this form hashes
+    each token once and computes the ``bits`` weights as map-side-combined
+    sums. Empty-text docs get signature 0 (no tokens -> all weights 0).
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")).alias(
+            "__t"
+        ),
+    )
+    hashed = toks.select("__id", md5_long(F.col("__t")).alias("__h"))
+    agg = hashed.groupBy("__id").agg(
+        *[
+            F.sum((F.shiftright(F.col("__h"), j) % 2) * 2 - 1).alias(f"w{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig + F.when(F.col(f"w{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    signed = agg.select("__id", sig.alias("simhash"))
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(signed, "__id", "left")
+        .select(F.col("__id").alias(id_col), F.coalesce("simhash", F.lit(0)).alias("simhash"))
+    )
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -213,20 +302,25 @@ def simhash_near_duplicates(
     SimHash blocking.
     """
     bands = bits // band_bits
-    base = df.select(F.col(id_col).alias("__id"), simhash(F.col(text_col), bits=bits).alias("__sg"))
+    base = simhash_frame(df, id_col, text_col, bits=bits).select(
+        F.col(id_col).alias("__id"), F.col("simhash").alias("__sg")
+    )
+    # band loop unrolls at plan time: shiftright requires a literal shift
     banded = base.select(
         "__id",
         "__sg",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    (
-                        F.shiftright(F.col("__sg"), (b * band_bits).cast("int"))
-                        % F.lit(1 << band_bits).cast("long")
-                    ).alias("bkey"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright(F.col("__sg"), b * band_bits)
+                            % F.lit(1 << band_bits).cast("long")
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("__b"),
     ).select("__id", "__sg", F.col("__b.band").alias("band"), F.col("__b.bkey").alias("bkey"))

@@ -127,18 +127,78 @@ def fingerprint(text: Column) -> Column:
 
 
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One row per document: all text-analysis features."""
+    """One row per document: all text-analysis features.
+
+    Scale shape: the Column helpers above inline the tokenization into every
+    feature (lang scores ×4 + stopwords + fingerprint + counts -> huge
+    codegen, re-evaluated token arrays). Here tokens are exploded ONCE and
+    every token-derived feature is a map-side-combined aggregate; char-level
+    features stay single-use expressions on the original rows. One narrow
+    explode + one groupBy shuffle of a dozen numeric partials per doc.
+    Formulas are identical to the Column helpers (and the DuckDB oracle).
+    """
     t = F.col(text_col)
-    q = quality_features(t)
-    return df.select(
+    chars = df.select(
         F.col(id_col),
-        token_count_ws(t).alias("n_tokens_ws"),
+        F.length(t).alias("n_chars"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), F.lit(0))).alias("__n_punct"),
         token_count_bpe(t).alias("n_tokens_bpe"),
-        lang_id(t).alias("lang_pred"),
-        q["n_chars"].alias("n_chars"),
-        q["punct_ratio"].alias("punct_ratio"),
-        q["stopword_ratio"].alias("stopword_ratio"),
-        q["mean_word_len"].alias("mean_word_len"),
-        quality_score(t).alias("quality"),
-        fingerprint(t).alias("fingerprint"),
+    )
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(ws_tokens(t)).alias("__pos", "__t")
+    )
+    lang_aggs = [
+        F.sum(F.when(F.col("__t").isin(LANG_MARKERS[lang]), 1).otherwise(0)).alias(
+            f"__s_{lang}"
+        )
+        for lang in LANG_MARKERS
+    ]
+    fp_term = md5_long(
+        F.concat((F.col("__pos") + 1).cast("string"), F.lit("#"), F.col("__t"))
+    ) % MOD_P
+    agg = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_words"),
+        F.sum(F.length("__t")).alias("__sum_len"),
+        F.sum(F.when(F.col("__t").isin(EN_STOPWORDS), 1).otherwise(0)).alias("__n_stop"),
+        (F.sum(fp_term) % MOD_P).alias("__fp"),
+        *lang_aggs,
+    )
+
+    j = chars.join(agg, id_col, "left")
+    n = F.coalesce(F.col("__n_words"), F.lit(0))
+    s = {lang: F.coalesce(F.col(f"__s_{lang}"), F.lit(0)) for lang in LANG_MARKERS}
+    # argmax with earlier-language tie wins — same CASE chain as the oracle
+    lang_pred = (
+        F.when((s["en"] > 0) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), "en")
+        .when((s["de"] > 0) & (s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
+        .when((s["fr"] > 0) & (s["fr"] >= s["es"]), "fr")
+        .when(s["es"] > 0, "es")
+        .otherwise("und")
+    )
+    punct_ratio = F.when(
+        F.col("n_chars") > 0, F.col("__n_punct").cast("double") / F.col("n_chars")
+    ).otherwise(F.lit(0.0))
+    stopword_ratio = F.when(
+        n > 0, F.coalesce(F.col("__n_stop"), F.lit(0)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+    mean_word_len = F.when(
+        n > 0, F.coalesce(F.col("__sum_len"), F.lit(0)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+    len_ok = F.when((mean_word_len >= 2.0) & (mean_word_len <= 12.0), 1.0).otherwise(0.3)
+    stop_ok = F.least(stopword_ratio * 4.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 5.0)
+    quality = (len_ok * 0.3 + stop_ok * 0.4 + punct_pen * 0.3).cast("double")
+
+    return j.select(
+        F.col(id_col),
+        n.cast("int").alias("n_tokens_ws"),
+        F.col("n_tokens_bpe"),
+        lang_pred.alias("lang_pred"),
+        F.col("n_chars"),
+        punct_ratio.alias("punct_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        quality.alias("quality"),
+        F.coalesce(F.col("__fp"), F.lit(0)).cast("long").alias("fingerprint"),
     )

@@ -75,3 +75,76 @@ def event_features(
         F.col("session_value_sum").alias("sess_value_sum"),
     )
     return feats.join(sess, ["user_id", "session_id"], "left")
+
+
+def token_features(
+    spark: SparkSession,
+    n_docs: int,
+    *,
+    seed: str = "tmg",
+    salt_buckets: int = 0,
+    gap_seconds: float = 6 * 3600.0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """North-rule flagship over the tokenized-sequence table (BASELINE.json).
+
+    Input shape is exactly the ``input_hint``: (doc_id:string,
+    tokens:array<int>, n_tok:int, source:string) plus nested revision
+    metadata. Pipeline (every step a built-in DataFrame op — no per-row
+    Python anywhere):
+
+      1. engine-flatten the hierarchical ``sequence_meta`` (struct + array
+         of revision structs) into normalized doc×revision-timestamp rows,
+         lineage preserved via the natural ``doc_id`` parent key;
+      2. sort-merge as-of join: each revision row sees the latest
+         ``feature_v`` with ts <= revision ts (zero temporal leakage;
+         optional salting for the skewed hot ``source``);
+      3. gap-sessionize revisions per doc; lag/lead on revision ``n_tok``;
+      4. re-attach the exact token arrays from ``sequences`` (token-array
+         equality is asserted downstream per doc_id).
+
+    Returns one row per (doc_id, revision ts) with tokens intact.
+    """
+    from transmog_spark.sources import synth
+
+    seqs = synth.sequences(spark, n_docs, seed=seed, partitions=partitions)
+    meta = synth.sequence_meta(spark, n_docs, seed=seed, partitions=partitions)
+    feats_src = synth.feature_events(spark, n_docs, seed=seed, partitions=partitions)
+
+    cfg = EngineConfig(id_generation="natural", id_field="doc_id", time_field=None)
+    flat = flatten(meta, "sequences", cfg)
+    revs = flat.tables["sequences_meta_revisions"].select(
+        F.col("_parent_id").alias("doc_id"),
+        F.col("rev"),
+        F.col("editor"),
+        F.col("ts"),
+        F.col("n_tok").alias("rev_n_tok"),
+    )
+
+    pit = asof_join(
+        revs,
+        feats_src.select("doc_id", "ts", "feature_v"),
+        on="doc_id",
+        value_cols=["feature_v"],
+        salt_buckets=salt_buckets,
+        matched_ts_col="feature_ts",
+    )
+    pit = sessionize(pit, "doc_id", ["ts", "rev"], gap_seconds=gap_seconds)
+    pit = with_lag_lead(pit, "doc_id", ["ts", "rev"], ["rev_n_tok"])
+
+    return pit.join(
+        seqs.select("doc_id", "tokens", "n_tok", "source"), "doc_id", "inner"
+    ).select(
+        "doc_id",
+        "source",
+        "rev",
+        "ts",
+        "rev_n_tok",
+        "feature_v",
+        "feature_ts",
+        "session_index",
+        "rev_n_tok_lag1",
+        "rev_n_tok_lead1",
+        "tokens",
+        "n_tok",
+    )
