@@ -46,17 +46,24 @@ def dedupe_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of lowercased text."""
+    """Distinct word n-gram shingles of lowercased text.
+
+    O(tokens·n) construction: zip the token array against its k-shifted
+    slices (k = 1..n-1) — ``concat`` nulls out the tail positions that have
+    no full n-gram, which a final filter drops. (The naive per-position
+    ``slice`` inside ``transform`` is O(tokens²) per row and was the
+    dominant cost of MinHash/LSH end-to-end.) Short texts (< n tokens)
+    fall back to one whole-text shingle, matching the DuckDB oracle.
+    """
     toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
     size = F.size(toks)
-    grams = F.when(
-        size >= n,
-        F.transform(
-            F.sequence(F.lit(0), size - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return F.array_distinct(grams)
+    grams = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(size - k, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = F.filter(grams, lambda x: x.isNotNull())
+    out = F.when(size >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(out)
 
 
 def _seeded_hash(seed: int):
