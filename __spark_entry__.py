@@ -240,6 +240,76 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_frame(d, "doc_id", "text", bits=32)
 
 
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transmog_spark.operators.dedup import simhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(
+        d, "doc_id", "text", bits=32, max_hamming=3, band_bits=8, max_bucket=1000
+    )
+
+
+def _q_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule input shape (doc_id, tokens:array<int>, n_tok, source)
+    derived deterministically from text — the driver's value-hash compare IS
+    the exact token-array-equality gate."""
+    from transmog_spark.operators.text import tokenize_ids
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokenize_ids(F.col("text"))
+    return d.select(
+        "doc_id",
+        toks.alias("tokens"),
+        F.size(toks).alias("n_tok"),
+        "source",
+    )
+
+
+def _q_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten token arrays to normalized (doc, pos, token) rows."""
+    from transmog_spark.operators.text import tokenize_ids
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(tokenize_ids(F.col("text"))).alias("pos", "token_id")
+    )
+
+
+def _q_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source feature vector over the derived token table (n_tok stats)."""
+    from transmog_spark.operators.text import tokenize_ids
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("source", F.size(tokenize_ids(F.col("text"))).alias("n_tok"))
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        F.min("n_tok").alias("min_tokens"),
+        F.max("n_tok").alias("max_tokens"),
+    )
+
+
+def _q_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc vectorized token features over the derived token table."""
+    from transmog_spark.operators.features import with_token_stats
+    from transmog_spark.operators.text import tokenize_ids
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokenize_ids(F.col("text")).alias("tokens"))
+    out = with_token_stats(t)
+    return out.select(
+        "doc_id",
+        "n_tok",
+        "tok_min",
+        "tok_max",
+        "tok_sum",
+        F.round("tok_mean", 4).alias("tok_mean"),
+        "tok_distinct",
+        "tok_head8",
+    )
+
+
 def _q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transmog_spark.operators.text import text_profile
 
@@ -318,6 +388,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "tokenize_docs": _q_tokenize_docs,
+        "token_positions": _q_token_positions,
+        "token_stats_by_source": _q_token_stats_by_source,
+        "token_features": _q_token_features,
         "text_profile": _q_text_profile,
         "doc_source_stats": _q_doc_source_stats,
         "embedding_topk": _q_embedding_topk,
@@ -334,8 +409,12 @@ def oracle_sql() -> dict[str, str]:
     from transmog_spark.oracle import (
         minhash_pairs_sql,
         ngram_jaccard_pairs_sql,
+        simhash_pairs_sql,
         simhash_sql,
         text_profile_sql,
+        token_features_sql,
+        token_positions_sql,
+        tokenize_docs_sql,
     )
 
     asof_common = """
@@ -442,6 +521,22 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
         ),
         "ngram_jaccard": ngram_jaccard_pairs_sql(shingle_n=3, threshold=0.15, max_bucket=500),
         "simhash": simhash_sql(bits=32),
+        "simhash_pairs": simhash_pairs_sql(
+            bits=32, band_bits=8, max_hamming=3, max_bucket=1000
+        ),
+        "tokenize_docs": tokenize_docs_sql(),
+        "token_positions": token_positions_sql(),
+        "token_features": token_features_sql(),
+        "token_stats_by_source": """
+WITH docs AS (
+  SELECT source,
+         len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tok
+  FROM documents)
+SELECT source, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+       round(avg(n_tok), 4) AS avg_tokens,
+       min(n_tok) AS min_tokens, max(n_tok) AS max_tokens
+FROM docs GROUP BY 1
+""",
         "text_profile": text_profile_sql(),
         "doc_source_stats": """
 SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,

@@ -9,7 +9,13 @@ import __spark_entry__ as entrymod
 
 # Queries allowed to return zero rows at sf0.001 (near-dup pairs may not
 # exist in tiny samples — driver treats >=0 rows as pass for those).
-MAY_BE_EMPTY = {"minhash_pairs", "ngram_jaccard", "dedup_exact", "embedding_neardup"}
+MAY_BE_EMPTY = {
+    "minhash_pairs",
+    "ngram_jaccard",
+    "dedup_exact",
+    "embedding_neardup",
+    "simhash_pairs",
+}
 
 
 def test_entry_smoke(spark):

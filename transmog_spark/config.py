@@ -83,6 +83,10 @@ class EngineConfig:
     batch_size: int = 1000  # kept for API compat; hints repartitioning only
     shuffle_partitions: int | None = None  # override spark.sql.shuffle.partitions
     salt_buckets: int = 0  # >0 enables key salting for skewed joins
+    # natural-id validation is an EAGER distributed scan (reference raises
+    # per record, flattening.py:114-125); at 10^12 rows turn it off and
+    # rely on upstream contracts
+    validate_natural: bool = True
 
     def __post_init__(self) -> None:
         # Validation semantics mirror reference config.py:63-113.

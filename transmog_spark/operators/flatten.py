@@ -101,7 +101,8 @@ def flatten(
 
     natural = cfg.id_generation == "natural"
     if natural:
-        validate_natural_ids(df, cfg.id_field)
+        if cfg.validate_natural:
+            validate_natural_ids(df, cfg.id_field)
         df0 = df
         root_id_name = cfg.id_field
     else:

