@@ -1,0 +1,137 @@
+"""Writer (W1-W9) and streaming-driver (P1-P2) tests."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from transmog_spark.config import EngineConfig
+from transmog_spark.operators.flatten import flatten
+from transmog_spark.sinks import (
+    MissingDependencyError,
+    sanitize_csv_injection,
+    sanitize_filename,
+    save_tables,
+    write_table,
+)
+from transmog_spark.streaming.pipeline import flatten_foreach_batch, flatten_stream
+
+
+@pytest.fixture(scope="module")
+def nested_df(spark):
+    return spark.createDataFrame(
+        [
+            Row(rid=1, name="a", items=[Row(v=1), Row(v=2)]),
+            Row(rid=2, name="b", items=[Row(v=3)]),
+        ]
+    )
+
+
+def test_save_tables_parquet_roundtrip(spark, nested_df, tmp_path):
+    cfg = EngineConfig(id_generation="natural", id_field="rid", time_field=None)
+    res = flatten(nested_df, "ent", cfg)
+    paths = save_tables(res, str(tmp_path), "parquet")
+    assert len(paths) == 2
+    main = spark.read.parquet(str(tmp_path / "ent"))
+    items = spark.read.parquet(str(tmp_path / "ent_items"))
+    assert main.count() == 2 and items.count() == 3
+    assert sorted(r.v for r in items.collect()) == [1, 2, 3]
+
+
+def test_csv_and_orc_roundtrip(spark, nested_df, tmp_path):
+    flat = nested_df.select("rid", "name")
+    for fmt in ("csv", "orc", "json"):
+        p = str(tmp_path / fmt)
+        write_table(flat, p, fmt)
+        back = (
+            spark.read.option("header", "true").option("inferSchema", "true").csv(p)
+            if fmt == "csv"
+            else spark.read.format(fmt).load(p)
+        )
+        assert back.count() == 2
+
+
+def test_csv_injection_sanitization(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("=cmd()", "ok"), ("+SUM(A1)", "x"), ("  @foo", "y"), ("safe", "z")],
+        "a string, b string",
+    )
+    got = {r.b: r.a for r in sanitize_csv_injection(df).collect()}
+    # leading formula triggers (incl. after whitespace) are quote-prefixed
+    assert got["ok"] == "'=cmd()"
+    assert got["x"] == "'+SUM(A1)"
+    assert got["y"] == "'  @foo"
+    assert got["z"] == "safe"
+    p = str(tmp_path / "inj")
+    write_table(df, p, "csv", csv_injection_safe=True)
+    back = spark.read.option("header", "true").csv(p)
+    vals = {r.b: r.a for r in back.collect()}
+    assert vals["ok"].startswith("'=")
+
+
+def test_unsupported_format_raises(spark, nested_df):
+    with pytest.raises(MissingDependencyError):
+        write_table(nested_df.select("rid"), "/tmp/nope", "xlsx")
+
+
+def test_avro_gated_on_jar(spark, nested_df, tmp_path):
+    """spark-avro is bundled in pyspark 4 or raises a clear error — accept both."""
+    try:
+        write_table(nested_df.select("rid", "name"), str(tmp_path / "av"), "avro")
+    except MissingDependencyError:
+        return
+    back = spark.read.format("avro").load(str(tmp_path / "av"))
+    assert back.count() == 2
+
+
+def test_sanitize_filename():
+    assert sanitize_filename("a/b c:d") == "a_b_c_d"
+    assert sanitize_filename("___") == "table"
+
+
+def test_flatten_stream_writes_all_tables(spark, nested_df, tmp_path):
+    seen = []
+    paths = flatten_stream(
+        nested_df,
+        str(tmp_path),
+        "ent",
+        "parquet",
+        EngineConfig(id_generation="natural", id_field="rid", time_field=None),
+        progress_callback=lambda done, total: seen.append((done, total)),
+    )
+    assert len(paths) == 2
+    assert seen == [(1, 2), (2, 2)]
+    assert spark.read.parquet(paths[0]).count() in (2, 3)
+
+
+def test_structured_streaming_foreach_batch(spark, tmp_path):
+    """Genuine Structured Streaming: file source -> flatten per micro-batch."""
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    chk_dir = str(tmp_path / "chk")
+    df = spark.createDataFrame(
+        [Row(rid=1, name="a", items=[Row(v=1), Row(v=2)]), Row(rid=2, name="b", items=[Row(v=3)])]
+    )
+    df.coalesce(1).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            flatten_foreach_batch(
+                "ent",
+                out_dir,
+                EngineConfig(id_generation="natural", id_field="rid", time_field=None),
+            )
+        )
+        .option("checkpointLocation", chk_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    main = spark.read.parquet(os.path.join(out_dir, "ent"))
+    items = spark.read.parquet(os.path.join(out_dir, "ent_items"))
+    assert main.count() == 2
+    assert sorted(r.v for r in items.collect()) == [1, 2, 3]

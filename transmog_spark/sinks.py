@@ -69,14 +69,6 @@ def write_table(
         raise MissingDependencyError(
             f"Unsupported format {output_format!r}; choose from {sorted(_FORMATS)}"
         )
-    if fmt == "avro":
-        try:
-            df.sparkSession._jvm.org.apache.spark.sql.avro.functions  # noqa: SLF001
-        except Exception as exc:  # pragma: no cover - depends on jars
-            raise MissingDependencyError(
-                "Avro requires the spark-avro package "
-                "(--packages org.apache.spark:spark-avro_2.13:<spark version>)"
-            ) from exc
     writer = df.write.mode(options.pop("mode", "overwrite"))
     if fmt == "csv":
         if csv_injection_safe:
@@ -89,7 +81,16 @@ def write_table(
         options.setdefault("compression", "zstd")  # reference orc.py:16-79
     for k, v in options.items():
         writer = writer.option(k, v)
-    writer.format(fmt).save(path)
+    try:
+        writer.format(fmt).save(path)
+    except Exception as exc:  # AnalysisException: DATA_SOURCE_NOT_FOUND
+        if fmt == "avro" and "avro" in str(exc).lower():
+            raise MissingDependencyError(
+                "Avro requires the spark-avro package "
+                "(--packages org.apache.spark:spark-avro_2.13:<spark version>); "
+                "reference gates identically (writers/__init__.py:29-130)"
+            ) from exc
+        raise
     return path
 
 
