@@ -8,6 +8,7 @@ sessionization, dedup (exact/MinHash/SimHash/embedding), ANN similarity
 search, and text analysis.
 """
 
+from transmog_spark.api import flatten_records
 from transmog_spark.config import ArrayMode, ConfigurationError, EngineConfig, ValidationError
 from transmog_spark.operators.flatten import FlattenResult, flatten
 from transmog_spark.session import get_spark
@@ -20,6 +21,7 @@ __all__ = [
     "FlattenResult",
     "ValidationError",
     "flatten",
+    "flatten_records",
     "flatten_stream",
     "get_spark",
 ]
