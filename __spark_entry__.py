@@ -336,6 +336,26 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
 
 
+def _q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (the scale path): probe nprobe/nlist of the corpus."""
+    from transmog_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return ivf_topk(e, q, id_col="vec_id", vec_col="embedding", k=5, nlist=16, nprobe=4)
+
+
+def _q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN with multi-probe (rows-only check: bucket sums are
+    not practical to mirror in SQL; recall is validated in pytest)."""
+    from transmog_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    out = lsh_topk(e, q, id_col="vec_id", vec_col="embedding", k=5, n_planes=8, n_probes=3)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine pairs on a bounded slice (oracle-checkable)."""
     from transmog_spark.operators.dedup import cosine_sim
@@ -396,6 +416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": _q_text_profile,
         "doc_source_stats": _q_doc_source_stats,
         "embedding_topk": _q_embedding_topk,
+        "embedding_topk_ivf": _q_embedding_topk_ivf,
+        "embedding_topk_lsh": _q_embedding_topk_lsh,
         "embedding_neardup": _q_embedding_neardup,
         "flagship_pipeline": _q_flagship,
     }
@@ -407,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from transmog_spark.oracle import (
+        ivf_topk_sql,
         minhash_pairs_sql,
         ngram_jaccard_pairs_sql,
         simhash_pairs_sql,
@@ -554,6 +577,9 @@ SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
   FROM scored) WHERE rank <= 5
 """,
+        "embedding_topk_ivf": ivf_topk_sql(
+            query_filter="vec_id < 10", k=5, nlist=16, nprobe=4
+        ),
         "embedding_neardup": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

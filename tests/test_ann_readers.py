@@ -1,0 +1,122 @@
+"""ANN recall tests (IVF / LSH vs exact brute force) + source-reader tests."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from transmog_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
+from transmog_spark.sources.readers import (
+    detect_path_format,
+    detect_string_format,
+    read_data,
+    read_file,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_ivf_recall_vs_brute_force(emb):
+    q = emb.where(F.col("vec_id") < 20)
+    exact = _topk_sets(brute_force_topk(emb, q, id_col="vec_id", vec_col="embedding", k=5))
+    approx = _topk_sets(
+        ivf_topk(emb, q, id_col="vec_id", vec_col="embedding", k=5, nlist=8, nprobe=4)
+    )
+    recalls = [len(exact[k] & approx.get(k, set())) / len(exact[k]) for k in exact]
+    assert sum(recalls) / len(recalls) >= 0.6  # probing half the lists
+
+
+def test_ivf_full_probe_equals_brute_force(emb):
+    """nprobe == nlist degenerates to exact search — results must match."""
+    q = emb.where(F.col("vec_id") < 10)
+    exact = _topk_sets(brute_force_topk(emb, q, id_col="vec_id", vec_col="embedding", k=5))
+    full = _topk_sets(
+        ivf_topk(emb, q, id_col="vec_id", vec_col="embedding", k=5, nlist=8, nprobe=8)
+    )
+    assert exact == full
+
+
+def test_lsh_topk_returns_ranked_neighbors(emb):
+    q = emb.where(F.col("vec_id") < 10)
+    out = lsh_topk(emb, q, id_col="vec_id", vec_col="embedding", k=5, n_planes=6, n_probes=3)
+    rows = out.collect()
+    assert rows, "LSH with 6 planes + multiprobe should find candidates"
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cosine))
+    for ranks in by_q.values():
+        ranks.sort()
+        cosines = [c for _, c in ranks]
+        assert cosines == sorted(cosines, reverse=True)  # rank order = cosine order
+        assert ranks[0][0] == 1
+
+
+# ---------------------------------------------------------------------------
+# sources/readers (reference S1-S8)
+# ---------------------------------------------------------------------------
+
+def test_detect_string_format():
+    assert detect_string_format('{"a": 1}') == "json"
+    assert detect_string_format('{"a": 1}\n{"a": 2}\n{"a": 3}') == "jsonl"
+    assert detect_string_format("") == "json"
+    assert detect_string_format('[{"a": 1}, {"a": 2}]') == "json"
+
+
+def test_detect_path_format():
+    assert detect_path_format("x.jsonl") == "jsonl"
+    assert detect_path_format("x.ndjson") == "jsonl"
+    assert detect_path_format("x.json") == "json"
+    assert detect_path_format("x.parquet") == "parquet"
+    assert detect_path_format("x.unknown") == "json"
+
+
+def test_read_json_file_multiline(spark, tmp_path):
+    p = tmp_path / "data.json"
+    p.write_text(json.dumps([{"a": 1, "b": {"c": "x"}}, {"a": 2, "b": {"c": "y"}}]))
+    df = read_file(spark, str(p))
+    assert df.count() == 2
+    assert df.select("b.c").collect()[0][0] in ("x", "y")
+
+
+def test_read_jsonl_file(spark, tmp_path):
+    p = tmp_path / "data.jsonl"
+    p.write_text('{"a": 1}\n\n{"a": 2}\n{"a": 3}\n')
+    df = read_file(spark, str(p))
+    assert df.count() == 3
+
+
+def test_read_data_string_json_and_jsonl(spark):
+    assert read_data(spark, '{"a": 1}').count() == 1
+    assert read_data(spark, '[{"a": 1}, {"a": 2}]').count() == 2
+    assert read_data(spark, '{"a": 1}\n{"a": 2}').count() == 2
+
+
+def test_read_csv_file(spark, tmp_path):
+    p = tmp_path / "d.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    df = read_file(spark, str(p))
+    assert df.count() == 2 and set(df.columns) == {"a", "b"}
+
+
+def test_json5_gated_on_dependency(spark, tmp_path):
+    p = tmp_path / "d.json5"
+    p.write_text("{a: 1}")
+    try:
+        import json5  # noqa: F401
+
+        assert read_file(spark, str(p)).count() == 1
+    except ImportError:
+        with pytest.raises(ImportError, match="json5"):
+            read_file(spark, str(p))

@@ -10,7 +10,9 @@ Differences from the reference (documented deviations, SURVEY.md §7.6):
   hints, not a row buffer (Spark batches natively).
 * ``include_nulls=False`` cannot drop *cells* in a columnar engine; null-like
   values (None/''/NaN/Inf) are normalized to SQL NULL either way. The flag
-  still controls whether all-null columns are pruned from the output.
+  still controls (a) whether null items of extracted primitive arrays become
+  child ``value`` rows and (b) whether nulls participate in child hash-id
+  canonicalization (parity with flattening.py:394-409).
 * Extra Spark-native id strategies ``xxhash64`` / ``sha256`` are accepted for
   scale (deterministic, JVM-side, no Python); ``hash`` keeps byte-parity with
   the reference via a vectorized pandas UDF (uuid5).

@@ -202,6 +202,46 @@ SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
 """
 
 
+def ivf_topk_sql(
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str = "vec_id < 10",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> str:
+    """Mirror of operators.similarity.ivf_topk (same centroid rule, same
+    round(·,6) rank keys, same tie-breaks)."""
+    h = duck_md5_long(f"CAST({id_col} AS VARCHAR)")
+    return f"""
+WITH e AS (SELECT {id_col} AS nid, {vec_col}::DOUBLE[] AS v FROM {table}),
+cent AS (
+  SELECT nid AS cid, v AS cv FROM e ORDER BY {h.replace(id_col, 'nid')}, nid LIMIT {nlist}),
+assigned AS (
+  SELECT nid, v, cid FROM (
+    SELECT e.nid, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.nid
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
+    FROM e CROSS JOIN cent c) WHERE rn = 1),
+q AS (SELECT {id_col} AS qid, {vec_col}::DOUBLE[] AS qv FROM {table} WHERE {query_filter}),
+probes AS (
+  SELECT qid, qv, cid FROM (
+    SELECT q.qid, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cid) AS rn
+    FROM q CROSS JOIN cent c) WHERE rn <= {nprobe}),
+scored AS (
+  SELECT p.qid AS query_id, a.nid AS neighbor_id,
+         round(list_cosine_similarity(p.qv, a.v), 6) AS cos
+  FROM probes p JOIN assigned a ON p.cid = a.cid AND a.nid <> p.qid)
+SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= {k}
+"""
+
+
 def _lang_score(toks: str, lang: str) -> str:
     markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
     return f"len(list_filter({toks}, x -> list_contains([{markers}], x)))"
