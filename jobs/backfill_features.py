@@ -9,6 +9,14 @@ gap-sessionize + lag/lead — and append it to the output table,
 checkpointing a per-partition watermark after each ``source`` slice so a
 killed backfill resumes where it stopped.
 
+Idempotency contract: this is a ONE-SHOT backfill over a fixed input range.
+A slice is either fully committed (skipped on resume) or not committed
+(fully re-run; dynamic partition overwrite replaces any partial write, so a
+crash between data-write and watermark-commit cannot duplicate rows).
+Incremental top-ups of NEW data belong in a fresh run over a new range —
+appending into an already-committed slice would need (source, date-bucket)
+partitioning instead.
+
 Cluster usage (N and 4N executors for the scaling gate):
 
     spark-submit --master yarn --deploy-mode cluster \
@@ -126,7 +134,12 @@ def main(argv: list[str] | None = None) -> int:
         t0 = time.monotonic()
         part = remaining.where(F.col(args.partition_col) == pk)
         out = feature_frame(part, events, args)
-        write_table(out, args.output, mode="append", partition_by=[args.partition_col])
+        # dynamic partition overwrite: a crash between this write and the
+        # watermark commit below leaves the slice partially written — the
+        # resume re-runs the slice and REPLACES its partition (idempotent)
+        write_table(
+            out, args.output, mode="overwrite_partitions", partition_by=[args.partition_col]
+        )
 
         stats = part.agg(
             F.max(args.ts_col).alias("mx"), F.count(F.lit(1)).alias("n")

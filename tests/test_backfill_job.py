@@ -49,6 +49,20 @@ def test_backfill_then_resume_is_idempotent(spark, job_paths):
     assert spark.read.parquet(out).count() == N
 
 
+def test_crash_between_write_and_commit_does_not_duplicate(spark, tmp_path):
+    """Simulate a crash AFTER the data writes but BEFORE any watermark
+    commit: wipe the checkpoint and re-run. Dynamic partition overwrite must
+    replace the partial output, not append to it."""
+    import shutil
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run(out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    shutil.rmtree(ckpt)  # lose all watermarks == crash before first commit
+    _run(out, ckpt)  # full re-run of every slice
+    assert spark.read.parquet(out).count() == n1  # replaced, not doubled
+
+
 def test_backfill_salted_matches_unsalted(spark, tmp_path):
     out_a, ckpt_a = str(tmp_path / "a_out"), str(tmp_path / "a_ckpt")
     out_b, ckpt_b = str(tmp_path / "b_out"), str(tmp_path / "b_ckpt")

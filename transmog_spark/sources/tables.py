@@ -41,18 +41,37 @@ def write_table(
     mode: str = "append",
     partition_by: list[str] | None = None,
 ) -> None:
-    """Append/overwrite a target table; partitioned writes for both backends.
+    """Write a target table; partitioned writes for both backends.
 
     At 100 TB the partition columns (``source``, date buckets) bound file
     sizes and enable partition pruning on read; both Iceberg and the parquet
     fallback honor them.
+
+    ``mode='overwrite_partitions'`` replaces ONLY the partitions present in
+    ``df`` (dynamic partition overwrite / Iceberg overwritePartitions) —
+    the idempotency primitive for resumable backfills: re-running a slice
+    after a crash between data-write and watermark-commit replaces that
+    slice instead of appending duplicates.
     """
     if is_catalog_ref(ref):
         w = df.writeTo(ref)
         if mode == "overwrite":
             w.createOrReplace()
+        elif mode == "overwrite_partitions":
+            w.overwritePartitions()
         else:
             w.append()
+        return
+    if mode == "overwrite_partitions":
+        if not partition_by:
+            raise ValueError("overwrite_partitions requires partition_by")
+        spark = df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            df.write.mode("overwrite").partitionBy(*partition_by).parquet(ref)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         return
     writer = df.write.mode(mode)
     if partition_by:
