@@ -127,6 +127,22 @@ def _q_asof_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(purchases, clicks, on="user_id", value_cols=["click_value"], strict=True)
 
 
+def _q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of with a staleness bound: matches older than 1h are masked."""
+    from transmog_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    return asof_join(
+        purchases, clicks, on="user_id", value_cols=["click_value"], tolerance_seconds=3600
+    )
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transmog_spark.operators.windows import sessionize
 
@@ -398,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten_roundtrip": _q_flatten_roundtrip,
         "asof_clicks": _q_asof_clicks,
         "asof_strict": _q_asof_strict,
+        "asof_tolerance": _q_asof_tolerance,
         "sessionize": _q_sessionize,
         "lag_lead": _q_lag_lead,
         "ffill_bfill": _q_ffill,
@@ -479,6 +496,16 @@ FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
 """,
         "asof_clicks": asof_common.format(op=">="),
         "asof_strict": asof_common.format(op=">"),
+        "asof_tolerance": """
+WITH clicks AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts,
+       CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+            THEN c.click_value END AS click_value
+FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
         "sessionize": """
 WITH o AS (
   SELECT user_id, event_id, ts, value,

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _IS_Q = "__tm_is_q"
 _SALT = "__tm_salt"
@@ -108,9 +109,16 @@ def asof_join(
 
     out = filled.where(F.col(_IS_Q) == 1)
     if tolerance_seconds is not None:
-        in_tol = (
-            F.col(_ts).cast("double") - F.col(_mts).cast("double") <= F.lit(tolerance_seconds)
-        )
+        ts_type = right.schema[right_ts].dataType
+        if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            # TIMESTAMP_NTZ has no direct double cast; go through unix_micros
+            def secs(c: Column) -> Column:
+                return F.unix_micros(c.cast("timestamp")).cast("double") / 1e6
+        else:
+            def secs(c: Column) -> Column:
+                return c.cast("double")
+
+        in_tol = secs(F.col(_ts)) - secs(F.col(_mts)) <= F.lit(tolerance_seconds)
         for c in value_cols:
             out = out.withColumn(f"__tm_v_{c}", F.when(in_tol, F.col(f"__tm_v_{c}")))
         out = out.withColumn(_mts, F.when(in_tol, F.col(_mts)))
