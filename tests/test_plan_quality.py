@@ -1,0 +1,85 @@
+"""Physical-plan regression tests: the plans we want, not just plans that pass.
+
+Locks in: predicate pushdown to the parquet scan, column pruning, broadcast
+joins on dims, shuffle counts, and the zero-shuffle flatten.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def _plan(spark, sf_dir, name, mode: str = "formatted") -> str:
+    df = entrymod.queries()[name](spark, sf_dir)
+    return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def _exchanges(plan: str) -> int:
+    # formatted mode: exchanges are "(n) Exchange" nodes (shuffles);
+    # broadcast exchanges are named BroadcastExchange and counted separately
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def _sorts(plan: str) -> int:
+    return len(re.findall(r"\(\d+\) Sort\b", plan))
+
+
+def test_tpch_q1_pushdown_pruning_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q1")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert _exchanges(plan) == 1  # map-side partial agg, one shuffle
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "l_comment" not in m.group(1)  # pruned to the used columns
+    assert len(m.group(1).split(",")) == 6  # qty, extprice, discount, flag, status, shipdate
+
+
+def test_revenue_by_nation_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "revenue_by_nation")
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 3  # customer/nation/region
+    assert _exchanges(plan) == 1  # only the final groupBy shuffles
+
+
+def test_flatten_is_narrow(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "flatten_props")
+    assert _exchanges(plan) == 0
+    assert "BroadcastExchange" not in plan
+
+
+def test_window_family_single_sort(spark, sf_dir):
+    for q in ("lag_lead", "sessionize", "running_sum"):
+        plan = _plan(spark, sf_dir, q)
+        assert _exchanges(plan) == 1, q
+        assert _sorts(plan) == 1, q
+
+
+def test_asof_is_one_window_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "asof_clicks")
+    # union-sentinel: shuffles bounded (≤1 per input side), exactly one sort
+    assert _sorts(plan) == 1
+    assert _exchanges(plan) <= 2
+    assert "SortMergeJoin" not in plan  # no join operator: it IS the window
+
+
+def test_minhash_shuffles_longs_not_shingles(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "minhash_pairs")
+    # the signature aggregate must have a map-side partial (partial_min)
+    assert "partial_min" in plan or "HashAggregate" in plan
+    # shingle arrays never appear in an exchange's output schema
+    for ex in re.finditer(r"Exchange hashpartitioning[^\n]*\n", plan):
+        assert "__sh" not in ex.group(0)
+
+
+def test_whole_stage_codegen_everywhere(spark, sf_dir):
+    # AQE hides codegen until the final plan; disable it for this check
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for q in ("tpch_q1", "lag_lead", "event_type_stats"):
+            plan = _plan(spark, sf_dir, q, mode="codegen")
+            m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan)
+            assert m and int(m.group(1)) >= 1, q
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
