@@ -387,6 +387,23 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: opaque binary payloads -> Arrow-batched
+    mapInPandas feature extraction (deterministic stub decoder — the real
+    codec is env-gated, see operators/multimodal.py)."""
+    from transmog_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    out = extract_features(media, feature_dim=8)
+    return out.select(
+        "media_id", F.transform("feature", lambda x: F.round(x, 8)).alias("feature")
+    )
+
+
 def _q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transmog_spark.pipeline import event_features
 
@@ -432,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_features": _q_token_features,
         "text_profile": _q_text_profile,
         "doc_source_stats": _q_doc_source_stats,
+        "media_features": _q_media_features,
         "embedding_topk": _q_embedding_topk,
         "embedding_topk_ivf": _q_embedding_topk_ivf,
         "embedding_topk_lsh": _q_embedding_topk_lsh,
@@ -592,6 +610,13 @@ FROM docs GROUP BY 1
 SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
        round(avg(n_chars), 4) AS avg_chars, sum(n_chars) AS total_chars
 FROM documents GROUP BY 1
+""",
+        "media_features": """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       list_transform(range(0, 8), i ->
+         round(CAST(('0x' || substr(sha256(text), i * 2 + 1, 2)) AS INT) / 255.0, 8)
+       ) AS feature
+FROM documents
 """,
         "embedding_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
