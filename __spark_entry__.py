@@ -404,6 +404,30 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule flagship over deterministic synthetic tokenized
+    sequences (flatten -> as-of -> sessionize -> lag/lead, salted). Synth
+    tables aren't registered DuckDB views, so this is a rows-only check;
+    the same pipeline is value-verified piecewise by the oracle queries and
+    exactly in tests/test_token_pipeline.py (token-array equality, zero
+    leakage, allclose)."""
+    from transmog_spark.pipeline import token_features
+
+    out = token_features(spark, 2000, salt_buckets=2)
+    return out.select(
+        "doc_id",
+        "source",
+        "rev",
+        "ts",
+        "rev_n_tok",
+        "feature_v",
+        "session_index",
+        "rev_n_tok_lag1",
+        "n_tok",
+        F.size("tokens").alias("tokens_len"),
+    )
+
+
 def _q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transmog_spark.pipeline import event_features
 
@@ -455,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_lsh": _q_embedding_topk_lsh,
         "embedding_neardup": _q_embedding_neardup,
         "flagship_pipeline": _q_flagship,
+        "token_pipeline": _q_token_pipeline,
     }
 
 
