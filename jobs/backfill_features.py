@@ -134,6 +134,13 @@ def main(argv: list[str] | None = None) -> int:
         t0 = time.monotonic()
         part = remaining.where(F.col(args.partition_col) == pk)
         out = feature_frame(part, events, args)
+        # range-partition the slice by event time before writing: output
+        # files become time-clustered (row-group min/max enable time-range
+        # pruning downstream), matching the north rule's "range-partitioned"
+        # layout; partition count follows the session's shuffle sizing
+        out = out.repartitionByRange(F.col(args.ts_col)).sortWithinPartitions(
+            "doc_id", args.ts_col
+        )
         # dynamic partition overwrite: a crash between this write and the
         # watermark commit below leaves the slice partially written — the
         # resume re-runs the slice and REPLACES its partition (idempotent)
