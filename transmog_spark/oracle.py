@@ -120,12 +120,15 @@ FROM hs
 def tokenize_docs_sql(
     *, table: str = "documents", id_col: str = "doc_id", text_col: str = "text", vocab: int = 32768
 ) -> str:
-    """North-rule input shape from raw text — token arrays must value-hash
-    equal Spark's (exact token-array equality through the driver gate)."""
+    """North-rule input shape from raw text. Token arrays are projected to
+    an order-preserving md5 of the comma-joined ids (equality-preserving;
+    the driver canonicalizer cannot hash list cells — per-element parity is
+    separately gated by token_positions)."""
     tok = f"CAST({duck_md5_long('x')} % {vocab} AS INT)"
     return f"""
 WITH docs AS (SELECT {id_col}, {duck_ws_tokens(text_col)} AS t, source FROM {table})
-SELECT {id_col}, list_transform(t, x -> {tok}) AS tokens,
+SELECT {id_col},
+       md5(array_to_string(list_transform(t, x -> CAST({tok} AS VARCHAR)), ',')) AS tokens_md5,
        len(t) AS n_tok, source
 FROM docs
 """
@@ -160,7 +163,7 @@ SELECT {id_col},
        COALESCE(CAST(list_sum(tk) AS BIGINT), 0) AS tok_sum,
        CASE WHEN len(tk) > 0 THEN round(CAST(list_sum(tk) AS DOUBLE) / len(tk), 4) END AS tok_mean,
        len(list_distinct(tk)) AS tok_distinct,
-       tk[1:8] AS tok_head8
+       md5(array_to_string(list_transform(tk[1:8], x -> CAST(x AS VARCHAR)), ',')) AS tok_head8_md5
 FROM docs
 """
 

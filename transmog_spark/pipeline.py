@@ -22,7 +22,7 @@ from pyspark.sql import types as T
 from transmog_spark.config import EngineConfig
 from transmog_spark.operators.asof import asof_join
 from transmog_spark.operators.flatten import flatten
-from transmog_spark.operators.windows import sessionize, session_aggregates, with_lag_lead
+from transmog_spark.operators.windows import sessionize, with_lag_lead, with_session_stats
 
 PROPS_SCHEMA = T.StructType([T.StructField("k", T.IntegerType())])
 
@@ -63,18 +63,10 @@ def event_features(
     feats = sessionize(feats, "user_id", ["ts", "event_id"], gap_seconds=gap_seconds)
     feats = with_lag_lead(feats, "user_id", ["ts", "event_id"], ["value"])
 
-    sess = session_aggregates(
-        feats,
-        "user_id",
-        "ts",
-        agg_cols={"value": ["sum", "mean"]},
-    ).select(
-        "user_id",
-        "session_id",
-        "session_len",
-        F.col("session_value_sum").alias("sess_value_sum"),
-    )
-    return feats.join(sess, ["user_id", "session_id"], "left")
+    # session aggregates as window columns: reuses the user_id partitioning
+    # the sessionize/lag windows already established (one Sort, zero new
+    # Exchange) instead of a groupBy + self-join that re-shuffles the frame
+    return with_session_stats(feats, "user_id", agg_cols={"value": ["sum"]})
 
 
 def token_features(
