@@ -372,14 +372,15 @@ def _q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN with multi-probe (rows-only check: bucket sums are
-    not practical to mirror in SQL; recall is validated in pytest)."""
+    """Hyperplane-LSH ANN with multi-probe; the oracle mirrors the md5-derived
+    plane literals, bucket/probe logic, and round(cos,6) rank keys in SQL."""
     from transmog_spark.operators.similarity import lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
-    out = lsh_topk(e, q, id_col="vec_id", vec_col="embedding", k=5, n_planes=8, n_probes=3)
-    return out.select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
+    return lsh_topk(
+        e, q, id_col="vec_id", vec_col="embedding", k=5, n_planes=8, n_probes=3, dim=64
+    )
 
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,14 +422,15 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_token_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule flagship over deterministic synthetic tokenized
-    sequences (flatten -> as-of -> sessionize -> lag/lead, salted). Synth
-    tables aren't registered DuckDB views, so this is a rows-only check;
-    the same pipeline is value-verified piecewise by the oracle queries and
-    exactly in tests/test_token_pipeline.py (token-array equality, zero
-    leakage, allclose)."""
+    sequences (flatten -> as-of -> sessionize -> lag/lead, salted). In md5
+    hash mode the synthesis itself is bit-reproducible in DuckDB, so the
+    oracle regenerates all three tables in pure SQL and replays the whole
+    pipeline (oracle.token_pipeline_sql) — a full value-hash gate, no
+    parquet side-channel. Token arrays are additionally exact-checked in
+    tests/test_token_pipeline.py."""
     from transmog_spark.pipeline import token_features
 
-    out = token_features(spark, 2000, salt_buckets=2)
+    out = token_features(spark, 2000, salt_buckets=2, hash_mode="md5")
     return out.select(
         "doc_id",
         "source",
@@ -511,12 +513,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from transmog_spark.oracle import (
         ivf_topk_sql,
+        lsh_topk_sql,
         minhash_pairs_sql,
         ngram_jaccard_pairs_sql,
         simhash_pairs_sql,
         simhash_sql,
         text_profile_sql,
         token_features_sql,
+        token_pipeline_sql,
         token_positions_sql,
         tokenize_docs_sql,
     )
@@ -678,6 +682,10 @@ SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM (
 """,
         "embedding_topk_ivf": ivf_topk_sql(
             query_filter="vec_id < 10", k=5, nlist=16, nprobe=4
+        ),
+        "token_pipeline": token_pipeline_sql(n_docs=2000),
+        "embedding_topk_lsh": lsh_topk_sql(
+            query_filter="vec_id < 10", k=5, n_planes=8, n_probes=3, dim=64
         ),
         "embedding_neardup": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300)

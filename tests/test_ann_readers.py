@@ -50,7 +50,9 @@ def test_ivf_full_probe_equals_brute_force(emb):
 
 def test_lsh_topk_returns_ranked_neighbors(emb):
     q = emb.where(F.col("vec_id") < 10)
-    out = lsh_topk(emb, q, id_col="vec_id", vec_col="embedding", k=5, n_planes=6, n_probes=3)
+    out = lsh_topk(
+        emb, q, id_col="vec_id", vec_col="embedding", k=5, n_planes=6, n_probes=3, dim=64
+    )
     rows = out.collect()
     assert rows, "LSH with 6 planes + multiprobe should find candidates"
     by_q = {}

@@ -113,7 +113,7 @@ def test_cosine_sim_exact(spark):
 def test_embedding_near_duplicates_finds_identical_vectors(spark):
     rows = [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0, 3.0, 4.0]), (3, [-4.0, 3.0, -2.0, 1.0])]
     df = spark.createDataFrame(rows, "vec_id long, v array<float>")
-    pairs = embedding_near_duplicates(df, "vec_id", "v", threshold=0.99, n_planes=4)
+    pairs = embedding_near_duplicates(df, "vec_id", "v", dim=4, threshold=0.99, n_planes=4)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert got == {(1, 2)}
 

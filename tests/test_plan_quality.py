@@ -76,6 +76,23 @@ def test_flagship_session_stats_reuse_partitioning(spark, sf_dir):
     assert "Join" not in plan  # no join operator anywhere in the pipeline
 
 
+def test_ivf_assignment_is_expression_argmax(spark, sf_dir):
+    # corpus→list assignment is a per-row argmax over centroid literals and
+    # the probe side is broadcast: the ONLY shuffle in the whole query is the
+    # final per-query top-k window (was: corpus×nlist crossJoin through a
+    # row_number exchange — nlist copies of the corpus at 100× scale)
+    plan = _plan(spark, sf_dir, "embedding_topk_ivf")
+    assert _exchanges(plan) == 1
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1  # probes only
+
+
+def test_lsh_topk_single_rank_shuffle(spark, sf_dir):
+    # bucket join on signature + per-query rank; the corpus is never crossed
+    # with queries and never replicated
+    plan = _plan(spark, sf_dir, "embedding_topk_lsh")
+    assert "CartesianProduct" not in plan and "CrossJoin" not in plan
+
+
 def test_minhash_shuffles_longs_not_shingles(spark, sf_dir):
     plan = _plan(spark, sf_dir, "minhash_pairs")
     # the signature aggregate must have a map-side partial (partial_min)

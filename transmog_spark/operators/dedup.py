@@ -372,6 +372,7 @@ def embedding_near_duplicates(
     id_col: str,
     vec_col: str,
     *,
+    dim: int,
     threshold: float = 0.95,
     n_planes: int = 8,
     max_bucket: int = 2000,
@@ -379,10 +380,11 @@ def embedding_near_duplicates(
     """Embedding near-dup pairs: random-hyperplane LSH bucket, cosine verify.
 
     Hyperplane weights derive deterministically from md5 (plane, dim) — no
-    RNG state, reproducible across engines and runs.
+    RNG state, reproducible across engines and runs. ``dim`` is explicit
+    (plane literals need it at plan time; array columns carry no length in
+    the schema, and probing a row would be a driver-side action).
     """
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    dim = len(df.select(vec_col).first()[0])
     sig = _hyperplane_signature(F.col("__v"), dim, n_planes)
     base = base.withColumn("__bkey", sig)
     wb = Window.partitionBy("__bkey").orderBy("__id")

@@ -16,7 +16,7 @@ across runs and engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from transmog_spark.operators.dedup import _hyperplane_signature, cosine_sim
@@ -83,32 +83,50 @@ def ivf_topk(
 
     qid = query_id_col or id_col
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-    cent = (
+    # Centroid selection is a TakeOrdered (per-partition top-k + driver
+    # merge, no total sort); the nlist rows are tiny and become plan-time
+    # literals — so list assignment below is a pure per-row expression.
+    cent_rows = (
         c.orderBy(md5_long(F.col("neighbor_id").cast("string")).asc(), F.col("neighbor_id").asc())
         .limit(nlist)
-        .select(F.col("neighbor_id").alias("__cid"), F.col("__cv").alias("__centv"))
+        .collect()
+    )
+    cents = sorted(
+        ((r["neighbor_id"], [float(x) for x in r["__cv"]]) for r in cent_rows),
+        key=lambda t: t[0],
     )
 
-    sim_to_cent = F.round(cosine_sim(F.col("__cv"), F.col("__centv")), 6)
-    wa = Window.partitionBy("neighbor_id").orderBy(sim_to_cent.desc(), F.col("__cid").asc())
-    assigned = (
-        c.crossJoin(F.broadcast(cent))
-        .withColumn("__rn", F.row_number().over(wa))
-        .where(F.col("__rn") == 1)
-        .select("neighbor_id", "__cv", "__cid")
-    )
+    def sim_structs(vec: Column) -> list[Column]:
+        # struct(sim, -idx, cid): array_max / sort_array compare fields left
+        # to right, so max = highest round(cos,6), ties broken by LOWEST cid
+        # (idx follows cid order) — identical keys to the oracle's
+        # row_number() OVER (ORDER BY sim DESC, cid ASC).
+        return [
+            F.struct(
+                F.round(cosine_sim(vec, F.array(*[F.lit(x) for x in cv])), 6).alias("s"),
+                F.lit(-i).alias("negidx"),
+                F.lit(cid).alias("cid"),
+            )
+            for i, (cid, cv) in enumerate(cents)
+        ]
 
+    # corpus→list assignment: expression argmax over centroid literals —
+    # ZERO shuffle (the old formulation cross-joined nlist copies of the
+    # corpus through a row_number window, i.e. a full corpus exchange)
+    assigned = c.withColumn("__cid", F.array_max(F.array(*sim_structs(F.col("__cv"))))["cid"])
+
+    # query→probe lists: top-nprobe centroids per query, same expression
+    # form (sort_array desc on the same struct keys), then explode
     q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv"))
-    sim_q_cent = F.round(cosine_sim(F.col("__qv"), F.col("__centv")), 6)
-    wq = Window.partitionBy("query_id").orderBy(sim_q_cent.desc(), F.col("__cid").asc())
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn("__rn", F.row_number().over(wq))
-        .where(F.col("__rn") <= nprobe)
-        .select("query_id", "__qv", "__cid")
+    top_cids = F.transform(
+        F.slice(F.sort_array(F.array(*sim_structs(F.col("__qv"))), asc=False), 1, nprobe),
+        lambda st: st["cid"],
     )
+    probes = q.select("query_id", "__qv", F.explode(top_cids).alias("__cid"))
 
-    joined = assigned.join(probes, "__cid")
+    # probe side is |queries|×nprobe rows — broadcast it so the corpus never
+    # shuffles (nlist distinct __cid values would make a terrible hash key)
+    joined = assigned.join(F.broadcast(probes), "__cid")
     if exclude_self:
         joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
     scored = joined.select(
@@ -134,6 +152,7 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 8,
     n_probes: int = 3,
+    dim: int,
     exclude_self: bool = True,
 ) -> DataFrame:
     """ANN top-k via hyperplane LSH buckets with multi-probe.
@@ -141,9 +160,16 @@ def lsh_topk(
     Probe 0 is the query's own bucket; probes 1..n flip one signature bit
     (nearest Hamming neighbors), boosting recall without touching the
     corpus side's single signature pass.
+
+    ``dim`` (embedding dimensionality) is explicit: hyperplane weights are
+    plan-time literals of that length, and array columns don't carry a
+    length in the schema — probing a row for it would be a driver-side
+    action on a 10^12-row table.
+
+    Ranking keys are round(cosine, 6) with neighbor-id tie-breaks so the
+    DuckDB oracle orders identically; output cosine is round(·, 4).
     """
     qid = query_id_col or id_col
-    dim = len(corpus.select(vec_col).first()[0])
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     c = c.withColumn("__bkey", _hyperplane_signature(F.col("__cv"), dim, n_planes))
@@ -167,11 +193,13 @@ def lsh_topk(
     if exclude_self:
         joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
     scored = joined.select(
-        "query_id", "neighbor_id", cosine_sim(F.col("__qv"), F.col("__cv")).alias("cosine")
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_sim(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
     )

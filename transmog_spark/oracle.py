@@ -245,6 +245,123 @@ SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM (
 """
 
 
+def lsh_topk_sql(
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str = "vec_id < 10",
+    k: int = 5,
+    n_planes: int = 8,
+    n_probes: int = 3,
+    dim: int = 64,
+) -> str:
+    """Mirror of operators.similarity.lsh_topk: same md5-derived hyperplane
+    literals, bit-packed sign signature, one-bit-flip multi-probe, and
+    round(·,6) rank keys with id tie-breaks."""
+    from transmog_spark.operators.dedup import hyperplane_weights
+
+    planes = hyperplane_weights(dim, n_planes)
+    sig_terms = []
+    for p, w in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in w) + "]"
+        dot = f"list_sum(list_transform(range(1, {dim + 1}), i -> v[i] * ({lit})[i]))"
+        sig_terms.append(f"(CASE WHEN {dot} > 0 THEN ({1 << p}::BIGINT) ELSE 0::BIGINT END)")
+    sig = " + ".join(sig_terms)
+    flips = ", ".join(
+        f"xor(qsig, {1 << p}::BIGINT)" for p in range(max(0, min(n_probes - 1, n_planes)))
+    )
+    return f"""
+WITH e AS (SELECT {id_col} AS nid, {vec_col}::DOUBLE[] AS v FROM {table}),
+sigs AS (SELECT nid, v, {sig} AS sig FROM e),
+q AS (SELECT nid AS qid, v AS qv, sig AS qsig FROM sigs WHERE {query_filter.replace(id_col, 'nid')}),
+probes AS (
+  SELECT qid, qv, unnest(list_distinct([qsig, {flips}])) AS bkey FROM q),
+scored AS (
+  SELECT DISTINCT p.qid AS query_id, s.nid AS neighbor_id,
+         round(list_cosine_similarity(p.qv, s.v), 6) AS cos
+  FROM probes p JOIN sigs s ON s.sig = p.bkey AND s.nid <> p.qid)
+SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= {k}
+"""
+
+
+def token_pipeline_sql(
+    *,
+    n_docs: int = 2000,
+    events_per_doc: int = 4,
+    seed: str = "tmg",
+    gap_seconds: float = 6 * 3600.0,
+    n_revisions: int = 3,
+    min_len: int = 8,
+    max_len: int = 64,
+    n_sources: int = 20,
+) -> str:
+    """Full mirror of pipeline.token_features(hash_mode='md5'): regenerates
+    the three deterministic synthetic tables in pure SQL (same 60-bit md5 of
+    ``seed|id[|sub]``, sources/synth.py), then replays flatten→as-of→
+    sessionize→lag. ``tokens_len`` equals ``n_tok`` by construction
+    (sequence(1, n_tok) has exactly n_tok elements)."""
+    from transmog_spark.sources.synth import EPOCH_S
+
+    span = max_len - min_len + 1
+    day30 = 86400 * 30
+    gap_us = int(gap_seconds * 1_000_000)
+
+    def h(tag: str, *subs: str) -> str:
+        expr = " || '|' || ".join(f"CAST({s} AS VARCHAR)" for s in subs)
+        return duck_md5_long(f"'{seed}:{tag}|' || {expr}")
+
+    did = "'doc' || lpad(CAST(id AS VARCHAR), 12, '0')"
+    src = (
+        f"CASE WHEN ({h('src', 'id')} % 1000) < 500 THEN 'src_hot' "
+        f"ELSE 'src_' || lpad(CAST(({h('srcn', 'id')} % {n_sources}) AS VARCHAR), 2, '0') END"
+    )
+    return f"""
+WITH ids AS (SELECT range AS id FROM range(0, {n_docs})),
+seq AS (
+  SELECT {did} AS doc_id,
+         CAST({min_len} + ({h('len', 'id')} % {span}) AS INT) AS n_tok,
+         {src} AS source
+  FROM ids),
+revbase AS (
+  SELECT id, {did} AS doc_id, 1 + ({h('nrev', 'id')} % {n_revisions}) AS n_rev FROM ids),
+revx AS (
+  SELECT id, doc_id, unnest(range(1, n_rev + 1)) AS rev FROM revbase),
+revd AS (
+  SELECT doc_id, CAST(rev AS INT) AS rev,
+         make_timestamp(({EPOCH_S} + ({h('rts', 'id', 'rev')} % {day30})) * 1000000) AS ts,
+         CAST({min_len} + ({h('rnt', 'id', 'rev')} % {span}) AS INT) AS rev_n_tok
+  FROM revx),
+feids AS (SELECT range AS id FROM range(0, {n_docs * events_per_doc})),
+fe AS (
+  SELECT 'doc' || lpad(CAST(id % {n_docs} AS VARCHAR), 12, '0') AS doc_id,
+         make_timestamp(({EPOCH_S} + ({h('fts', 'id')} % {day30})) * 1000000) AS ts,
+         ({h('fv', 'id')} % 100000) / 1000.0 AS feature_v
+  FROM feids),
+feg AS (SELECT doc_id, ts, max(feature_v) AS feature_v FROM fe GROUP BY 1, 2),
+pit AS (
+  SELECT r.doc_id, r.rev, r.ts, r.rev_n_tok, f.feature_v
+  FROM revd r ASOF LEFT JOIN feg f ON r.doc_id = f.doc_id AND r.ts >= f.ts),
+flagged AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM pit WINDOW w AS (PARTITION BY doc_id ORDER BY ts, rev)),
+sessioned AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY doc_id ORDER BY ts, rev
+                              ROWS UNBOUNDED PRECEDING) - 1 AS session_index
+  FROM flagged),
+lagged AS (
+  SELECT *, lag(rev_n_tok, 1) OVER w AS rev_n_tok_lag1
+  FROM sessioned WINDOW w AS (PARTITION BY doc_id ORDER BY ts, rev))
+SELECT l.doc_id, s.source, l.rev, l.ts, l.rev_n_tok, l.feature_v,
+       l.session_index, l.rev_n_tok_lag1, s.n_tok, s.n_tok AS tokens_len
+FROM lagged l JOIN seq s ON l.doc_id = s.doc_id
+"""
+
+
 def _lang_score(toks: str, lang: str) -> str:
     markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
     return f"len(list_filter({toks}, x -> list_contains([{markers}], x)))"

@@ -77,6 +77,7 @@ def token_features(
     salt_buckets: int = 0,
     gap_seconds: float = 6 * 3600.0,
     partitions: int | None = None,
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """North-rule flagship over the tokenized-sequence table (BASELINE.json).
 
@@ -99,9 +100,18 @@ def token_features(
     """
     from transmog_spark.sources import synth
 
-    seqs = synth.sequences(spark, n_docs, seed=seed, partitions=partitions)
-    meta = synth.sequence_meta(spark, n_docs, seed=seed, partitions=partitions)
-    feats_src = synth.feature_events(spark, n_docs, seed=seed, partitions=partitions)
+    kw = {"seed": seed, "partitions": partitions, "hash_mode": hash_mode}
+    seqs = synth.sequences(spark, n_docs, **kw)
+    meta = synth.sequence_meta(spark, n_docs, **kw)
+    # deterministic tie resolution: several feature events can share an exact
+    # (doc_id, ts); as-of picks "the latest", which among equal timestamps is
+    # otherwise order-undefined — pre-aggregate to max(feature_v) per instant
+    # (map-side combined; same treatment event_features gives clicks)
+    feats_src = (
+        synth.feature_events(spark, n_docs, **kw)
+        .groupBy("doc_id", "ts")
+        .agg(F.max("feature_v").alias("feature_v"))
+    )
 
     # synth guarantees non-null doc_id; skip the eager validation scan
     cfg = EngineConfig(
@@ -118,7 +128,7 @@ def token_features(
 
     pit = asof_join(
         revs,
-        feats_src.select("doc_id", "ts", "feature_v"),
+        feats_src,
         on="doc_id",
         value_cols=["feature_v"],
         salt_buckets=salt_buckets,
