@@ -119,20 +119,28 @@ def main(argv: list[str] | None = None) -> int:
     store = CheckpointStore(spark, args.checkpoint)
     seqs, events = build_inputs(spark, args)
 
-    # resume: drop rows at/below each partition's committed watermark
-    remaining = store.filter_resumable(seqs, args.partition_col, args.ts_col)
+    # resume at SLICE granularity: a committed partition is skipped entirely
+    # — never ts-filtered. Filtering a committed slice and then
+    # partition-overwriting it would destroy the committed rows whenever the
+    # input grew after the commit (the one-shot contract, now enforced).
+    done = store.committed_keys()
 
     # slice list is tiny (one per source) — a driver-side list is fine;
     # each slice is still processed fully distributed
-    slices = [
+    all_keys = [
         r[0]
-        for r in remaining.select(args.partition_col).distinct().orderBy(args.partition_col).collect()
+        for r in seqs.select(args.partition_col).distinct().orderBy(args.partition_col).collect()
     ]
+    slices = [k for k in all_keys if k not in done]
+    if len(all_keys) != len(slices):
+        print(f"[backfill {run_id}] skipping {len(all_keys) - len(slices)} committed slice(s)")
     print(f"[backfill {run_id}] {len(slices)} partition slice(s) to process")
+
+    from transmog_spark.sources.tables import read_table
 
     for pk in slices:
         t0 = time.monotonic()
-        part = remaining.where(F.col(args.partition_col) == pk)
+        part = seqs.where(F.col(args.partition_col) == pk)
         out = feature_frame(part, events, args)
         # range-partition the slice by event time before writing: output
         # files become time-clustered (row-group min/max enable time-range
@@ -148,7 +156,13 @@ def main(argv: list[str] | None = None) -> int:
             out, args.output, mode="overwrite_partitions", partition_by=[args.partition_col]
         )
 
-        stats = part.agg(
+        # lineage stats from the WRITTEN slice, not a second input scan:
+        # partition pruning keeps the read to this slice's files and column
+        # pruning to the ts column. rows_out is the true output count; the
+        # pipeline is row-preserving (as-of/sessionize/lag add columns, not
+        # rows), so rows_in == rows_out by construction.
+        written = read_table(spark, args.output).where(F.col(args.partition_col) == pk)
+        stats = written.agg(
             F.max(args.ts_col).alias("mx"), F.count(F.lit(1)).alias("n")
         ).collect()[0]
         store.commit(

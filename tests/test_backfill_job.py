@@ -63,6 +63,34 @@ def test_crash_between_write_and_commit_does_not_duplicate(spark, tmp_path):
     assert spark.read.parquet(out).count() == n1  # replaced, not doubled
 
 
+def test_grown_input_cannot_clobber_committed_slice(spark, tmp_path):
+    """Resume safety: if the input table gained rows after a slice committed,
+    a re-run must SKIP the committed slice entirely — ts-filter + partition
+    overwrite would rewrite it with only the tail rows."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run(out, ckpt)
+    before = sorted(
+        map(tuple, spark.read.parquet(out).where(F.col("source") == "src_hot")
+            .select("doc_id", "ts").collect())
+    )
+    assert before
+    # same seed, larger table: every original row still present + new ones
+    import backfill_features as job
+
+    argv = [
+        "--synth-docs", str(N * 2),
+        "--output", out,
+        "--checkpoint", ckpt,
+        "--gap-seconds", "21600",
+    ]
+    assert job.main(argv) == 0
+    after = sorted(
+        map(tuple, spark.read.parquet(out).where(F.col("source") == "src_hot")
+            .select("doc_id", "ts").collect())
+    )
+    assert after == before  # committed slice untouched, not truncated
+
+
 def test_backfill_salted_matches_unsalted(spark, tmp_path):
     out_a, ckpt_a = str(tmp_path / "a_out"), str(tmp_path / "a_ckpt")
     out_b, ckpt_b = str(tmp_path / "b_out"), str(tmp_path / "b_ckpt")

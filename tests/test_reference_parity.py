@@ -137,6 +137,34 @@ def test_collision_parity(spark):
     _compare(COLLISION, "test", spark)
 
 
+def test_mixed_numeric_widening_parity(spark):
+    """A field seen as int in one record and float in another: the engine
+    widens the column to double (the reference keeps per-record values and
+    its arrow writers union to float64) — values must agree numerically and
+    nothing may be dropped or nulled."""
+    data = [
+        {"id": 1, "v": 1},
+        {"id": 2, "v": 2.5},
+        {"id": 3, "v": None},
+        {"id": 4, "v": 7},
+    ]
+    ref_cfg = tm.TransmogConfig(id_generation="hash", time_field=None)
+    ref = tm.flatten(data, name="m", config=ref_cfg)
+    eng = flatten_records(
+        data, "m", EngineConfig(id_generation="hash", time_field=None), spark=spark
+    )
+    rows = [r.asDict() for r in eng.main.collect()]
+    eng_vals = {int(r["id"]): r["v"] for r in rows}
+    ref_vals = {int(r["id"]): r.get("v") for r in ref.main}
+    assert set(eng_vals) == {1, 2, 3, 4}
+    for k, rv in ref_vals.items():
+        ev = eng_vals[k]
+        if rv is None:
+            assert ev is None
+        else:
+            assert ev is not None and float(ev) == float(rv), (k, ev, rv)
+
+
 def test_batch_parity(spark):
     batch = [
         {"id": i, "name": f"rec{i}", "value": i * 10, "tags": ["a", "b"][: (i % 3)]}

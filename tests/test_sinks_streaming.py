@@ -77,14 +77,110 @@ def test_unsupported_format_raises(spark, nested_df):
         write_table(nested_df.select("rid"), "/tmp/nope", "xlsx")
 
 
-def test_avro_gated_on_jar(spark, nested_df, tmp_path):
-    """spark-avro is bundled in pyspark 4 or raises a clear error — accept both."""
+def test_avro_roundtrip_all_types(spark, tmp_path):
+    """W7 actually produces files: spark-avro if present, else the
+    distributed pure-Python OCF fallback — roundtrip through our reader."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from transmog_spark.sinks_avro import read_avro_fallback
+
+    rows = [
+        Row(
+            rid=1,
+            name="alpha",
+            score=1.5,
+            ok=True,
+            ts=datetime.datetime(2024, 1, 2, 3, 4, 5),
+            tags=[1, 2, 3],
+            meta=Row(k="a", n=10),
+            blob=b"\x00\x01\xff",
+        ),
+        Row(
+            rid=2,
+            name=None,
+            score=None,
+            ok=False,
+            ts=None,
+            tags=[],
+            meta=Row(k=None, n=None),
+            blob=None,
+        ),
+    ]
+    schema = (
+        "rid long, name string, score double, ok boolean, ts timestamp, "
+        "tags array<int>, meta struct<k:string, n:int>, blob binary"
+    )
+    df = spark.createDataFrame(rows, schema)
+    p = str(tmp_path / "av")
+    write_table(df, p, "avro")
     try:
-        write_table(nested_df.select("rid", "name"), str(tmp_path / "av"), "avro")
-    except MissingDependencyError:
-        return
-    back = spark.read.format("avro").load(str(tmp_path / "av"))
-    assert back.count() == 2
+        back = spark.read.format("avro").load(p)
+    except Exception:
+        back = read_avro_fallback(spark, p)
+    got = {r.rid: r for r in back.collect()}
+    assert set(got) == {1, 2}
+    assert got[1].name == "alpha" and got[1].score == 1.5 and got[1].ok is True
+    assert got[1].ts == datetime.datetime(2024, 1, 2, 3, 4, 5)
+    assert list(got[1].tags) == [1, 2, 3]
+    assert got[1].meta.k == "a" and got[1].meta.n == 10
+    assert bytes(got[1].blob) == b"\x00\x01\xff"
+    assert got[2].name is None and got[2].ts is None and got[2].blob is None
+    assert got[2].meta.k is None
+
+
+def test_avro_append_mode(spark, tmp_path):
+    from transmog_spark.sinks_avro import read_avro_fallback
+
+    df = spark.range(5).selectExpr("id", "CAST(id AS STRING) AS s")
+    p = str(tmp_path / "ap")
+    write_table(df, p, "avro")
+    write_table(df, p, "avro", mode="append")
+    try:
+        back = spark.read.format("avro").load(p)
+    except Exception:
+        back = read_avro_fallback(spark, p)
+    assert back.count() == 10
+
+
+def test_avro_jvm_reader_cross_validation(spark, tmp_path):
+    """Files written by the fallback must be readable by the *independent*
+    Apache Avro Java implementation bundled with Spark (avro-1.12.1.jar) —
+    proves on-disk spec compliance, not just self-consistency."""
+    import glob
+
+    from transmog_spark.sinks_avro import write_avro_fallback
+
+    df = spark.range(100).selectExpr(
+        "id", "CAST(id * 1.5 AS DOUBLE) AS v", "CAST(id AS STRING) AS s"
+    )
+    p = str(tmp_path / "jvmcheck")
+    write_avro_fallback(df.coalesce(2), p)
+    jvm = spark._jvm
+    total, sum_id = 0, 0
+    for part in glob.glob(f"{p}/*.avro"):
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(part), jvm.org.apache.avro.generic.GenericDatumReader()
+        )
+        while reader.hasNext():
+            rec = reader.next()
+            total += 1
+            sum_id += rec.get("id")
+        reader.close()
+    assert total == 100
+    assert sum_id == sum(range(100))
+
+
+def test_schema_drift_option_surface(spark, nested_df, tmp_path):
+    """Reference-config parity: strict/drop accepted (no-op — Spark schemas
+    are fixed at plan time), anything else fails fast like the reference."""
+    from transmog_spark.streaming.pipeline import flatten_foreach_batch
+
+    flatten_stream(nested_df, str(tmp_path / "s"), "e", on_schema_drift="strict")
+    flatten_foreach_batch("e", str(tmp_path / "d"), on_schema_drift="drop")
+    with pytest.raises(ValueError, match="on_schema_drift"):
+        flatten_stream(nested_df, str(tmp_path / "x"), "e", on_schema_drift="explode")
 
 
 def test_sanitize_filename():

@@ -59,7 +59,16 @@ def infer_schema(records: list[dict[str, Any]]):
                 fields[k] = sub
                 continue
             if cur is not None:
-                continue  # first non-null wins
+                # numeric widening: a field seen as int then float (in any
+                # order) becomes double — matches the arrow-level union the
+                # reference's writers produce for mixed numeric batches
+                if (
+                    isinstance(cur, T.LongType)
+                    and isinstance(v, float)
+                    and not isinstance(v, bool)
+                ):
+                    fields[k] = T.DoubleType()
+                continue  # otherwise first non-null wins
             if isinstance(v, dict):
                 sub2: dict[str, Any] = {}
                 merge_into(sub2, v)
@@ -112,7 +121,11 @@ def _coerce(v: Any, dt) -> Any:
     if isinstance(dt, T.DoubleType):
         return float(v) if isinstance(v, (int, float)) and not isinstance(v, bool) else v
     if isinstance(dt, T.LongType):
-        return v if isinstance(v, bool) is False and isinstance(v, int) else v
+        # a float can still reach a long field through paths the widening
+        # doesn't cover (array elements); integral floats coerce losslessly
+        if isinstance(v, float) and v.is_integer():
+            return int(v)
+        return v
     if isinstance(dt, T.StringType) and not isinstance(v, str):
         return json.dumps(v, ensure_ascii=False) if isinstance(v, (dict, list)) else str(v)
     return v

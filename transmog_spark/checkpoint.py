@@ -80,6 +80,11 @@ class CheckpointStore:
             "append"
         ).parquet(self.path)
 
+    def committed_keys(self) -> set[str]:
+        """Partition keys with a committed watermark (commit happens only
+        after a slice's write completed, so presence == fully done)."""
+        return {r[0] for r in self.watermarks().select("partition_key").collect()}
+
     def filter_resumable(
         self, df: DataFrame, partition_col: str, ts_col: str
     ) -> DataFrame:
@@ -87,6 +92,11 @@ class CheckpointStore:
 
         Broadcast the (tiny) watermark table; null watermark = never
         processed = keep everything.
+
+        NOTE: for one-shot backfills over partition-overwrite sinks, use
+        ``committed_keys`` to skip whole slices instead — ts-filtering a
+        committed partition and then overwriting it would drop the already
+        -written rows if the input grew after the commit.
         """
         wm = self.watermarks().withColumnRenamed("partition_key", partition_col)
         joined = df.join(F.broadcast(wm), on=partition_col, how="left")

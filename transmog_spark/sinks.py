@@ -69,11 +69,12 @@ def write_table(
         raise MissingDependencyError(
             f"Unsupported format {output_format!r}; choose from {sorted(_FORMATS)}"
         )
-    writer = df.write.mode(options.pop("mode", "overwrite"))
+    mode = options.pop("mode", "overwrite")
+    writer = df.write.mode(mode)
     if fmt == "csv":
         if csv_injection_safe:
             df = sanitize_csv_injection(df)
-            writer = df.write.mode("overwrite")
+            writer = df.write.mode(mode)
         writer = writer.option("header", options.pop("header", "true"))
     if fmt == "parquet":
         options.setdefault("compression", "snappy")  # reference parquet.py:18-42
@@ -85,11 +86,16 @@ def write_table(
         writer.format(fmt).save(path)
     except Exception as exc:  # AnalysisException: DATA_SOURCE_NOT_FOUND
         if fmt == "avro" and "avro" in str(exc).lower():
-            raise MissingDependencyError(
-                "Avro requires the spark-avro package "
-                "(--packages org.apache.spark:spark-avro_2.13:<spark version>); "
-                "reference gates identically (writers/__init__.py:29-130)"
-            ) from exc
+            # spark-avro jar absent: distributed pure-Python OCF fallback
+            # (reference writers/avro.py semantics; see sinks_avro docstring)
+            from transmog_spark.sinks_avro import write_avro_fallback
+
+            if mode not in ("overwrite", "append"):
+                raise MissingDependencyError(
+                    f"Avro fallback supports overwrite/append, not {mode!r}; "
+                    "ship the spark-avro jar for full writer modes"
+                ) from exc
+            return write_avro_fallback(df, path, mode=mode)
         raise
     return path
 

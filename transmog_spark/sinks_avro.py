@@ -1,0 +1,466 @@
+"""Avro object-container-file sink/source without the spark-avro jar.
+
+The reference writes Avro with per-field union-type inference via fastavro
+(/root/reference/src/transmog/writers/avro.py:41-354, streaming append at
+:357-648). The engine's first choice is the spark-avro datasource (JVM,
+columnar); when that artifact isn't on the classpath — as in this sandbox —
+this module provides a *distributed* fallback: each partition serializes
+its rows to one Avro OCF file via ``mapInArrow`` (Arrow batches, no per-row
+Python at the Spark boundary), implementing the public Avro 1.11 container
+spec (magic ``Obj\\x01``, metadata map with schema JSON + codec, sync-marker
+delimited blocks, zigzag-varint binary encoding).
+
+Union types: the reference infers per-VALUE unions because its rows are
+untyped dicts; Spark columns are typed, so the union surface collapses to
+the nullable union ``["null", T]`` per field — same reader-visible schema
+for every frame the reference could produce, documented deviation.
+
+Scale note: writes are embarrassingly parallel (one file per partition,
+no shuffle). The reader here is a driver-side test/verification utility —
+production reads at 100 TB should use the spark-avro jar.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+SYNC_SIZE = 16
+DEFAULT_BLOCK_ROWS = 4096
+
+# ---------------------------------------------------------------------------
+# schema mapping (Spark <-> Avro)
+# ---------------------------------------------------------------------------
+
+_PRIMITIVES: dict[type, str | dict] = {
+    T.BooleanType: "boolean",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.ByteType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.StringType: "string",
+    T.BinaryType: "bytes",
+}
+
+
+def spark_to_avro_schema(
+    schema: T.StructType, name: str = "record", *, _path: str = ""
+) -> dict:
+    """Typed Spark schema -> Avro record schema; nullable fields get the
+    ``["null", T]`` union (reference avro.py:64-140 infers the same unions
+    dynamically from untyped values)."""
+    fields = []
+    for f in schema.fields:
+        at = _avro_type(f.dataType, f"{name}_{f.name}")
+        if f.nullable:
+            at = ["null", at]
+        fields.append({"name": f.name, "type": at})
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def _avro_type(dt: T.DataType, name: str) -> Any:
+    for spark_t, avro_t in _PRIMITIVES.items():
+        if isinstance(dt, spark_t):
+            return avro_t
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, T.DecimalType):
+        # string keeps exactness without fixed/bytes scale bookkeeping
+        return "string"
+    if isinstance(dt, T.ArrayType):
+        item = _avro_type(dt.elementType, f"{name}_item")
+        return {"type": "array", "items": ["null", item] if dt.containsNull else item}
+    if isinstance(dt, T.MapType):
+        val = _avro_type(dt.valueType, f"{name}_value")
+        return {"type": "map", "values": ["null", val] if dt.valueContainsNull else val}
+    if isinstance(dt, T.StructType):
+        return spark_to_avro_schema(dt, name)
+    raise TypeError(f"No Avro mapping for Spark type {dt.simpleString()}")
+
+
+def avro_to_spark_type(at: Any) -> T.DataType:
+    if isinstance(at, list):  # union — non-null branch drives the type
+        branches = [b for b in at if b != "null"]
+        return avro_to_spark_type(branches[0])
+    if isinstance(at, dict):
+        lt = at.get("logicalType")
+        if lt == "timestamp-micros":
+            return T.TimestampType()
+        if lt == "date":
+            return T.DateType()
+        kind = at["type"]
+        if kind == "array":
+            return T.ArrayType(avro_to_spark_type(at["items"]))
+        if kind == "map":
+            return T.MapType(T.StringType(), avro_to_spark_type(at["values"]))
+        if kind == "record":
+            return T.StructType(
+                [
+                    T.StructField(f["name"], avro_to_spark_type(f["type"]), True)
+                    for f in at["fields"]
+                ]
+            )
+        return avro_to_spark_type(kind)
+    return {
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "string": T.StringType(),
+        "bytes": T.BinaryType(),
+        "null": T.NullType(),
+    }[at]
+
+
+# ---------------------------------------------------------------------------
+# binary encoding (Avro spec §"Binary Encoding")
+# ---------------------------------------------------------------------------
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def write_long(buf: io.BytesIO, n: int) -> None:
+    z = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            return
+
+
+def _write_bytes(buf: io.BytesIO, b: bytes) -> None:
+    write_long(buf, len(b))
+    buf.write(b)
+
+
+def _encode_value(buf: io.BytesIO, v: Any, at: Any) -> None:
+    if isinstance(at, list):  # union: branch index then value
+        if v is None and "null" in at:
+            write_long(buf, at.index("null"))
+            return
+        idx = next(i for i, b in enumerate(at) if b != "null")
+        write_long(buf, idx)
+        _encode_value(buf, v, at[idx])
+        return
+    if isinstance(at, dict):
+        lt = at.get("logicalType")
+        if lt == "timestamp-micros":
+            write_long(buf, _to_micros(v))
+            return
+        if lt == "date":
+            write_long(buf, v.toordinal() - 719163)  # days since 1970-01-01
+            return
+        kind = at["type"]
+        if kind == "array":
+            if v:
+                write_long(buf, len(v))
+                for item in v:
+                    _encode_value(buf, item, at["items"])
+            write_long(buf, 0)
+            return
+        if kind == "map":
+            if v:
+                write_long(buf, len(v))
+                for k, item in v.items():
+                    _write_bytes(buf, str(k).encode("utf-8"))
+                    _encode_value(buf, item, at["values"])
+            write_long(buf, 0)
+            return
+        if kind == "record":
+            for f in at["fields"]:
+                _encode_value(buf, (v or {}).get(f["name"]), f["type"])
+            return
+        _encode_value(buf, v, kind)
+        return
+    if at == "null":
+        return
+    if at == "boolean":
+        buf.write(b"\x01" if v else b"\x00")
+    elif at in ("int", "long"):
+        write_long(buf, int(v))
+    elif at == "float":
+        buf.write(struct.pack("<f", float(v)))
+    elif at == "double":
+        buf.write(struct.pack("<d", float(v)))
+    elif at == "string":
+        _write_bytes(buf, str(v).encode("utf-8"))
+    elif at == "bytes":
+        _write_bytes(buf, bytes(v))
+    else:
+        raise TypeError(f"Unsupported Avro type {at!r}")
+
+
+def _to_micros(v: Any) -> int:
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    return int(v)
+
+
+class _Decoder:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def read_long(self) -> int:
+        shift = z = 0
+        while True:
+            b = self.data[self.pos]
+            self.pos += 1
+            z |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (z >> 1) ^ -(z & 1)
+
+    def read_bytes(self) -> bytes:
+        n = self.read_long()
+        out = self.data[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def read_value(self, at: Any) -> Any:
+        import datetime
+
+        if isinstance(at, list):
+            return self.read_value(at[self.read_long()])
+        if isinstance(at, dict):
+            lt = at.get("logicalType")
+            if lt == "timestamp-micros":
+                us = self.read_long()
+                return datetime.datetime.fromtimestamp(
+                    us / 1_000_000, tz=datetime.timezone.utc
+                ).replace(tzinfo=None)
+            if lt == "date":
+                return datetime.date.fromordinal(self.read_long() + 719163)
+            kind = at["type"]
+            if kind == "array":
+                out = []
+                while True:
+                    n = self.read_long()
+                    if n == 0:
+                        return out
+                    if n < 0:  # block with byte-size prefix
+                        n = -n
+                        self.read_long()
+                    out.extend(self.read_value(at["items"]) for _ in range(n))
+            if kind == "map":
+                out = {}
+                while True:
+                    n = self.read_long()
+                    if n == 0:
+                        return out
+                    if n < 0:
+                        n = -n
+                        self.read_long()
+                    for _ in range(n):
+                        k = self.read_bytes().decode("utf-8")
+                        out[k] = self.read_value(at["values"])
+            if kind == "record":
+                return {f["name"]: self.read_value(f["type"]) for f in at["fields"]}
+            return self.read_value(kind)
+        if at == "null":
+            return None
+        if at == "boolean":
+            b = self.data[self.pos]
+            self.pos += 1
+            return b == 1
+        if at in ("int", "long"):
+            return self.read_long()
+        if at == "float":
+            v = struct.unpack_from("<f", self.data, self.pos)[0]
+            self.pos += 4
+            return v
+        if at == "double":
+            v = struct.unpack_from("<d", self.data, self.pos)[0]
+            self.pos += 8
+            return v
+        if at == "string":
+            return self.read_bytes().decode("utf-8")
+        if at == "bytes":
+            return self.read_bytes()
+        raise TypeError(f"Unsupported Avro type {at!r}")
+
+
+# ---------------------------------------------------------------------------
+# container files
+# ---------------------------------------------------------------------------
+
+def write_container(
+    out: io.BufferedWriter,
+    records: Iterator[dict],
+    avro_schema: dict,
+    *,
+    codec: str = "deflate",
+    sync: bytes | None = None,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+) -> int:
+    """Serialize records into one Avro OCF stream; returns rows written."""
+    import hashlib
+
+    sync = sync or hashlib.md5(json.dumps(avro_schema).encode()).digest()
+    header = io.BytesIO()
+    header.write(MAGIC)
+    meta = {
+        "avro.schema": json.dumps(avro_schema).encode(),
+        "avro.codec": codec.encode(),
+    }
+    write_long(header, len(meta))
+    for k, v in meta.items():
+        _write_bytes(header, k.encode())
+        _write_bytes(header, v)
+    write_long(header, 0)
+    header.write(sync)
+    out.write(header.getvalue())
+
+    total = 0
+    block: list[dict] = []
+
+    def flush() -> None:
+        nonlocal total
+        if not block:
+            return
+        body = io.BytesIO()
+        for rec in block:
+            _encode_value(body, rec, avro_schema)
+        payload = body.getvalue()
+        if codec == "deflate":
+            # raw DEFLATE per spec: strip the 2-byte zlib header and the
+            # 4-byte adler32 trailer from the zlib stream
+            payload = zlib.compress(payload)[2:-4]
+        blk = io.BytesIO()
+        write_long(blk, len(block))
+        write_long(blk, len(payload))
+        blk.write(payload)
+        blk.write(sync)
+        out.write(blk.getvalue())
+        total += len(block)
+        block.clear()
+
+    for rec in records:
+        block.append(rec)
+        if len(block) >= block_rows:
+            flush()
+    flush()
+    return total
+
+
+def read_container(path: str) -> tuple[dict, list[dict]]:
+    """Decode one OCF file -> (avro schema, records)."""
+    data = open(path, "rb").read()
+    if data[:4] != MAGIC:
+        raise ValueError(f"{path}: not an Avro object container file")
+    dec = _Decoder(data)
+    dec.pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n = dec.read_long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            dec.read_long()
+        for _ in range(n):
+            k = dec.read_bytes().decode()
+            meta[k] = dec.read_bytes()
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    dec.pos += SYNC_SIZE
+    records: list[dict] = []
+    while dec.pos < len(data):
+        count = dec.read_long()
+        size = dec.read_long()
+        payload = data[dec.pos : dec.pos + size]
+        dec.pos += size + SYNC_SIZE
+        if codec == "deflate":
+            payload = zlib.decompress(payload, -15)
+        elif codec != "null":
+            raise ValueError(f"Unsupported Avro codec {codec!r}")
+        body = _Decoder(payload)
+        records.extend(body.read_value(schema) for _ in range(count))
+    return schema, records
+
+
+# ---------------------------------------------------------------------------
+# Spark integration
+# ---------------------------------------------------------------------------
+
+def write_avro_fallback(
+    df: DataFrame, path: str, *, mode: str = "overwrite", codec: str = "deflate"
+) -> str:
+    """Distributed Avro write: one OCF file per partition via ``mapInArrow``.
+
+    Arrow batches cross the Python boundary in bulk; ``to_pylist`` yields
+    exact typed values (no NaN-for-null surprises). ``mode='append'`` adds
+    uniquely-named files (epoch-free: name derives from existing count).
+    """
+    import pyarrow as pa
+
+    avro_schema = spark_to_avro_schema(df.schema, "spark_avro")
+    os.makedirs(path, exist_ok=True)
+    if mode == "overwrite":
+        for f in os.listdir(path):
+            if f.endswith(".avro"):
+                os.remove(os.path.join(path, f))
+        suffix = ""
+    elif mode == "append":
+        suffix = f"-{len([f for f in os.listdir(path) if f.endswith('.avro')]):05d}"
+    else:
+        raise ValueError(f"Unsupported mode {mode!r}")
+    schema_json = json.dumps(avro_schema)
+
+    def write_partition(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        target = os.path.join(path, f"part-{pid:05d}{suffix}.avro")
+        schema = json.loads(schema_json)
+
+        def rows() -> Iterator[dict]:
+            for b in batches:
+                yield from b.to_pylist()
+
+        with open(target, "wb") as fh:
+            n = write_container(fh, rows(), schema, codec=codec)
+        yield pa.RecordBatch.from_pydict({"rows": [n]})
+
+    counts = df.mapInArrow(write_partition, "rows long")
+    counts.agg({"rows": "sum"}).collect()  # trigger the distributed write
+    return path
+
+
+def read_avro_fallback(spark: SparkSession, path: str) -> DataFrame:
+    """Driver-side OCF reader for verification/tests (production reads use
+    the spark-avro jar). Globs ``*.avro`` under ``path``."""
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".avro")
+    )
+    if not files:
+        raise FileNotFoundError(f"no .avro files under {path}")
+    schema_json, all_records = None, []
+    for f in files:
+        schema, records = read_container(f)
+        schema_json = schema_json or schema
+        all_records.extend(records)
+    spark_schema = avro_to_spark_type(schema_json)
+    return spark.createDataFrame(all_records, spark_schema)
