@@ -353,6 +353,52 @@ def _q_doc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance per (doc, term): explode-once, two partial-agg
+    groupBys, term-keyed join, broadcast global stats."""
+    from transmog_spark.operators.corpus import bm25_scores
+
+    return bm25_scores(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (data mixing): per-source keep
+    fractions on a seeded 60-bit hash — reproducible across engines,
+    partitionings, and cluster sizes; no shuffle."""
+    from transmog_spark.operators.corpus import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d,
+        "source",
+        "doc_id",
+        fractions={"src0": 0.5, "src1": 0.25},
+        default_fraction=0.1,
+    ).select("doc_id", "source")
+
+
+def _q_source_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated length percentiles per source (corpus QA)."""
+    from transmog_spark.operators.corpus import source_percentiles
+
+    return source_percentiles(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash pair edges -> connected components
+    (min-label propagation; cluster_id = smallest reachable doc id)."""
+    from transmog_spark.operators.dedup import (
+        duplicate_components,
+        minhash_near_duplicates,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        d, "doc_id", "text", shingle_n=3, num_hashes=8, bands=4, threshold=0.2, max_bucket=500
+    )
+    return duplicate_components(pairs)
+
+
 def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transmog_spark.operators.similarity import brute_force_topk
 
@@ -497,6 +543,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": _q_text_profile,
         "doc_source_stats": _q_doc_source_stats,
         "media_features": _q_media_features,
+        "bm25": _q_bm25,
+        "corpus_sample": _q_corpus_sample,
+        "source_percentiles": _q_source_percentiles,
+        "dedup_clusters": _q_dedup_clusters,
         "embedding_topk": _q_embedding_topk,
         "embedding_topk_ivf": _q_embedding_topk_ivf,
         "embedding_topk_lsh": _q_embedding_topk_lsh,
@@ -512,9 +562,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from transmog_spark.oracle import (
+        bm25_sql,
+        components_sql,
         ivf_topk_sql,
         lsh_topk_sql,
         minhash_pairs_sql,
+        stratified_sample_sql,
         ngram_jaccard_pairs_sql,
         simhash_pairs_sql,
         simhash_sql,
@@ -684,6 +737,22 @@ SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM (
             query_filter="vec_id < 10", k=5, nlist=16, nprobe=4
         ),
         "token_pipeline": token_pipeline_sql(n_docs=2000),
+        "bm25": bm25_sql(),
+        "corpus_sample": stratified_sample_sql(
+            fractions={"src0": 0.5, "src1": 0.25}, default_fraction=0.1
+        ),
+        "source_percentiles": """
+SELECT source, count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents GROUP BY 1
+""",
+        "dedup_clusters": components_sql(
+            minhash_pairs_sql(
+                shingle_n=3, num_hashes=8, bands=4, threshold=0.2, max_bucket=500
+            )
+        ),
         "embedding_topk_lsh": lsh_topk_sql(
             query_filter="vec_id < 10", k=5, n_planes=8, n_probes=3, dim=64
         ),

@@ -1,0 +1,107 @@
+"""Corpus curation operators: BM25, deterministic sampling, percentiles,
+duplicate-cluster connected components."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from transmog_spark.operators.corpus import (
+    bm25_scores,
+    hash_sample,
+    source_percentiles,
+    stratified_sample,
+)
+from transmog_spark.operators.dedup import duplicate_components
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat", "a"),
+        (2, "the dog sat on the log", "a"),
+        (3, "quantum entanglement of photons", "b"),
+        (4, "the the the the", "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_bm25_rare_term_outscores_common(docs):
+    out = {(r.doc_id, r.term): r.bm25 for r in bm25_scores(docs).collect()}
+    # 'quantum' appears in 1/4 docs, 'the' in 4/4 — same tf=1 row basis
+    assert out[(3, "quantum")] > out[(1, "cat")] > out[(1, "the")]
+    # tf saturation: 4x'the' in doc 4 scores more than 2x'the' in doc 1,
+    # but less than 4x a single occurrence (k1 dampening)
+    assert out[(4, "the")] > out[(1, "the")]
+    assert out[(4, "the")] < 4 * out[(1, "the")]
+
+
+def test_bm25_idf_formula(docs):
+    row = [r for r in bm25_scores(docs).collect() if r.term == "quantum"][0]
+    n, df_t, tf, dl = 4, 1, 1, 4
+    avgdl = (6 + 6 + 4 + 4) / 4
+    idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+    expect = idf * (tf * 2.5) / (tf + 1.5 * (0.25 + 0.75 * dl / avgdl))
+    assert row.bm25 == pytest.approx(round(expect, 4))
+
+
+def test_hash_sample_deterministic_and_stable(spark):
+    d = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    a = sorted(r.doc_id for r in hash_sample(d, fraction=0.2).collect())
+    b = sorted(r.doc_id for r in hash_sample(d.repartition(7), fraction=0.2).collect())
+    assert a == b  # partitioning-independent
+    assert 0.17 * 10_000 < len(a) < 0.23 * 10_000
+    # nested property: a 10% sample is a subset of the 20% sample (same seed)
+    c = set(r.doc_id for r in hash_sample(d, fraction=0.1).collect())
+    assert c <= set(a)
+
+
+def test_stratified_sample_respects_fractions(spark):
+    d = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "hot").otherwise("cold").alias("source"),
+    )
+    out = (
+        stratified_sample(
+            d, "source", fractions={"hot": 0.5, "cold": 0.05}, default_fraction=0.0
+        )
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    got = {r.source: r["count"] for r in out}
+    assert 0.45 * 10_000 < got["hot"] < 0.55 * 10_000
+    assert 0.03 * 10_000 < got["cold"] < 0.07 * 10_000
+
+
+def test_source_percentiles_exact(spark):
+    d = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 101)], "source string, n_chars double"
+    )
+    row = source_percentiles(d).collect()[0]
+    assert row.n_docs == 100
+    assert row.p50 == pytest.approx(50.5)  # interpolated median of 1..100
+    assert row.p90 == pytest.approx(90.1)
+    assert row.p99 == pytest.approx(99.01)
+
+
+def test_duplicate_components_two_clusters(spark):
+    # chain 1-2-3 and pair 10-11; 99 is isolated (no edges -> not emitted)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in duplicate_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_duplicate_components_long_chain_converges(spark):
+    # a path graph needs ~diameter rounds — exercise multi-iteration fixpoint
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in duplicate_components(pairs).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1

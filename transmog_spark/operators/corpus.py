@@ -1,0 +1,117 @@
+"""Corpus-level statistics and selection operators for training-data curation.
+
+Beyond the reference's flatten surface: the operations a 100 TB LLM-data
+pipeline runs between ingestion and training — relevance scoring (BM25 /
+TF-IDF), deterministic sampling for data mixing, and distribution profiling.
+All pure Column expressions + built-in aggregations; every score is
+mirrored 1:1 in DuckDB (transmog_spark.oracle) for the driver's value gate.
+
+Scale shapes:
+* ``bm25_scores``: explode once -> two partial-agg groupBys (doc×term,
+  term) -> one term-keyed join; global scalars (N, avgdl) ride along as a
+  broadcast single-row frame, never a driver action.
+* ``hash_sample``: stateless per-row predicate on a seeded 60-bit hash —
+  no shuffle, reproducible across runs/engines, stable under repartition.
+* ``source_percentiles``: exact interpolated percentiles via
+  ``F.percentile`` (single shuffle, map-side partials).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from transmog_spark.functions.hashing import md5_long
+from transmog_spark.operators.text import ws_tokens
+
+BM25_K1 = 1.5
+BM25_B = 0.75
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Per (doc, term) BM25 relevance scores over whitespace tokens.
+
+    idf = ln((N - df + 0.5) / (df + 0.5) + 1)   (BM25+ smoothing, always >0)
+    score = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    The expression shape is kept identical to oracle.bm25_sql so both
+    engines evaluate the same IEEE operation sequence.
+    """
+    base = df.select(F.col(id_col).alias("doc_id"), ws_tokens(F.col(text_col)).alias("__t"))
+    exploded = base.select("doc_id", F.size("__t").alias("dl"), F.explode("__t").alias("term"))
+    tf = exploded.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("__t")).alias("avgdl")
+    )
+    joined = tf.join(dfreq, "term").crossJoin(F.broadcast(stats))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    score = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    return joined.select(
+        "doc_id", "term", "tf", F.round(score, 4).alias("bm25")
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    fraction: float,
+    seed: str = "smpl",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic hash sampling: keep rows whose seeded 60-bit md5 of the
+    id lands under ``fraction`` of the bucket space.
+
+    Unlike ``DataFrame.sample`` this is reproducible across runs, engines,
+    partitionings, and cluster sizes — the property a training-data mix
+    needs (re-running the pipeline must select the same documents).
+    """
+    threshold = int(fraction * buckets)
+    h = md5_long(F.concat(F.lit(f"{seed}#"), F.col(id_col).cast("string")))
+    return df.where((h % buckets) < threshold)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str = "doc_id",
+    *,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: str = "smpl",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (data mixing): each stratum keeps
+    its own fraction, unlisted strata keep ``default_fraction``."""
+    thr: F.Column = F.lit(int(default_fraction * buckets))
+    for k, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == k, F.lit(int(frac * buckets))).otherwise(thr)
+    h = md5_long(F.concat(F.lit(f"{seed}#"), F.col(id_col).cast("string")))
+    return df.where((h % buckets) < thr)
+
+
+def source_percentiles(
+    df: DataFrame,
+    strata_col: str = "source",
+    value_col: str = "n_chars",
+    *,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact interpolated percentiles per stratum (distribution profiling
+    for corpus QA — spotting length collapse / outlier strata)."""
+    aggs = [
+        F.round(F.percentile(value_col, p), 4).alias(f"p{int(p * 100)}")
+        for p in percentiles
+    ]
+    return df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"), *aggs
+    )

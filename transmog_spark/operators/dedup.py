@@ -400,6 +400,55 @@ def embedding_near_duplicates(
     )
 
 
+def duplicate_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over a duplicate-pair edge list: every document
+    in a near-dup cluster gets ``cluster_id`` = the smallest doc id reachable
+    from it — the canonical-representative step that turns pairwise dedup
+    output into keep/drop decisions.
+
+    Algorithm: iterative min-label propagation (each node takes the min of
+    its own label and its neighbors') until fixpoint — converges in at most
+    ``diameter`` rounds; dup clusters are near-cliques, so typically 2-3.
+    Each round is one join + one partial-agg groupBy on the (small relative
+    to the corpus) edge list; ``localCheckpoint`` truncates the growing plan
+    lineage. This is an inherently iterative algorithm — the per-round
+    convergence check is a driver action by design. For trillion-edge graphs
+    swap the propagation body for alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    surrounding loop and contract stay identical.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.union(edges.select(F.col("dst"), F.col("src"))).distinct()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        msgs = sym.join(labels, sym.dst == labels.node).select(
+            F.col("src").alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(msgs).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "__old"), "node")
+            .where(F.col("label") != F.col("__old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def hyperplane_weights(dim: int, n_planes: int) -> list[list[float]]:
     """Deterministic hyperplanes from md5 (no RNG state): w in [-1, 1].
 

@@ -287,6 +287,79 @@ SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM (
 """
 
 
+def bm25_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> str:
+    """Mirror of operators.corpus.bm25_scores — identical expression shape
+    (constants pre-folded exactly as Python folds them on the Spark side)."""
+    return f"""
+WITH docs AS (SELECT {id_col} AS doc_id, {duck_ws_tokens(text_col)} AS t FROM {table}),
+base AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM docs),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM base GROUP BY 1, 2, 3),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM docs)
+SELECT t.doc_id, t.term, t.tf,
+       round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (t.tf * {k1 + 1.0})
+             / (t.tf + {k1} * ({1.0 - b} + {b} * t.dl / s.avgdl)), 4) AS bm25
+FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s
+"""
+
+
+def hash_sample_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    fraction: float = 0.1,
+    seed: str = "smpl",
+    buckets: int = 10_000,
+    select: str = "doc_id, source, n_chars",
+) -> str:
+    h = duck_md5_long(f"'{seed}#' || CAST({id_col} AS VARCHAR)")
+    return f"SELECT {select} FROM {table} WHERE {h} % {buckets} < {int(fraction * buckets)}"
+
+
+def stratified_sample_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: str = "smpl",
+    buckets: int = 10_000,
+    select: str = "doc_id, source",
+) -> str:
+    thr = str(int(default_fraction * buckets))
+    for k, frac in sorted(fractions.items()):
+        thr = (
+            f"CASE WHEN {strata_col} = '{k}' THEN {int(frac * buckets)} ELSE {thr} END"
+        )
+    h = duck_md5_long(f"'{seed}#' || CAST({id_col} AS VARCHAR)")
+    return f"SELECT {select} FROM {table} WHERE {h} % {buckets} < ({thr})"
+
+
+def components_sql(pairs_sql: str, *, id_a: str = "id_a", id_b: str = "id_b") -> str:
+    """Connected components over a pair query via transitive closure
+    (recursive CTE; mirror of operators.dedup.duplicate_components)."""
+    return f"""
+WITH RECURSIVE pairs AS (SELECT {id_a}, {id_b} FROM ({pairs_sql})),
+sym AS (SELECT {id_a} AS node, {id_b} AS peer FROM pairs
+        UNION SELECT {id_b}, {id_a} FROM pairs),
+closure(node, peer) AS (
+  SELECT node, peer FROM sym
+  UNION
+  SELECT c.node, s.peer FROM closure c JOIN sym s ON c.peer = s.node)
+SELECT node AS doc_id, least(node, min(peer)) AS cluster_id
+FROM closure GROUP BY node
+"""
+
+
 def token_pipeline_sql(
     *,
     n_docs: int = 2000,
