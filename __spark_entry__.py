@@ -353,6 +353,31 @@ def _q_doc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interval_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval (range) join, bucketed: assign each click to the
+    session interval containing it. Each point lives in exactly one time
+    bucket, so pairs meet once — no dedup pass, no key-cardinality blowup."""
+    from transmog_spark.operators.temporal import interval_join
+    from transmog_spark.operators.windows import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", ["ts", "event_id"], gap_seconds=1800.0)
+    intervals = s.groupBy("user_id", "session_index").agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    )
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    return interval_join(clicks, intervals, "user_id", payload_cols=["session_index"])
+
+
+def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascade: hourly aggregate from raw, daily from
+    hourly (raw scanned once); exact integer micro-unit sums end-to-end."""
+    from transmog_spark.operators.temporal import time_rollup
+
+    e = _t(spark, sf_dir, "events")
+    return time_rollup(e, "event_type", ts="ts", value="value", resolutions=("hour", "day"))
+
+
 def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance per (doc, term): explode-once, two partial-agg
     groupBys, term-keyed join, broadcast global stats."""
@@ -543,6 +568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": _q_text_profile,
         "doc_source_stats": _q_doc_source_stats,
         "media_features": _q_media_features,
+        "interval_sessions": _q_interval_sessions,
+        "time_rollup": _q_time_rollup,
         "bm25": _q_bm25,
         "corpus_sample": _q_corpus_sample,
         "source_percentiles": _q_source_percentiles,
@@ -737,6 +764,42 @@ SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM (
             query_filter="vec_id < 10", k=5, nlist=16, nprobe=4
         ),
         "token_pipeline": token_pipeline_sql(n_docs=2000),
+        "interval_sessions": """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS session_index
+  FROM o),
+iv AS (SELECT user_id, session_index, min(ts) AS start_ts, max(ts) AS end_ts
+       FROM s GROUP BY 1, 2),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT c.event_id, c.user_id, c.ts, iv.session_index
+FROM c JOIN iv ON c.user_id = iv.user_id
+              AND c.ts >= iv.start_ts AND c.ts <= iv.end_ts
+""",
+        "time_rollup": """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+         count(*) AS n_events,
+         sum(CAST(round(value * 1000000) AS BIGINT)) AS sum_us
+  FROM events GROUP BY 1, 2),
+d AS (
+  SELECT date_trunc('day', bucket_ts) AS bucket_ts, event_type,
+         CAST(sum(n_events) AS BIGINT) AS n_events,
+         CAST(sum(sum_us) AS BIGINT) AS sum_us
+  FROM h GROUP BY 1, 2)
+SELECT 'hour' AS resolution, bucket_ts, event_type,
+       CAST(n_events AS BIGINT) AS n_events, sum_us / 1000000.0 AS value_sum FROM h
+UNION ALL
+SELECT 'day' AS resolution, bucket_ts, event_type,
+       n_events, sum_us / 1000000.0 AS value_sum FROM d
+""",
         "bm25": bm25_sql(),
         "corpus_sample": stratified_sample_sql(
             fractions={"src0": 0.5, "src1": 0.25}, default_fraction=0.1

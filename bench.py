@@ -28,8 +28,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Representative, scale-stressing subset of __spark_entry__.queries():
-# scan+agg, broadcast join chain, flatten, as-of, windows, dedup/LSH,
-# text analysis, ANN, and the composed flagship.
+# scan+agg, broadcast join chain, flatten, as-of, windows, range join,
+# rollup cascade, dedup/LSH/clustering, text + BM25, ANN, and the flagship.
 HEADLINE = [
     "tpch_q1",
     "revenue_by_nation",
@@ -38,10 +38,15 @@ HEADLINE = [
     "sessionize",
     "lag_lead",
     "running_sum",
+    "interval_sessions",
+    "time_rollup",
     "dedup_exact",
     "minhash_pairs",
+    "dedup_clusters",
+    "bm25",
     "text_profile",
     "embedding_topk",
+    "embedding_topk_ivf",
     "flagship_pipeline",
 ]
 

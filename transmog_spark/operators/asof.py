@@ -89,8 +89,13 @@ def asof_join(
     u = l.unionByName(r)
 
     # Ordering encodes the temporal predicate: inclusive (<=) sorts features
-    # before queries at equal ts; strict (<) sorts them after.
+    # before queries at equal ts; strict (<) sorts them after. Value columns
+    # extend the sort key so ties among feature rows at the SAME timestamp
+    # resolve deterministically (last = lexicographic max of value_cols) —
+    # this widens the existing sort key instead of costing a pre-aggregation
+    # shuffle, and matches max() tie resolution for a single value column.
     order = [F.col(_ts).asc(), F.col(_IS_Q).asc() if not strict else F.col(_IS_Q).desc()]
+    order += [F.col(f"__tm_v_{c}").asc() for c in value_cols]
     w = (
         Window.partitionBy(*part_keys)
         .orderBy(*order)

@@ -96,30 +96,60 @@ def ivf_topk(
         key=lambda t: t[0],
     )
 
-    def sim_structs(vec: Column) -> list[Column]:
-        # struct(sim, -idx, cid): array_max / sort_array compare fields left
-        # to right, so max = highest round(cos,6), ties broken by LOWEST cid
-        # (idx follows cid order) — identical keys to the oracle's
-        # row_number() OVER (ORDER BY sim DESC, cid ASC).
-        return [
-            F.struct(
-                F.round(cosine_sim(vec, F.array(*[F.lit(x) for x in cv])), 6).alias("s"),
-                F.lit(-i).alias("negidx"),
-                F.lit(cid).alias("cid"),
+    def _fold_norm(cv: list[float]) -> float:
+        # EXACT mirror of cosine_sim's left fold (same IEEE op order) so the
+        # plan-time constant equals what the engine would compute in-row
+        import math
+
+        acc = 0.0
+        for x in cv:
+            acc += x * x
+        return math.sqrt(acc)
+
+    cent_norms = [_fold_norm(cv) for _, cv in cents]
+    # ONE literal node per list (F.lit of whole arrays): per-element Literal
+    # trees and per-centroid lambda folds made Catalyst analysis (seconds per
+    # build) dominate the wall at small scale — a single transform over a 2D
+    # literal keeps the plan at 3 lambdas regardless of nlist.
+    cents_arr = F.lit([cv for _, cv in cents])
+    norms_arr = F.lit(cent_norms)
+    cids_arr = F.lit([cid for cid, _ in cents])
+
+    def sim_structs(vec: Column) -> Column:
+        # array<struct(sim, -idx, cid)>: array_max / sort_array compare
+        # fields left to right, so max = highest round(cos,6), ties broken
+        # by LOWEST cid (idx follows cid order) — identical keys to the
+        # oracle's row_number() OVER (ORDER BY sim DESC, cid ASC).
+        na = F.sqrt(
+            F.aggregate(vec, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+        )
+
+        def mk(cv: Column, i: Column) -> Column:
+            dot = F.aggregate(
+                F.zip_with(vec, cv, lambda x, y: x.cast("double") * y.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
             )
-            for i, (cid, cv) in enumerate(cents)
-        ]
+            nb = F.element_at(norms_arr, i + 1)
+            sim = F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+            return F.struct(
+                F.round(sim, 6).alias("s"),
+                (-i).alias("negidx"),
+                F.element_at(cids_arr, i + 1).alias("cid"),
+            )
+
+        return F.transform(cents_arr, mk)
 
     # corpus→list assignment: expression argmax over centroid literals —
     # ZERO shuffle (the old formulation cross-joined nlist copies of the
     # corpus through a row_number window, i.e. a full corpus exchange)
-    assigned = c.withColumn("__cid", F.array_max(F.array(*sim_structs(F.col("__cv"))))["cid"])
+    assigned = c.withColumn("__cid", F.array_max(sim_structs(F.col("__cv")))["cid"])
 
     # query→probe lists: top-nprobe centroids per query, same expression
     # form (sort_array desc on the same struct keys), then explode
     q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv"))
     top_cids = F.transform(
-        F.slice(F.sort_array(F.array(*sim_structs(F.col("__qv"))), asc=False), 1, nprobe),
+        F.slice(F.sort_array(sim_structs(F.col("__qv")), asc=False), 1, nprobe),
         lambda st: st["cid"],
     )
     probes = q.select("query_id", "__qv", F.explode(top_cids).alias("__cid"))

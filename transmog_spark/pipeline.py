@@ -103,14 +103,12 @@ def token_features(
     kw = {"seed": seed, "partitions": partitions, "hash_mode": hash_mode}
     seqs = synth.sequences(spark, n_docs, **kw)
     meta = synth.sequence_meta(spark, n_docs, **kw)
-    # deterministic tie resolution: several feature events can share an exact
-    # (doc_id, ts); as-of picks "the latest", which among equal timestamps is
-    # otherwise order-undefined — pre-aggregate to max(feature_v) per instant
-    # (map-side combined; same treatment event_features gives clicks)
-    feats_src = (
-        synth.feature_events(spark, n_docs, **kw)
-        .groupBy("doc_id", "ts")
-        .agg(F.max("feature_v").alias("feature_v"))
+    # tie determinism (several feature events at one exact (doc_id, ts))
+    # comes from asof_join's value-column sort tiebreak — equivalent to
+    # max(feature_v) per instant, with NO pre-aggregation shuffle; the
+    # DuckDB oracle mirrors it as a groupBy-max (token_pipeline_sql.feg)
+    feats_src = synth.feature_events(spark, n_docs, **kw).select(
+        "doc_id", "ts", "feature_v"
     )
 
     # synth guarantees non-null doc_id; skip the eager validation scan

@@ -50,6 +50,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # count/min/max answered from parquet footers where possible
+        # (backfill lineage stats read the written slice this way)
+        .config("spark.sql.parquet.aggregatePushdown", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
