@@ -424,11 +424,20 @@ def duplicate_components(
     surrounding loop and contract stay identical.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    sym = edges.union(edges.select(F.col("dst"), F.col("src"))).distinct()
+    # materialize the edge list once: the pair source is typically an
+    # expensive LSH query, and every propagation round joins against it —
+    # without this the whole candidate generation re-runs per iteration
+    sym = edges.union(edges.select(F.col("dst"), F.col("src"))).distinct().localCheckpoint()
+    # initialization already performs round 1 (label = min of self and
+    # direct neighbors): pair/triangle clusters — the common near-dup case —
+    # then converge on the first fixpoint check
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("__mn"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("__mn")).alias("label"),
+        )
         .localCheckpoint()
     )
     for _ in range(max_iterations):
