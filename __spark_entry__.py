@@ -454,6 +454,16 @@ def _q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k against an int8 scalar-quantized corpus (4x smaller
+    corpus bytes): full-precision queries vs dequantized codes."""
+    from transmog_spark.operators.similarity import sq8_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return sq8_topk(e, q, id_col="vec_id", vec_col="embedding", k=5, dim=64)
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine pairs on a bounded slice (oracle-checkable)."""
     from transmog_spark.operators.dedup import cosine_sim
@@ -577,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "embedding_topk_ivf": _q_embedding_topk_ivf,
         "embedding_topk_lsh": _q_embedding_topk_lsh,
+        "embedding_topk_sq8": _q_embedding_topk_sq8,
         "embedding_neardup": _q_embedding_neardup,
         "flagship_pipeline": _q_flagship,
         "token_pipeline": _q_token_pipeline,
@@ -594,6 +605,7 @@ def oracle_sql() -> dict[str, str]:
         ivf_topk_sql,
         lsh_topk_sql,
         minhash_pairs_sql,
+        sq8_topk_sql,
         stratified_sample_sql,
         ngram_jaccard_pairs_sql,
         simhash_pairs_sql,
@@ -819,6 +831,7 @@ FROM documents GROUP BY 1
         "embedding_topk_lsh": lsh_topk_sql(
             query_filter="vec_id < 10", k=5, n_planes=8, n_probes=3, dim=64
         ),
+        "embedding_topk_sq8": sq8_topk_sql(query_filter="vec_id < 10", k=5, dim=64),
         "embedding_neardup": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -65,6 +65,23 @@ def test_lsh_topk_returns_ranked_neighbors(emb):
         assert ranks[0][0] == 1
 
 
+def test_sq8_quantization_recall_and_bounds(emb):
+    from transmog_spark.operators.similarity import sq8_params, sq8_quantize, sq8_topk
+
+    mins, spans = sq8_params(emb, "embedding", dim=64)
+    assert len(mins) == len(spans) == 64 and all(s > 0 for s in spans)
+    codes = sq8_quantize(emb, "embedding", mins, spans).select(
+        F.array_min("codes").alias("lo"), F.array_max("codes").alias("hi")
+    ).agg(F.min("lo"), F.max("hi")).collect()[0]
+    assert codes[0] >= -128 and codes[1] <= 127
+
+    q = emb.where(F.col("vec_id") < 20)
+    exact = _topk_sets(brute_force_topk(emb, q, id_col="vec_id", vec_col="embedding", k=5))
+    approx = _topk_sets(sq8_topk(emb, q, id_col="vec_id", vec_col="embedding", k=5, dim=64))
+    recalls = [len(exact[k] & approx.get(k, set())) / len(exact[k]) for k in exact]
+    assert sum(recalls) / len(recalls) >= 0.85  # int8 error is tiny at dim 64
+
+
 # ---------------------------------------------------------------------------
 # sources/readers (reference S1-S8)
 # ---------------------------------------------------------------------------

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from transmog_spark.operators.windows import sessionize
 from transmog_spark.streaming.windows import (
+    dedupe_stream,
     session_aggregates_stream,
     windowed_counts,
 )
@@ -75,6 +76,35 @@ def test_session_window_on_real_stream(spark, tmp_path):
         ("u1", "2024-01-01T01:30:00"): 1,
         ("u2", "2024-01-01T00:01:00"): 1,
     }
+
+
+def test_dedupe_stream_drops_in_horizon_duplicates(spark, tmp_path):
+    """Real streaming run: duplicate event ids within the watermark horizon
+    collapse to one row; state is watermark-bounded."""
+    rows = [
+        ("e1", T0, 1.0),
+        ("e1", T0 + timedelta(minutes=1), 1.0),   # dup within horizon
+        ("e2", T0 + timedelta(minutes=2), 2.0),
+        ("e2", T0 + timedelta(minutes=2), 2.0),   # exact dup
+        ("e3", T0 + timedelta(minutes=3), 3.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id string, ts timestamp, v double")
+    src = str(tmp_path / "dd_src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = dedupe_stream(stream, "event_id", "ts", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.event_id for r in spark.sql("select * from dd_out").collect())
+    assert got == ["e1", "e2", "e3"]
+    # batch path: same call site, global dedup
+    assert dedupe_stream(df, "event_id", "ts").count() == 3
 
 
 def test_watermark_is_attached_on_streams(spark, tmp_path):

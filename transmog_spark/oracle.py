@@ -287,6 +287,41 @@ SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM (
 """
 
 
+def sq8_topk_sql(
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str = "vec_id < 10",
+    k: int = 5,
+    dim: int = 64,
+) -> str:
+    """Mirror of operators.similarity.sq8_topk: same per-dim (min, span),
+    same quantize/dequantize op sequence (the rounded value is always
+    non-negative, so HALF_UP == half-away-from-zero on both engines)."""
+    deq = (
+        f"pm.m[i] + CAST((CAST(round((v[i] - pm.m[i]) / pm.s[i] * 255.0) - 128 AS INT)"
+        f" + 128) AS DOUBLE) * pm.s[i] / 255.0"
+    )
+    return f"""
+WITH e AS (SELECT {id_col} AS nid, {vec_col}::DOUBLE[] AS v FROM {table}),
+px AS (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+params AS (SELECT pos, min(x) AS mn,
+                  CASE WHEN max(x) - min(x) = 0 THEN 1.0 ELSE max(x) - min(x) END AS sp
+           FROM px GROUP BY pos),
+pm AS (SELECT list(mn ORDER BY pos) AS m, list(sp ORDER BY pos) AS s FROM params),
+deq AS (SELECT nid, list_transform(range(1, {dim + 1}), i -> {deq}) AS dv
+        FROM e CROSS JOIN pm),
+q AS (SELECT {id_col} AS qid, {vec_col}::DOUBLE[] AS qv FROM {table} WHERE {query_filter}),
+scored AS (SELECT q.qid AS query_id, d.nid AS neighbor_id,
+                  round(list_cosine_similarity(q.qv, d.dv), 6) AS cos
+           FROM deq d, q WHERE d.nid <> q.qid)
+SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= {k}
+"""
+
+
 def bm25_sql(
     *,
     table: str = "documents",

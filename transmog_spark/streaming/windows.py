@@ -55,6 +55,32 @@ def windowed_counts(
     )
 
 
+def dedupe_stream(
+    df: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    *,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exact streaming dedup with BOUNDED state.
+
+    On a stream: ``dropDuplicatesWithinWatermark`` — a duplicate arriving
+    within the watermark horizon of the first copy is dropped, and key
+    state older than the watermark is evicted (state size is O(keys per
+    horizon), not O(all keys ever) — the property that lets this run
+    forever on an at-least-once ingest feed). Two copies separated by more
+    than the horizon both survive by design; exact global dedup over all
+    history is the batch operator (``operators.dedup``).
+
+    On a batch frame: plain ``dropDuplicates`` (global), so batch/stream
+    parity tests can share one call site.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
 def session_aggregates_stream(
     df: DataFrame,
     key: str | list[str],
