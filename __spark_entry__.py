@@ -551,6 +551,56 @@ def _q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_ntok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule shape (doc_id, n_tok, source) derived from documents."""
+    from transmog_spark.operators.text import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "source", F.size(ws_tokens(F.col("text"))).alias("n_tok"))
+
+
+def _q_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-chunk sequence packing (budget 256) via the
+    two-level distributed prefix-sum (operators/packing.py:pack_concat)."""
+    from transmog_spark.operators.packing import pack_concat
+
+    return pack_concat(_docs_ntok(spark, sf_dir), budget=256, block_rows=128)
+
+
+def _q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit no-split packing in deterministic blocks — the blocked
+    applyInPandas sequential tier (operators/packing.py:pack_greedy)."""
+    from transmog_spark.operators.packing import pack_greedy
+
+    return pack_greedy(_docs_ntok(spark, sf_dir), budget=256, block_rows=128)
+
+
+def _q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 32-token context windows (stride 16) over tokenized docs;
+    chunk arrays scalarized to md5 for the driver canonicalizer."""
+    from transmog_spark.operators.packing import token_chunks
+    from transmog_spark.operators.text import tokenize_ids
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize_ids(F.col("text")).alias("tokens"))
+    ch = token_chunks(toks, window=32, stride=16)
+    chunk_str = F.concat_ws(",", F.transform(F.col("chunk"), lambda x: x.cast("string")))
+    return ch.select(
+        "doc_id", "chunk_id", "chunk_len", F.md5(chunk_str).alias("chunk_md5")
+    )
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark 3-gram decontamination: corpus (doc_id % 97 != 0) scored
+    against the held-out benchmark slice (doc_id % 97 == 0)."""
+    from transmog_spark.operators.corpus import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, n=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1": _q_tpch_q1,
@@ -591,6 +641,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "flagship_pipeline": _q_flagship,
         "token_pipeline": _q_token_pipeline,
+        "pack_concat": _q_pack_concat,
+        "pack_greedy": _q_pack_greedy,
+        "token_chunks": _q_token_chunks,
+        "decontaminate": _q_decontaminate,
     }
 
 
@@ -602,6 +656,10 @@ def oracle_sql() -> dict[str, str]:
     from transmog_spark.oracle import (
         bm25_sql,
         components_sql,
+        decontaminate_sql,
+        pack_concat_sql,
+        pack_greedy_sql,
+        token_chunks_sql,
         ivf_topk_sql,
         lsh_topk_sql,
         minhash_pairs_sql,
@@ -871,4 +929,8 @@ SELECT l.event_id, l.user_id, l.ts, l.value, l.props_k, l.click_value,
        s.session_len, s.sess_value_sum
 FROM lagged l JOIN sess s ON l.user_id = s.user_id AND l.session_index = s.session_index
 """,
+        "pack_concat": pack_concat_sql(budget=256),
+        "pack_greedy": pack_greedy_sql(budget=256, block_rows=128),
+        "token_chunks": token_chunks_sql(window=32, stride=16),
+        "decontaminate": decontaminate_sql(shingle_n=3, bench_mod=97),
     }

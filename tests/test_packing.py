@@ -1,0 +1,151 @@
+"""Training-sequence packing invariants (operators/packing.py) and
+benchmark decontamination (operators/corpus.py:decontaminate).
+
+Reference scope note: packing is beyond-reference surface (the reference
+stops at flatten/extract); correctness here is gated by structural
+invariants + the DuckDB oracles (pack_concat/pack_greedy/token_chunks/
+decontaminate in __spark_entry__).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+BUDGET = 100
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # (doc_id, source, n_tok) — crafted to cross budget boundaries
+        (0, "a", 40), (1, "a", 40), (2, "a", 40), (3, "a", 150), (4, "a", 1),
+        (10, "b", 100), (11, "b", 100), (12, "b", 7), (13, "b", 0),
+        (260, "a", 60), (261, "a", 60),  # second block at block_rows=256
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+
+
+def test_doc_offsets_match_single_window(spark, docs):
+    """Two-level distributed scan ≡ naive per-source window cumsum."""
+    from pyspark.sql import Window
+
+    from transmog_spark.operators.packing import doc_offsets
+
+    got = doc_offsets(docs, block_rows=3).orderBy("source", "doc_id").collect()
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = (
+        docs.withColumn("tok_start", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .orderBy("source", "doc_id")
+        .collect()
+    )
+    assert [(r.doc_id, r.tok_start) for r in got] == [
+        (r.doc_id, r.tok_start) for r in want
+    ]
+
+
+def test_pack_concat_partition_of_tokens(spark, docs):
+    from transmog_spark.operators.packing import pack_concat
+
+    out = pack_concat(docs, budget=BUDGET, block_rows=256)
+    rows = out.collect()
+    # every token of every non-empty doc is covered exactly once
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    n_tok = {r.doc_id: r.n_tok for r in docs.collect() if r.n_tok > 0}
+    assert set(per_doc) == set(n_tok)
+    for doc_id, spans in per_doc.items():
+        spans = sorted(spans, key=lambda r: r.doc_offset)
+        assert spans[0].doc_offset == 0
+        covered = 0
+        for s in spans:
+            assert s.doc_offset == covered
+            assert 0 <= s.seq_offset < BUDGET
+            assert s.seq_offset + s.span_len <= BUDGET
+            covered += s.span_len
+        assert covered == n_tok[doc_id]
+        # spans of one doc land in consecutive sequences
+        seqs = [s.seq_id for s in sorted(spans, key=lambda r: r.doc_offset)]
+        assert seqs == list(range(seqs[0], seqs[0] + len(seqs)))
+    # sequences are full except the last one per source
+    fills = {
+        (r.source, r.seq_id): 0 for r in rows
+    }
+    for r in rows:
+        fills[(r.source, r.seq_id)] += r.span_len
+    for (src, seq), fill in fills.items():
+        last = max(s for (s2, s) in fills if s2 == src)
+        assert fill == BUDGET or seq == last
+
+
+def test_pack_greedy_no_split_first_fit(spark, docs):
+    from transmog_spark.operators.packing import pack_greedy
+
+    rows = pack_greedy(docs, budget=BUDGET, block_rows=256).collect()
+    # no doc dropped (except empty), none split
+    assert sorted(r.doc_id for r in rows) == [0, 1, 2, 3, 4, 10, 11, 12, 260, 261]
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault((r.source, r.block, r.seq_in_block), []).append(r)
+    for members in by_seq.values():
+        total = sum(r.n_tok for r in members)
+        if len(members) > 1:
+            assert total <= BUDGET
+        members = sorted(members, key=lambda r: r.doc_id)
+        off = 0
+        for m in members:
+            assert m.seq_offset == off
+            off += m.n_tok
+    # source a, block 0: 40+40 fits; +40 exceeds -> new seq; 150 oversize alone
+    a0 = {r.doc_id: r.seq_in_block for r in rows if r.source == "a" and r.block == 0}
+    assert a0[0] == a0[1] == 0 and a0[2] == 1 and a0[3] == 2 and a0[4] == 3
+    # block 260//256=1 restarts numbering
+    a1 = {r.doc_id: (r.seq_in_block, r.seq_offset) for r in rows if r.block == 1}
+    assert a1[260] == (0, 0) and a1[261] == (1, 0)  # 60+60 > budget
+
+
+def test_token_chunks_windows(spark):
+    from transmog_spark.operators.packing import token_chunks
+
+    df = spark.createDataFrame(
+        [(1, list(range(10))), (2, list(range(4))), (3, [])],
+        "doc_id long, tokens array<int>",
+    )
+    rows = token_chunks(df, window=4, stride=2).collect()
+    got = {(r.doc_id, r.chunk_id): list(r.chunk) for r in rows}
+    # doc 1: starts 0,2,4,6 -> last window truncated at the array end
+    assert got[(1, 0)] == [0, 1, 2, 3]
+    assert got[(1, 1)] == [2, 3, 4, 5]
+    assert got[(1, 3)] == [6, 7, 8, 9]
+    assert max(c for (d, c) in got if d == 1) == 3
+    # short doc: single truncated chunk; empty doc: no rows
+    assert got[(2, 0)] == [0, 1, 2, 3] and (2, 1) not in got
+    assert not any(d == 3 for (d, _c) in got)
+    lens = {(r.doc_id, r.chunk_id): r.chunk_len for r in rows}
+    assert all(lens[k] == len(v) for k, v in got.items())
+
+
+def test_decontaminate_flags_verbatim_copy(spark):
+    from transmog_spark.operators.corpus import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # verbatim
+            (2, "a completely different sentence about spark plans here"),
+            (3, "quick brown fox story"),  # one shared 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in decontaminate(corpus, bench, n=3).collect()}
+    assert rows[1].contamination == 1.0
+    assert rows[2].n_hit == 0 and rows[2].contamination == 0.0
+    assert rows[3].n_hit == 1 and 0 < rows[3].contamination < 1

@@ -115,3 +115,51 @@ def source_percentiles(
     return df.groupBy(strata_col).agg(
         F.count(F.lit(1)).alias("n_docs"), *aggs
     )
+
+
+def ngram_hashes(text: Column, n: int = 5) -> Column:
+    """Distinct 60-bit hashes of word n-grams (decontamination unit)."""
+    from transmog_spark.operators.dedup import word_shingles
+
+    return F.transform(word_shingles(text, n), md5_long)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: word-n-gram overlap of each corpus doc
+    against a held-out benchmark set.
+
+    The canonical pre-training hygiene pass (GPT-3 §C / Gopher §A.5.2):
+    any document sharing n-grams with an eval benchmark is flagged so the
+    trainer can drop or downweight it. Scale shape: the benchmark side is
+    tiny by construction (eval suites, not corpora) — its distinct n-gram
+    hashes are broadcast; the corpus side is one explode + one map-side-
+    combinable groupBy. No corpus shuffle keyed on anything wider than
+    ``id_col``; 100 TB corpus cost = one pass + one agg.
+
+    Output per corpus doc: ``n_ngrams`` (distinct n-grams), ``n_hit``
+    (n-grams also present in the benchmark), ``contamination`` (hit
+    fraction, rounded — stable across engines).
+    """
+    bench_grams = (
+        benchmark.select(F.explode(ngram_hashes(F.col(text_col), n)).alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(ngram_hashes(F.col(text_col), n)).alias("g")
+    )
+    joined = corpus_grams.join(F.broadcast(bench_grams), "g", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.round(
+            F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1)), 4
+        ).alias("contamination"),
+    )

@@ -1,0 +1,237 @@
+"""Training-sequence assembly over pre-tokenized documents.
+
+The north-rule input is an Iceberg table of pre-tokenized sequences
+``(doc_id, tokens:array<int>, n_tok, source)``; a training pipeline's last
+mile turns those documents into fixed-budget context windows. Three
+operators, one per packing discipline:
+
+* ``pack_concat``   — GPT-style concat-then-chunk: documents are laid out
+  back-to-back per source (ordered by doc id) and cut every ``budget``
+  tokens; a document may span several sequences. Exact distributed
+  prefix-sum (two-level scan), zero Python.
+* ``pack_greedy``   — no-split first-fit: a document that would overflow
+  the open sequence starts a new one. The running-fill recurrence is
+  inherently sequential, so it runs inside bounded blocks via an
+  Arrow-batched ``applyInPandas`` (the documented controlled-sequential
+  tier; everything outside the block is embarrassingly parallel).
+* ``token_chunks``  — sliding windows of ``window`` tokens every
+  ``stride`` over each document independently. Pure Column expressions.
+
+Scale shapes (100 TB posture):
+
+* ``pack_concat`` never runs a window over a whole source. The classic
+  two-level scan: documents are bucketed into coarse blocks by the order
+  key, cumsums are computed per ``(source, block)`` (fine-grained shuffle
+  keys — a hot source spreads over many blocks), block totals form a tiny
+  per-source frame whose own cumsum is broadcast back. A 10^12-row source
+  costs two narrow shuffles of (source, block)-keyed longs.
+* ``pack_greedy`` blocks are the unit of sequential work AND the unit of
+  parallelism; sequences never cross block boundaries (deterministic,
+  resumable, and exactly mirrorable in SQL). Block size bounds per-task
+  memory: ``block_rows`` rows of (id, n_tok) per Arrow batch.
+* ``token_chunks`` is a stateless per-row explode — no shuffle at all.
+
+Reference parity note: the reference library (scottdraper8/transmog) stops
+at flatten/extract (src/transmog/core/flattening.py:281-576); packing is
+part of this engine's beyond-reference training-pipeline surface, gated by
+DuckDB oracles like every other operator.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_BUDGET = 2048
+DEFAULT_BLOCK_ROWS = 4096
+
+
+def _blocked(df: DataFrame, id_col: str, block_rows: int) -> DataFrame:
+    """Coarse deterministic blocking of the order key.
+
+    ``block = floor(id / block_rows)`` is stateless and SQL-expressible;
+    blocks need not be equally sized (sparse ids just make smaller blocks),
+    they only need to be contiguous runs of the (source, id) order.
+    """
+    # integer div (not float-divide-then-cast): exact at 10^12-scale ids
+    return df.withColumn("block", F.expr(f"{id_col} div {block_rows}"))
+
+
+def doc_offsets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    ntok_col: str = "n_tok",
+    source_col: str = "source",
+    *,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+) -> DataFrame:
+    """Exclusive prefix sum of token counts per source, in ``id_col`` order.
+
+    Two-level scan: local cumsum inside ``(source, block)`` + broadcast
+    cumsum of block totals per source. Output adds ``tok_start`` (global
+    offset of the document's first token within its source stream).
+    """
+    b = _blocked(df.select(source_col, id_col, ntok_col), id_col, block_rows)
+
+    local_w = (
+        Window.partitionBy(source_col, "block")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = b.withColumn("local_start", F.coalesce(F.sum(ntok_col).over(local_w), F.lit(0)))
+
+    totals = b.groupBy(source_col, "block").agg(F.sum(ntok_col).alias("block_tokens"))
+    blk_w = (
+        Window.partitionBy(source_col)
+        .orderBy("block")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "block_start", F.coalesce(F.sum("block_tokens").over(blk_w), F.lit(0))
+    ).select(source_col, "block", "block_start")
+
+    return local.join(F.broadcast(offsets), [source_col, "block"]).withColumn(
+        "tok_start", (F.col("block_start") + F.col("local_start")).cast("long")
+    ).drop("local_start", "block_start")
+
+
+def pack_concat(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    ntok_col: str = "n_tok",
+    source_col: str = "source",
+    *,
+    budget: int = DEFAULT_BUDGET,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+) -> DataFrame:
+    """Concat-then-chunk packing: per-source token stream cut every ``budget``.
+
+    Emits one row per (document × training sequence it lands in):
+    ``seq_id`` (per-source sequence index), ``seq_offset`` (where the span
+    begins inside the sequence), ``doc_offset`` (where it begins inside the
+    document) and ``span_len``. Empty documents are dropped (they occupy no
+    tokens). All integer math — bit-identical across engines.
+    """
+    off = doc_offsets(
+        df, id_col, ntok_col, source_col, block_rows=block_rows
+    ).where(F.col(ntok_col) > 0)
+    first_seq = F.expr(f"tok_start div {budget}")
+    last_seq = F.expr(f"(tok_start + {ntok_col} - 1) div {budget}")
+    spans = off.withColumn("seq_id", F.explode(F.sequence(first_seq, last_seq)))
+    seq_lo = F.col("seq_id") * budget
+    span_start = F.greatest(F.col("tok_start"), seq_lo)
+    span_end = F.least(F.col("tok_start") + F.col(ntok_col), seq_lo + budget)
+    return spans.select(
+        source_col,
+        F.col("seq_id").cast("long").alias("seq_id"),
+        id_col,
+        (span_start - seq_lo).cast("long").alias("seq_offset"),
+        (span_start - F.col("tok_start")).cast("long").alias("doc_offset"),
+        (span_end - span_start).cast("long").alias("span_len"),
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    ntok_col: str = "n_tok",
+    source_col: str = "source",
+    *,
+    budget: int = DEFAULT_BUDGET,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+) -> DataFrame:
+    """First-fit no-split packing inside deterministic blocks.
+
+    Within each ``(source, block)`` (ids ascending): keep a running fill;
+    a document that would push the fill past ``budget`` opens a new
+    sequence. Oversized documents (> budget) get a sequence of their own.
+    Sequences never cross block boundaries, which makes the operator
+    embarrassingly parallel across blocks and exactly reproducible in the
+    DuckDB oracle (recursive CTE over the same blocks).
+
+    Output: one row per document — ``block``, ``seq_in_block`` (sequence
+    index within the block), ``seq_offset`` (token offset inside the
+    sequence). Global sequence identity is the triple
+    ``(source, block, seq_in_block)``.
+    """
+    b = _blocked(
+        df.select(source_col, id_col, ntok_col).where(F.col(ntok_col) > 0),
+        id_col,
+        block_rows,
+    )
+    schema = (
+        f"{source_col} string, block long, {id_col} long, {ntok_col} long, "
+        "seq_in_block long, seq_offset long"
+    )
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        n = pdf[ntok_col].to_numpy()
+        seq = [0] * len(n)
+        offs = [0] * len(n)
+        cur_seq, cur_fill = 0, 0
+        for i, ntok in enumerate(n):
+            if cur_fill > 0 and cur_fill + int(ntok) > budget:
+                cur_seq += 1
+                cur_fill = 0
+            seq[i] = cur_seq
+            offs[i] = cur_fill
+            cur_fill += int(ntok)
+        out = pdf[[source_col, "block", id_col, ntok_col]].copy()
+        out["seq_in_block"] = seq
+        out["seq_offset"] = offs
+        return out
+
+    packed = b.groupBy(source_col, "block").applyInPandas(fill, schema=schema)
+    return packed.select(
+        source_col,
+        F.col("block").cast("long"),
+        F.col(id_col).cast("long"),
+        F.col(ntok_col).cast("long"),
+        "seq_in_block",
+        "seq_offset",
+    )
+
+
+def token_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    *,
+    window: int = 128,
+    stride: int = 64,
+) -> DataFrame:
+    """Sliding context windows over each document's token array.
+
+    Windows start at 0, stride, 2·stride, …; the final window is truncated
+    to the document end (kept only if non-empty). A document shorter than
+    ``window`` yields exactly one (truncated) chunk. Stateless explode —
+    no shuffle; the chunk arrays stay JVM-side.
+
+    Output: ``chunk_id`` (per-doc window index), ``chunk_len``, ``chunk``
+    (array<int> slice). Callers feeding the driver gate should scalarize
+    ``chunk`` (md5 of the joined ids) — see ``__spark_entry__``.
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    n = F.size(F.col(tokens_col))
+    # last chunk index via integer ceil-div — exact parity with the oracle
+    last_chunk = (
+        F.when(n <= window, F.lit(0))
+        .otherwise(F.expr(f"(size({tokens_col}) - {window} + {stride} - 1) div {stride}"))
+        .cast("long")
+    )
+    src = df.where(n > 0).withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0).cast("long"), last_chunk))
+    )
+    # F.slice needs a plan-time int length; F.expr accepts column bounds.
+    chunk = F.expr(
+        f"slice({tokens_col}, chunk_id * {stride} + 1, {window})"
+    )
+    return src.select(
+        id_col,
+        F.col("chunk_id").cast("long"),
+        F.size(chunk).cast("long").alias("chunk_len"),
+        chunk.alias("chunk"),
+    )

@@ -522,3 +522,137 @@ SELECT {id_col},
          AS BIGINT), 0) AS fingerprint
 FROM quality
 """
+
+
+def pack_concat_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    budget: int = 256,
+) -> str:
+    """Concat-then-chunk packing (operators/packing.py:pack_concat).
+
+    The engine's two-level distributed scan reduces to a plain window
+    cumsum at oracle scale — identical integer arithmetic."""
+    return f"""
+WITH docs AS (SELECT {id_col}, {source_col},
+                     len({duck_ws_tokens(text_col)}) AS n_tok FROM {table}),
+nz AS (SELECT * FROM docs WHERE n_tok > 0),
+off AS (SELECT *, CAST(COALESCE(SUM(n_tok) OVER (
+          PARTITION BY {source_col} ORDER BY {id_col}
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        FROM nz),
+spans AS (SELECT {source_col}, {id_col}, tok_start, n_tok,
+                 unnest(generate_series(tok_start // {budget},
+                                        (tok_start + n_tok - 1) // {budget})) AS seq_id
+          FROM off)
+SELECT {source_col}, CAST(seq_id AS BIGINT) AS seq_id, {id_col},
+       CAST(greatest(tok_start, seq_id * {budget}) - seq_id * {budget} AS BIGINT) AS seq_offset,
+       CAST(greatest(tok_start, seq_id * {budget}) - tok_start AS BIGINT) AS doc_offset,
+       CAST(least(tok_start + n_tok, seq_id * {budget} + {budget})
+            - greatest(tok_start, seq_id * {budget}) AS BIGINT) AS span_len
+FROM spans
+"""
+
+
+def pack_greedy_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    budget: int = 256,
+    block_rows: int = 128,
+) -> str:
+    """First-fit no-split packing (operators/packing.py:pack_greedy).
+
+    The per-block running-fill recurrence as a recursive CTE walking rows
+    in (source, block, doc_id) order — blocks are tiny, recursion depth is
+    max rows per block."""
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT {id_col}, {source_col},
+         len({duck_ws_tokens(text_col)}) AS n_tok,
+         {id_col} // {block_rows} AS block
+  FROM {table}),
+nz AS (
+  SELECT *, row_number() OVER (PARTITION BY {source_col}, block ORDER BY {id_col}) AS rn
+  FROM docs WHERE n_tok > 0),
+walk AS (
+  SELECT {source_col}, block, {id_col}, n_tok, rn,
+         CAST(0 AS BIGINT) AS seq_in_block, CAST(0 AS BIGINT) AS seq_offset,
+         CAST(n_tok AS BIGINT) AS fill
+  FROM nz WHERE rn = 1
+  UNION ALL
+  SELECT d.{source_col}, d.block, d.{id_col}, d.n_tok, d.rn,
+         CASE WHEN w.fill > 0 AND w.fill + d.n_tok > {budget}
+              THEN w.seq_in_block + 1 ELSE w.seq_in_block END,
+         CASE WHEN w.fill > 0 AND w.fill + d.n_tok > {budget}
+              THEN CAST(0 AS BIGINT) ELSE w.fill END,
+         CASE WHEN w.fill > 0 AND w.fill + d.n_tok > {budget}
+              THEN CAST(d.n_tok AS BIGINT) ELSE w.fill + d.n_tok END
+  FROM walk w
+  JOIN nz d ON d.{source_col} = w.{source_col} AND d.block = w.block AND d.rn = w.rn + 1)
+SELECT {source_col}, CAST(block AS BIGINT) AS block, {id_col},
+       CAST(n_tok AS BIGINT) AS n_tok, seq_in_block, seq_offset
+FROM walk
+"""
+
+
+def token_chunks_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: int = 32768,
+    window: int = 32,
+    stride: int = 16,
+) -> str:
+    """Sliding token windows (operators/packing.py:token_chunks); chunk
+    arrays scalarized to an order-preserving md5."""
+    tok = f"CAST({duck_md5_long('x')} % {vocab} AS INT)"
+    sl = f"list_slice(tk, chunk_id * {stride} + 1, chunk_id * {stride} + {window})"
+    return f"""
+WITH docs AS (SELECT {id_col},
+                     list_transform({duck_ws_tokens(text_col)}, x -> {tok}) AS tk
+              FROM {table}),
+nz AS (SELECT * FROM docs WHERE len(tk) > 0),
+ex AS (SELECT {id_col}, tk,
+              unnest(generate_series(0,
+                CASE WHEN len(tk) <= {window} THEN 0
+                     ELSE (len(tk) - {window} + {stride} - 1) // {stride} END)) AS chunk_id
+       FROM nz)
+SELECT {id_col}, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len({sl}) AS BIGINT) AS chunk_len,
+       md5(array_to_string(list_transform({sl}, x -> CAST(x AS VARCHAR)), ',')) AS chunk_md5
+FROM ex
+"""
+
+
+def decontaminate_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    bench_mod: int = 97,
+) -> str:
+    """Benchmark n-gram decontamination (operators/corpus.py:decontaminate);
+    benchmark = docs with id % bench_mod = 0, corpus = the rest."""
+    h = duck_md5_long("s")
+    return f"""
+WITH docs AS (SELECT {id_col}, {duck_ws_tokens(text_col)} AS t FROM {table}),
+hs AS (SELECT {id_col},
+              list_transform({duck_shingles('t', shingle_n)}, s -> {h}) AS g
+       FROM docs),
+bench AS (SELECT DISTINCT unnest(g) AS g FROM hs WHERE {id_col} % {bench_mod} = 0),
+corp AS (SELECT {id_col}, unnest(g) AS g FROM hs WHERE {id_col} % {bench_mod} <> 0),
+j AS (SELECT c.{id_col}, CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM corp c LEFT JOIN bench b ON c.g = b.g)
+SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(sum(hit) AS BIGINT) AS n_hit,
+       round(CAST(sum(hit) AS DOUBLE) / count(*), 4) AS contamination
+FROM j GROUP BY {id_col}
+"""
