@@ -64,6 +64,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         default=0,
         help="generate deterministic synthetic inputs of this size instead of reading tables",
     )
+    p.add_argument(
+        "--synth-sources",
+        type=int,
+        default=20,
+        help="number of cold sources in the synthetic input (slice count = this + 1 hot)",
+    )
     return p.parse_args(argv)
 
 
@@ -72,7 +78,7 @@ def build_inputs(spark, args):
     from transmog_spark.sources.tables import read_table
 
     if args.synth_docs:
-        seqs = synth.sequences(spark, args.synth_docs)
+        seqs = synth.sequences(spark, args.synth_docs, n_sources=args.synth_sources)
         events = synth.feature_events(spark, args.synth_docs)
     else:
         seqs = read_table(spark, args.sequences)
