@@ -601,6 +601,14 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, bench, n=3)
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gates (top token / top 2-gram /
+    duplicated 3-gram fractions) per document."""
+    from transmog_spark.operators.text import repetition_profile
+
+    return repetition_profile(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1": _q_tpch_q1,
@@ -645,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": _q_pack_greedy,
         "token_chunks": _q_token_chunks,
         "decontaminate": _q_decontaminate,
+        "repetition_profile": _q_repetition,
     }
 
 
@@ -657,6 +666,7 @@ def oracle_sql() -> dict[str, str]:
         bm25_sql,
         components_sql,
         decontaminate_sql,
+        repetition_profile_sql,
         pack_concat_sql,
         pack_greedy_sql,
         token_chunks_sql,
@@ -933,4 +943,5 @@ FROM lagged l JOIN sess s ON l.user_id = s.user_id AND l.session_index = s.sessi
         "pack_greedy": pack_greedy_sql(budget=256, block_rows=128),
         "token_chunks": token_chunks_sql(window=32, stride=16),
         "decontaminate": decontaminate_sql(shingle_n=3, bench_mod=97),
+        "repetition_profile": repetition_profile_sql(),
     }

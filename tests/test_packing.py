@@ -149,3 +149,29 @@ def test_decontaminate_flags_verbatim_copy(spark):
     assert rows[1].contamination == 1.0
     assert rows[2].n_hit == 0 and rows[2].contamination == 0.0
     assert rows[3].n_hit == 1 and 0 < rows[3].contamination < 1
+
+
+def test_repetition_profile_values(spark):
+    from transmog_spark.operators.text import repetition_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),              # one token repeated
+            (2, "x y z w"),              # all distinct
+            (3, "a b a b a b"),          # heavy 2-gram/3-gram repetition
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_profile(df).collect()}
+    assert rows[1].n_tok == 4 and rows[1].top_tok_frac == 1.0
+    # "a a" occurs 3x among 3 2-grams -> 3*2/4 tokens
+    assert rows[1].top_2gram_frac == 1.5
+    assert rows[1].dup_3gram_frac == 1.0  # both "a a a" grams are dups
+    assert rows[2].top_tok_frac == 0.25
+    assert rows[2].top_2gram_frac == 0.5  # max 2-gram count 1 -> 2/4
+    assert rows[2].dup_3gram_frac == 0.0
+    # doc 3: tokens a,b alternate: top tok 3/6; "a b" 2-gram 3 of 5
+    assert rows[3].top_tok_frac == 0.5
+    assert rows[3].top_2gram_frac == 1.0  # 3*2/6
+    # 3-grams: "a b a" x2, "b a b" x2 -> all 4 positions duplicated
+    assert rows[3].dup_3gram_frac == 1.0

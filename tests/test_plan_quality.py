@@ -112,3 +112,47 @@ def test_whole_stage_codegen_everywhere(spark, sf_dir):
             assert m and int(m.group(1)) >= 1, q
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_token_chunks_is_narrow(spark, sf_dir):
+    # stateless explode: no exchange anywhere
+    plan = _plan(spark, sf_dir, "token_chunks")
+    assert _exchanges(plan) == 0
+    assert "BroadcastExchange" not in plan
+
+
+def test_pack_concat_broadcasts_block_offsets(spark, sf_dir):
+    # two-level scan: fine-grained (source, block) window + tiny block-total
+    # cumsum joined back via broadcast — never a whole-source window
+    plan = _plan(spark, sf_dir, "pack_concat")
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
+    assert _exchanges(plan) <= 3
+    # the full-size frame is partitioned by (source, block) — never by
+    # source alone (the skew hazard the two-level scan avoids). Exactly one
+    # source-only partitioning survives: the one-row-per-block totals frame.
+    src_parts = re.findall(r"hashpartitioning\(source#\d+[^)]*\)", plan)
+    assert src_parts, plan
+    assert sum("block" not in p for p in src_parts) == 1, src_parts
+
+
+def test_pack_greedy_single_exchange(spark, sf_dir):
+    # one shuffle into (source, block) groups for the applyInPandas fill
+    plan = _plan(spark, sf_dir, "pack_greedy")
+    assert _exchanges(plan) == 1
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    # benchmark n-gram set broadcast; corpus side shuffles only on doc_id
+    plan = _plan(spark, sf_dir, "decontaminate")
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
+    assert _exchanges(plan) <= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_profile_two_exchanges_no_joins(spark, sf_dir):
+    # union of gram sizes -> one hashed-gram count shuffle -> one per-doc
+    # pivot shuffle; no join operators, no gram strings on the wire
+    plan = _plan(spark, sf_dir, "repetition_profile")
+    assert _exchanges(plan) == 2
+    assert "Join" not in plan

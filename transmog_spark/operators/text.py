@@ -209,3 +209,70 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         quality.alias("quality"),
         F.coalesce(F.col("__fp"), F.lit(0)).cast("long").alias("fingerprint"),
     )
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Ordered (non-distinct) word n-grams; empty when the doc is shorter
+    than ``n``. Shifted-slice ``zip_with`` construction — O(tokens·n)/row,
+    same shape as ``dedup.word_shingles`` but keeping duplicates and order
+    (repetition statistics need the counts shingles throw away)."""
+    size = F.size(toks)
+    grams = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(size - k, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(grams, lambda x: x.isNotNull())
+
+
+def repetition_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (token level).
+
+    Per document: ``top_tok_frac`` (share of tokens taken by the most
+    frequent token), ``top_2gram_frac`` (share of tokens covered by the
+    most frequent 2-gram), ``dup_3gram_frac`` (share of 3-gram positions
+    whose gram occurs more than once). The standard pre-training quality
+    gates for boilerplate / template spam (Gopher §A.1.1 repetition
+    filters, re-expressed over whitespace tokens).
+
+    Scale shape: ONE shuffled frame for all three gram sizes — the three
+    explodes union into (doc, n, gram_hash) rows, counted with a map-side-
+    combined groupBy, then pivoted per doc with conditional aggregates.
+    Two exchanges total, zero joins, and the shuffle payload is a 60-bit
+    gram hash (8 bytes), never the gram strings. The hash is the
+    DuckDB-parity md5, so the (negligible) collision behavior is identical
+    in the oracle.
+    """
+    toks = ws_tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__t"))
+
+    def gram_frame(n: int) -> DataFrame:
+        return base.select(
+            id_col,
+            F.lit(n).alias("n"),
+            F.explode(word_ngrams(F.col("__t"), n)).alias("g"),
+        ).select(id_col, "n", md5_long(F.col("g")).alias("gh"))
+
+    allgrams = gram_frame(1).unionByName(gram_frame(2)).unionByName(gram_frame(3))
+    cnt = allgrams.groupBy(id_col, "n", "gh").agg(F.count(F.lit(1)).alias("c"))
+    c = F.col("c")
+    of = lambda n: F.when(F.col("n") == n, c)
+    prof = cnt.groupBy(id_col).agg(
+        F.max(of(1)).alias("t1_max"),
+        F.sum(of(1)).alias("t1_total"),
+        F.max(of(2)).alias("t2_max"),
+        F.sum(F.when((F.col("n") == 3) & (c > 1), c)).alias("t3_dup"),
+        F.sum(of(3)).alias("t3_total"),
+    )
+    n_tok = F.col("t1_total")
+    frac = lambda num, den: F.round(
+        F.coalesce(num.cast("double") / den, F.lit(0.0)), 4
+    )
+    return prof.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tok"),
+        frac(F.col("t1_max"), n_tok).alias("top_tok_frac"),
+        frac(F.col("t2_max") * 2, n_tok).alias("top_2gram_frac"),
+        frac(F.col("t3_dup"), F.col("t3_total")).alias("dup_3gram_frac"),
+    )

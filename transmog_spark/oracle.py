@@ -656,3 +656,40 @@ SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_ngrams,
        round(CAST(sum(hit) AS DOUBLE) / count(*), 4) AS contamination
 FROM j GROUP BY {id_col}
 """
+
+
+def repetition_profile_sql(
+    *, table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """Within-doc repetition signals (operators/text.py:repetition_profile).
+    Docs with zero tokens are absent (the unigram frame anchors the join)."""
+
+    def grams(n: int) -> str:
+        return (
+            f"list_transform(range(1, len(t) - {n} + 2), "
+            f"i -> array_to_string(list_slice(t, i, i + {n} - 1), ' '))"
+        )
+
+    h = duck_md5_long("g")
+    return f"""
+WITH docs AS (SELECT {id_col}, {duck_ws_tokens(text_col)} AS t FROM {table}),
+allg AS (
+  SELECT {id_col}, 1 AS n, {h} AS gh FROM (SELECT {id_col}, unnest(t) AS g FROM docs)
+  UNION ALL
+  SELECT {id_col}, 2 AS n, {h} AS gh FROM (SELECT {id_col}, unnest({grams(2)}) AS g FROM docs)
+  UNION ALL
+  SELECT {id_col}, 3 AS n, {h} AS gh FROM (SELECT {id_col}, unnest({grams(3)}) AS g FROM docs)),
+cnt AS (SELECT {id_col}, n, gh, count(*) AS c FROM allg GROUP BY 1, 2, 3),
+prof AS (SELECT {id_col},
+                max(CASE WHEN n = 1 THEN c END) AS t1_max,
+                CAST(sum(CASE WHEN n = 1 THEN c END) AS BIGINT) AS t1_total,
+                max(CASE WHEN n = 2 THEN c END) AS t2_max,
+                CAST(sum(CASE WHEN n = 3 AND c > 1 THEN c END) AS BIGINT) AS t3_dup,
+                CAST(sum(CASE WHEN n = 3 THEN c END) AS BIGINT) AS t3_total
+         FROM cnt GROUP BY 1)
+SELECT {id_col}, t1_total AS n_tok,
+       round(COALESCE(CAST(t1_max AS DOUBLE) / t1_total, 0), 4) AS top_tok_frac,
+       round(COALESCE(CAST(t2_max * 2 AS DOUBLE) / t1_total, 0), 4) AS top_2gram_frac,
+       round(COALESCE(CAST(t3_dup AS DOUBLE) / t3_total, 0), 4) AS dup_3gram_frac
+FROM prof
+"""
