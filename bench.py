@@ -104,6 +104,26 @@ def main() -> None:
     tok_wall = timed(lambda: token_features(spark, n_docs, salt_buckets=0, partitions=cpus * 2))
     times["token_pipeline"] = tok_wall
 
+    # Sequence packing at matched synthetic scale (two-level prefix-sum over
+    # the skewed-source table; budget = a 2k context window)
+    from pyspark.sql import functions as F
+
+    from transmog_spark.operators.packing import pack_concat
+    from transmog_spark.sources import synth
+
+    def _packed():
+        seqs = synth.sequences(spark, n_docs, partitions=cpus * 2).select(
+            F.expr("CAST(substr(doc_id, 4) AS LONG)").alias("doc_num"),
+            "source",
+            "n_tok",
+        )
+        return pack_concat(
+            seqs, id_col="doc_num", budget=2048, block_rows=8192
+        )
+
+    pack_wall = timed(_packed)
+    times["pack_concat_synth"] = pack_wall
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -116,6 +136,7 @@ def main() -> None:
                 "cpus": cpus,
                 "token_docs": n_docs,
                 "token_seq_per_sec": round(n_docs / tok_wall, 1),
+                "pack_docs_per_sec": round(n_docs / pack_wall, 1),
             }
         )
     )
