@@ -609,6 +609,34 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_profile(_t(spark, sf_dir, "documents"))
 
 
+def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation flagship for the training-data tier: repetition filter ->
+    benchmark decontamination -> exact dedup -> tokenize -> concat packing.
+    Every stage is an already-oracle-gated operator; the composed oracle
+    (oracle.curation_pipeline_sql) mirrors the chain as CTEs."""
+    from transmog_spark.operators.corpus import decontaminate
+    from transmog_spark.operators.dedup import dedupe_exact
+    from transmog_spark.operators.packing import pack_concat
+    from transmog_spark.operators.text import repetition_profile, ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    rep = repetition_profile(d).select("doc_id", "top_2gram_frac")
+    dec = decontaminate(corpus, bench, n=3).select("doc_id", "contamination")
+    keep = (
+        corpus.join(rep, "doc_id")
+        .join(dec, "doc_id")
+        .where((F.col("top_2gram_frac") <= 0.09) & (F.col("contamination") <= 0.02))
+        .select("doc_id", "source", "text")
+    )
+    ded = dedupe_exact(keep, "doc_id", "text")
+    toks = ded.select(
+        "doc_id", "source", F.size(ws_tokens(F.col("text"))).alias("n_tok")
+    )
+    return pack_concat(toks, budget=256, block_rows=128)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1": _q_tpch_q1,
@@ -654,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_chunks": _q_token_chunks,
         "decontaminate": _q_decontaminate,
         "repetition_profile": _q_repetition,
+        "curation_pipeline": _q_curation_pipeline,
     }
 
 
@@ -665,6 +694,7 @@ def oracle_sql() -> dict[str, str]:
     from transmog_spark.oracle import (
         bm25_sql,
         components_sql,
+        curation_pipeline_sql,
         decontaminate_sql,
         repetition_profile_sql,
         pack_concat_sql,
@@ -944,4 +974,5 @@ FROM lagged l JOIN sess s ON l.user_id = s.user_id AND l.session_index = s.sessi
         "token_chunks": token_chunks_sql(window=32, stride=16),
         "decontaminate": decontaminate_sql(shingle_n=3, bench_mod=97),
         "repetition_profile": repetition_profile_sql(),
+        "curation_pipeline": curation_pipeline_sql(),
     }

@@ -693,3 +693,64 @@ SELECT {id_col}, t1_total AS n_tok,
        round(COALESCE(CAST(t3_dup AS DOUBLE) / t3_total, 0), 4) AS dup_3gram_frac
 FROM prof
 """
+
+
+def curation_pipeline_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    shingle_n: int = 3,
+    bench_mod: int = 97,
+    max_top2gram: float = 0.09,
+    max_contamination: float = 0.02,
+    budget: int = 256,
+) -> str:
+    """End-to-end curation flagship: repetition filter -> decontamination
+    filter -> exact dedup (min-id keeper) -> tokenize -> concat packing.
+    Composes the per-operator oracles as CTEs, so any mismatch localizes
+    to the stage whose standalone oracle also fails."""
+    rep = repetition_profile_sql(table=table, id_col=id_col, text_col=text_col)
+    dec = decontaminate_sql(
+        table=table,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        bench_mod=bench_mod,
+    )
+    return f"""
+WITH rep AS ({rep}),
+dec AS ({dec}),
+corpus AS (SELECT * FROM {table} WHERE {id_col} % {bench_mod} <> 0),
+keep AS (
+  SELECT c.{id_col}, c.{source_col}, c.{text_col}
+  FROM corpus c
+  JOIN rep r ON c.{id_col} = r.{id_col}
+  JOIN dec d ON c.{id_col} = d.{id_col}
+  WHERE r.top_2gram_frac <= {max_top2gram}
+    AND d.contamination <= {max_contamination}),
+ded AS (
+  SELECT {id_col}, {source_col}, {text_col} FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5({text_col})
+                                 ORDER BY {id_col}) AS rn
+    FROM keep)
+  WHERE rn = 1),
+docs AS (SELECT {id_col}, {source_col},
+                len({duck_ws_tokens(text_col)}) AS n_tok FROM ded),
+nz AS (SELECT * FROM docs WHERE n_tok > 0),
+off AS (SELECT *, CAST(COALESCE(SUM(n_tok) OVER (
+          PARTITION BY {source_col} ORDER BY {id_col}
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        FROM nz),
+spans AS (SELECT {source_col}, {id_col}, tok_start, n_tok,
+                 unnest(generate_series(tok_start // {budget},
+                                        (tok_start + n_tok - 1) // {budget})) AS seq_id
+          FROM off)
+SELECT {source_col}, CAST(seq_id AS BIGINT) AS seq_id, {id_col},
+       CAST(greatest(tok_start, seq_id * {budget}) - seq_id * {budget} AS BIGINT) AS seq_offset,
+       CAST(greatest(tok_start, seq_id * {budget}) - tok_start AS BIGINT) AS doc_offset,
+       CAST(least(tok_start + n_tok, seq_id * {budget} + {budget})
+            - greatest(tok_start, seq_id * {budget}) AS BIGINT) AS span_len
+FROM spans
+"""
