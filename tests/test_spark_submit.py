@@ -63,3 +63,18 @@ def test_spark_submit_pyfiles_backfill(tmp_path, spark):
     # per-slice lineage was committed
     lineage = spark.read.parquet(str(ckpt_dir))
     assert lineage.count() > 0
+
+
+def test_pyfiles_zip_is_deterministic(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from make_pyfiles import build
+
+    a = build(str(tmp_path / "a.zip"))
+    b = build(str(tmp_path / "b.zip"))
+    with open(a, "rb") as fa, open(b, "rb") as fb:
+        assert fa.read() == fb.read()
+    import zipfile
+
+    names = zipfile.ZipFile(a).namelist()
+    assert "transmog_spark/operators/packing.py" in names
+    assert not any(n.endswith(".pyc") or "__pycache__" in n for n in names)

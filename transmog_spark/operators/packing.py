@@ -24,7 +24,10 @@ Scale shapes (100 TB posture):
   key, cumsums are computed per ``(source, block)`` (fine-grained shuffle
   keys — a hot source spreads over many blocks), block totals form a tiny
   per-source frame whose own cumsum is broadcast back. A 10^12-row source
-  costs two narrow shuffles of (source, block)-keyed longs.
+  costs two narrow shuffles of (source, block)-keyed longs. Size
+  ``block_rows`` so the TOTAL block count stays broadcastable (rows/
+  block_rows ≲ 10^6, i.e. ~10^6 rows per block at 10^12 rows — each block
+  offset is ~24 bytes); the default suits bench-scale inputs.
 * ``pack_greedy`` blocks are the unit of sequential work AND the unit of
   parallelism; sequences never cross block boundaries (deterministic,
   resumable, and exactly mirrorable in SQL). Block size bounds per-task
