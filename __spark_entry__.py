@@ -609,6 +609,19 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_profile(_t(spark, sf_dir, "documents"))
 
 
+MIX_WEIGHTS = {"src0": 2.5, "src1": 0.5, "src2": 0.0}
+
+
+def _q_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch data mixture: src0 upsampled 2.5x, src1 halved,
+    src2 dropped, everything else one epoch — deterministic by seeded hash."""
+    from transmog_spark.operators.corpus import epoch_mixture
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = epoch_mixture(d, weights=MIX_WEIGHTS, default_weight=1.0)
+    return out.select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
+
+
 def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation flagship for the training-data tier: repetition filter ->
     benchmark decontamination -> exact dedup -> tokenize -> concat packing.
@@ -683,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "repetition_profile": _q_repetition,
         "curation_pipeline": _q_curation_pipeline,
+        "epoch_mixture": _q_epoch_mixture,
     }
 
 
@@ -696,6 +710,7 @@ def oracle_sql() -> dict[str, str]:
         components_sql,
         curation_pipeline_sql,
         decontaminate_sql,
+        epoch_mixture_sql,
         repetition_profile_sql,
         pack_concat_sql,
         pack_greedy_sql,
@@ -975,4 +990,5 @@ FROM lagged l JOIN sess s ON l.user_id = s.user_id AND l.session_index = s.sessi
         "decontaminate": decontaminate_sql(shingle_n=3, bench_mod=97),
         "repetition_profile": repetition_profile_sql(),
         "curation_pipeline": curation_pipeline_sql(),
+        "epoch_mixture": epoch_mixture_sql(weights=MIX_WEIGHTS),
     }

@@ -113,11 +113,12 @@ def main() -> None:
         pack_docs = int(args[args.index("--pack-docs") + 1])
     if "--levels" in args:
         levels = [int(x) for x in args[args.index("--levels") + 1].split(",")]
+    rounds = int(args[args.index("--rounds") + 1]) if "--rounds" in args else 2
 
     # interleave levels across two fresh-JVM rounds (A,B,A,B) so slow
     # bursts on this shared box cannot bias one level
     raw: dict[int, list[dict]] = {c: [] for c in levels}
-    for _ in range(2):
+    for _ in range(rounds):
         for cpus in levels:
             out = subprocess.run(
                 [
@@ -184,7 +185,8 @@ def main() -> None:
         "Same deterministic tokenized-sequence job (flatten -> as-of join ->",
         "sessionize -> lag/lead; `transmog_spark.pipeline.token_features`) at two",
         "parallelism levels in fresh JVMs — the sandbox proxy for N vs 4N",
-        "executors. Min over 2 fresh JVMs x 6 executions per level (interleaved\nA,B,A,B to cancel host timing bursts; plan/codegen warm).",
+        f"executors. Min over {rounds} fresh JVM round(s) x 6 executions per level"
+        " (interleaved\nA,B,… to cancel host timing bursts; plan/codegen warm).",
         "",
         f"measured: {summary['measured_at']}  ·  docs: {n_docs:,}",
         "",

@@ -105,3 +105,31 @@ def test_duplicate_components_long_chain_converges(spark):
     got = {r.doc_id: r.cluster_id for r in duplicate_components(pairs).collect()}
     assert set(got.values()) == {0}
     assert len(got) == n + 1
+
+
+def test_epoch_mixture_fractional_weights(spark):
+    from transmog_spark.operators.corpus import epoch_mixture
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 1000 else "b") for i in range(2000)],
+        "doc_id long, source string",
+    )
+    out = epoch_mixture(df, weights={"a": 2.5, "b": 0.25}).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault((r.doc_id, r.source), []).append(r.epoch)
+    # epochs are dense 0..n-1 per doc
+    assert all(sorted(v) == list(range(len(v))) for v in per_doc.values())
+    a_counts = [len(v) for (d, s), v in per_doc.items() if s == "a"]
+    b_docs = sum(1 for (d, s) in per_doc if s == "b")
+    # every 'a' doc appears 2 or 3 times; ~half get the 3rd epoch
+    assert set(a_counts) <= {2, 3}
+    assert 0.4 < sum(c == 3 for c in a_counts) / 1000 < 0.6
+    # ~25% of 'b' docs appear exactly once, the rest not at all
+    assert 0.18 < b_docs / 1000 < 0.32
+    assert all(len(v) == 1 for (d, s), v in per_doc.items() if s == "b")
+    # determinism: a second run selects the identical multiset
+    again = epoch_mixture(df, weights={"a": 2.5, "b": 0.25}).collect()
+    assert sorted((r.doc_id, r.source, r.epoch) for r in out) == sorted(
+        (r.doc_id, r.source, r.epoch) for r in again
+    )

@@ -163,3 +163,43 @@ def decontaminate(
             F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1)), 4
         ).alias("contamination"),
     )
+
+
+def epoch_mixture(
+    df: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    *,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    seed: str = "mix",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Epoch-weighted training mixture: replicate/subsample each stratum by
+    a fractional weight.
+
+    Weight ``w`` means every document appears ``floor(w)`` times, and a
+    deterministic ``frac(w)`` share of documents (chosen by seeded hash,
+    stable across runs/engines/partitionings) appears once more — the
+    standard fractional-epoch semantics of pre-training data mixes
+    (w=2.5: every doc twice, half the docs a third time; w=0.3: 30% of
+    docs once). Adds ``epoch`` (0-based copy index).
+
+    Scale shape: stateless per-row expression + explode — no shuffle, no
+    driver state; replication multiplies rows exactly where the mix says,
+    never materializing an intermediate copy of the corpus.
+    """
+    base: F.Column = F.lit(int(default_weight))
+    thr: F.Column = F.lit(int(round((default_weight - int(default_weight)) * buckets)))
+    for k, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"negative weight for {k!r}")
+        is_k = F.col(strata_col) == k
+        base = F.when(is_k, F.lit(int(w))).otherwise(base)
+        thr = F.when(is_k, F.lit(int(round((w - int(w)) * buckets)))).otherwise(thr)
+    h = md5_long(F.concat(F.lit(f"{seed}#"), F.col(id_col).cast("string"))) % buckets
+    n_copies = (base + F.when(h < thr, 1).otherwise(0)).cast("int")
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn("epoch", F.explode(copies))

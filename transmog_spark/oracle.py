@@ -754,3 +754,39 @@ SELECT {source_col}, CAST(seq_id AS BIGINT) AS seq_id, {id_col},
             - greatest(tok_start, seq_id * {budget}) AS BIGINT) AS span_len
 FROM spans
 """
+
+
+def epoch_mixture_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    weights: dict[str, float] | None = None,
+    default_weight: float = 1.0,
+    seed: str = "mix",
+    buckets: int = 1_000_000,
+) -> str:
+    """Fractional-epoch mixture (operators/corpus.py:epoch_mixture)."""
+    weights = weights or {}
+    base_cases = " ".join(
+        f"WHEN '{k}' THEN {int(w)}" for k, w in sorted(weights.items())
+    )
+    thr_cases = " ".join(
+        f"WHEN '{k}' THEN {int(round((w - int(w)) * buckets))}"
+        for k, w in sorted(weights.items())
+    )
+    h = duck_md5_long(f"'{seed}#' || CAST({id_col} AS VARCHAR)")
+    return f"""
+WITH w AS (
+  SELECT {id_col}, {strata_col},
+         CASE {strata_col} {base_cases} ELSE {int(default_weight)} END AS base,
+         CASE {strata_col} {thr_cases}
+              ELSE {int(round((default_weight - int(default_weight)) * buckets))} END AS thr
+  FROM {table}),
+c AS (SELECT {id_col}, {strata_col},
+             base + CASE WHEN ({h}) % {buckets} < thr THEN 1 ELSE 0 END AS n
+      FROM w)
+SELECT {id_col}, {strata_col},
+       CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS epoch
+FROM c WHERE n > 0
+"""
