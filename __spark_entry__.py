@@ -612,6 +612,14 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_WEIGHTS = {"src0": 2.5, "src1": 0.5, "src2": 0.0}
 
 
+def _q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus vocabulary QA: volume, vocab size, type-token
+    ratio, top-token share."""
+    from transmog_spark.operators.corpus import vocab_stats
+
+    return vocab_stats(_t(spark, sf_dir, "documents"))
+
+
 def _q_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fractional-epoch data mixture: src0 upsampled 2.5x, src1 halved,
     src2 dropped, everything else one epoch — deterministic by seeded hash."""
@@ -697,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": _q_repetition,
         "curation_pipeline": _q_curation_pipeline,
         "epoch_mixture": _q_epoch_mixture,
+        "vocab_stats": _q_vocab_stats,
     }
 
 
@@ -711,6 +720,7 @@ def oracle_sql() -> dict[str, str]:
         curation_pipeline_sql,
         decontaminate_sql,
         epoch_mixture_sql,
+        vocab_stats_sql,
         repetition_profile_sql,
         pack_concat_sql,
         pack_greedy_sql,
@@ -991,4 +1001,5 @@ FROM lagged l JOIN sess s ON l.user_id = s.user_id AND l.session_index = s.sessi
         "repetition_profile": repetition_profile_sql(),
         "curation_pipeline": curation_pipeline_sql(),
         "epoch_mixture": epoch_mixture_sql(weights=MIX_WEIGHTS),
+        "vocab_stats": vocab_stats_sql(),
     }

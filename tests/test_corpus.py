@@ -133,3 +133,19 @@ def test_epoch_mixture_fractional_weights(spark):
     assert sorted((r.doc_id, r.source, r.epoch) for r in out) == sorted(
         (r.doc_id, r.source, r.epoch) for r in again
     )
+
+
+def test_vocab_stats_exact_values(spark):
+    from transmog_spark.operators.corpus import vocab_stats
+
+    df = spark.createDataFrame(
+        [(1, "a", "x x x y"), (2, "a", "x z"), (3, "b", "p q r s")],
+        "doc_id long, source string, text string",
+    )
+    rows = {r.source: r for r in vocab_stats(df).collect()}
+    a = rows["a"]
+    assert (a.n_tokens, a.vocab_size) == (6, 3)  # x*4, y, z
+    assert a.type_token_ratio == 0.5 and a.top_token_share == round(4 / 6, 4)
+    b = rows["b"]
+    assert (b.n_tokens, b.vocab_size) == (4, 4)
+    assert b.type_token_ratio == 1.0 and b.top_token_share == 0.25

@@ -203,3 +203,34 @@ def epoch_mixture(
         n_copies > 0, F.sequence(F.lit(0), n_copies - 1)
     ).otherwise(F.array().cast("array<int>"))
     return df.withColumn("epoch", F.explode(copies))
+
+
+def vocab_stats(
+    df: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level vocabulary statistics per stratum: token volume,
+    distinct vocabulary size, type-token ratio, and the share of the single
+    most frequent token — the corpus-QA counterparts of the per-document
+    repetition profile (a collapsing TTR or a spiking top-token share flags
+    template spam or a broken extractor upstream).
+
+    Scale shape: one explode -> groupBy (stratum, token_hash) with map-side
+    combine -> one per-stratum pivot; 8-byte hashes on the wire, never
+    token strings. Same 60-bit md5 as the DuckDB oracle.
+    """
+    from transmog_spark.operators.text import ws_tokens
+
+    toks = df.select(
+        F.col(strata_col),
+        F.explode(ws_tokens(F.col(text_col))).alias("t"),
+    ).select(strata_col, md5_long(F.col("t")).alias("th"))
+    cnt = toks.groupBy(strata_col, "th").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c")
+    return cnt.groupBy(strata_col).agg(
+        total.cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.round(F.count(F.lit(1)) / total, 4).alias("type_token_ratio"),
+        F.round(F.max("c") / total, 4).alias("top_token_share"),
+    )

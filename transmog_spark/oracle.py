@@ -790,3 +790,22 @@ SELECT {id_col}, {strata_col},
        CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS epoch
 FROM c WHERE n > 0
 """
+
+
+def vocab_stats_sql(
+    *, table: str = "documents", strata_col: str = "source", text_col: str = "text"
+) -> str:
+    """Per-stratum vocabulary stats (operators/corpus.py:vocab_stats)."""
+    h = duck_md5_long("t")
+    return f"""
+WITH toks AS (
+  SELECT {strata_col}, {h} AS th
+  FROM (SELECT {strata_col}, unnest({duck_ws_tokens(text_col)}) AS t FROM {table})),
+cnt AS (SELECT {strata_col}, th, count(*) AS c FROM toks GROUP BY 1, 2)
+SELECT {strata_col},
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       round(CAST(count(*) AS DOUBLE) / sum(c), 4) AS type_token_ratio,
+       round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_token_share
+FROM cnt GROUP BY 1
+"""
