@@ -590,6 +590,22 @@ def _q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed training sequences: pack_concat spans joined back
+    to the token arrays and assembled into budget-exact array<int> rows
+    (operators/packing.py:pack_assemble); arrays scalarized to md5."""
+    from transmog_spark.operators.packing import pack_assemble
+    from transmog_spark.operators.text import tokenize_ids
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", tokenize_ids(F.col("text")).alias("tokens"))
+    asm = pack_assemble(toks, budget=256, block_rows=128)
+    tok_str = F.concat_ws(",", F.transform(F.col("tokens"), lambda x: x.cast("string")))
+    return asm.select(
+        "source", "seq_id", "seq_len", F.md5(tok_str).alias("tokens_md5")
+    )
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark 3-gram decontamination: corpus (doc_id % 97 != 0) scored
     against the held-out benchmark slice (doc_id % 97 == 0)."""
@@ -700,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pipeline": _q_token_pipeline,
         "pack_concat": _q_pack_concat,
         "pack_greedy": _q_pack_greedy,
+        "pack_assemble": _q_pack_assemble,
         "token_chunks": _q_token_chunks,
         "decontaminate": _q_decontaminate,
         "repetition_profile": _q_repetition,
@@ -722,6 +739,7 @@ def oracle_sql() -> dict[str, str]:
         epoch_mixture_sql,
         vocab_stats_sql,
         repetition_profile_sql,
+        pack_assemble_sql,
         pack_concat_sql,
         pack_greedy_sql,
         token_chunks_sql,
@@ -798,8 +816,8 @@ WITH o AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (
-  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) - 1 AS session_index
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_index
   FROM o)
 SELECT user_id, session_index, count(*) AS session_len,
        min(ts) AS session_start, max(ts) AS session_end,
@@ -908,8 +926,8 @@ WITH o AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (
-  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) - 1 AS session_index
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_index
   FROM o),
 iv AS (SELECT user_id, session_index, min(ts) AS start_ts, max(ts) AS end_ts
        FROM s GROUP BY 1, 2),
@@ -979,8 +997,8 @@ flagged AS (
                  THEN 1 ELSE 0 END AS is_new
   FROM joined WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sessioned AS (
-  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) - 1 AS session_index
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_index
   FROM flagged),
 lagged AS (
   SELECT *, lag(value, 1) OVER w AS value_lag1, lead(value, 1) OVER w AS value_lead1
@@ -996,6 +1014,7 @@ FROM lagged l JOIN sess s ON l.user_id = s.user_id AND l.session_index = s.sessi
 """,
         "pack_concat": pack_concat_sql(budget=256),
         "pack_greedy": pack_greedy_sql(budget=256, block_rows=128),
+        "pack_assemble": pack_assemble_sql(budget=256),
         "token_chunks": token_chunks_sql(window=32, stride=16),
         "decontaminate": decontaminate_sql(shingle_n=3, bench_mod=97),
         "repetition_profile": repetition_profile_sql(),

@@ -53,6 +53,64 @@ def canon(rows, cols):
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
+def _duck_type_class(t: str) -> str:
+    t = t.upper()
+    if t == "HUGEINT" or t.startswith("DECIMAL"):
+        return "DRIVER-FLOAT64"  # fetchdf() materializes these as float64
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t.startswith("TIMESTAMP") or t == "DATE":
+        return "ts"
+    return "other"
+
+
+def _spark_type_class(t: str) -> str:
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if t in ("float", "double"):
+        return "float"
+    if t.startswith("decimal"):
+        return "DRIVER-FLOAT64"
+    if t.startswith("timestamp") or t == "date":
+        return "ts"
+    return "other"
+
+
+def dtype_check(con, sql, sdf) -> list[str]:
+    """Schema-level dtype parity the value compare can't see.
+
+    The driver hashes pandas frames (Spark ``toPandas`` vs DuckDB
+    ``fetchdf``), so a DuckDB HUGEINT/DECIMAL column reaches it as float64
+    and hash-mismatches Spark's int64 even when every value is equal —
+    ``fetchall()`` collapses HUGEINT to Python int and hid exactly this in
+    rounds 1 AND 2 (groupBy sums, then window sums). Compare declared types
+    on both sides so local PASS truly equals driver PASS, without
+    re-executing either query.
+    """
+    problems = []
+    try:
+        dtypes = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+    except Exception as exc:  # DESCRIBE should accept anything EXPLAIN does
+        return [f"DESCRIBE failed: {str(exc)[:120]}"]
+    stypes = dict(sdf.dtypes)
+    for col, dt in dtypes.items():
+        dc = _duck_type_class(dt)
+        sc = _spark_type_class(stypes.get(col, "other"))
+        if dc == "DRIVER-FLOAT64":
+            problems.append(
+                f"{col}: DuckDB {dt} -> float64 at the driver vs Spark "
+                f"{stypes.get(col)}; CAST(... AS BIGINT/DOUBLE) in the oracle"
+            )
+        elif {dc, sc} == {"int", "float"}:
+            problems.append(
+                f"{col}: int/float mismatch (DuckDB {dt} vs Spark {stypes.get(col)})"
+            )
+    return problems
+
+
 def main() -> int:
     import duckdb
 
@@ -98,18 +156,21 @@ def main() -> int:
             continue
         ok_cols = sorted(scols) == sorted(dcols)
         ok_count = len(srows) == len(drows)
+        dtype_problems = dtype_check(con, oracles[name], sdf) if ok_cols else []
         ok_vals = False
         if ok_cols and ok_count:
             try:
                 ok_vals = canon(srows, scols) == canon(drows, dcols)
             except TypeError as exc:
                 print(f"{name}: DRIVER-INCOMPATIBLE CELL — {exc}")
-        status = "OK" if (ok_cols and ok_count and ok_vals) else "FAIL"
+        status = "OK" if (ok_cols and ok_count and ok_vals and not dtype_problems) else "FAIL"
         if status == "FAIL":
             failures.append(name)
         print(
             f"{name}: {status} rows={len(srows)}/{len(drows)} cols_match={ok_cols} vals_match={ok_vals}"
         )
+        for p in dtype_problems:
+            print(f"  DTYPE: {p}")
         if not ok_cols:
             print(f"  spark cols: {sorted(scols)}\n  duck  cols: {sorted(dcols)}")
         elif not ok_vals and ok_count:

@@ -83,6 +83,46 @@ def test_pack_concat_partition_of_tokens(spark, docs):
         assert fill == BUDGET or seq == last
 
 
+def test_pack_assemble_materializes_token_stream(spark):
+    """Assembled sequences are budget-exact and partition the per-source
+    token stream: concatenating them in seq_id order reproduces every
+    document's tokens in doc-id order, bit-for-bit."""
+    from transmog_spark.operators.packing import pack_assemble
+
+    # unique token values so identity AND order are both checked
+    rows, nxt = [], 0
+    for doc_id, source, n in [
+        (0, "a", 40), (1, "a", 40), (2, "a", 40), (3, "a", 150), (4, "a", 1),
+        (10, "b", 100), (11, "b", 100), (12, "b", 7), (13, "b", 0),
+        (260, "a", 60), (261, "a", 60),
+    ]:
+        rows.append((doc_id, source, list(range(nxt, nxt + n))))
+        nxt += n
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, tokens array<int>"
+    )
+    out = pack_assemble(docs, budget=BUDGET, block_rows=256).collect()
+
+    by_source = {}
+    for r in out:
+        assert r.seq_len == len(r.tokens)
+        by_source.setdefault(r.source, []).append(r)
+    expected = {}
+    for doc_id, source, toks in sorted(rows):
+        if toks:
+            expected.setdefault(source, []).extend(toks)
+    for source, seqs in by_source.items():
+        seqs = sorted(seqs, key=lambda r: r.seq_id)
+        # contiguous seq ids from 0; every sequence full except the last
+        assert [s.seq_id for s in seqs] == list(range(len(seqs)))
+        for s in seqs[:-1]:
+            assert s.seq_len == BUDGET
+        assert 0 < seqs[-1].seq_len <= BUDGET
+        stream = [t for s in seqs for t in s.tokens]
+        assert stream == expected[source]
+    assert set(by_source) == set(expected)
+
+
 def test_pack_greedy_no_split_first_fit(spark, docs):
     from transmog_spark.operators.packing import pack_greedy
 

@@ -91,6 +91,13 @@ def test_lsh_topk_single_rank_shuffle(spark, sf_dir):
     # with queries and never replicated
     plan = _plan(spark, sf_dir, "embedding_topk_lsh")
     assert "CartesianProduct" not in plan and "CrossJoin" not in plan
+    # probe side is EXPLICITLY broadcast (like ivf_topk): exactly one
+    # BroadcastExchange, and the corpus is never hash-partitioned on the
+    # ≤2^n_planes-distinct signature key — that shuffle would funnel a
+    # 10^12-row corpus through ≤256 partitions if auto-broadcast declined
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
+    for ex in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "__bkey" not in ex.group(1)
 
 
 def test_minhash_shuffles_longs_not_shingles(spark, sf_dir):

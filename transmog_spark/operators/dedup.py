@@ -440,6 +440,7 @@ def duplicate_components(
         )
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iterations):
         msgs = sym.join(labels, sym.dst == labels.node).select(
             F.col("src").alias("node"), F.col("label")
@@ -455,6 +456,20 @@ def duplicate_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # a chain-shaped component longer than max_iterations hops would
+        # otherwise silently emit split clusters and fail the exact
+        # transitive-closure oracle in a hard-to-diagnose way
+        import warnings
+
+        warnings.warn(
+            f"duplicate_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing) — cluster_id is a "
+            "refinement of the true components; raise max_iterations or use "
+            "large-star/small-star for high-diameter graphs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -197,6 +197,61 @@ def pack_greedy(
     )
 
 
+def pack_assemble(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    source_col: str = "source",
+    *,
+    budget: int = DEFAULT_BUDGET,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+) -> DataFrame:
+    """Materialized concat-then-chunk training sequences.
+
+    ``pack_concat`` emits span *metadata* (which document slice lands where);
+    this operator joins the spans back to the token arrays and assembles the
+    actual fixed-budget ``array<int>`` sequences a trainer consumes: one row
+    per ``(source, seq_id)`` with ``tokens`` = the document slices
+    concatenated in ``seq_offset`` order. Every sequence is exactly
+    ``budget`` tokens except the final (partial) one per source — the
+    sequences are a partition of each source's token stream in doc-id order.
+
+    Scale shape: the span plan is computed on a skinny ``(source, id,
+    n_tok)`` projection (two narrow shuffles of longs, see
+    ``doc_offsets``); the token arrays move through exactly two wide
+    shuffles — the doc-id join and the ``(source, seq_id)`` assembly
+    groupBy, each carrying the corpus token volume once. Per-group state in
+    the assembly agg is bounded by ``budget`` tokens (a sequence's pieces
+    never exceed the budget), so ``collect_list`` here is safe at any
+    corpus size.
+    """
+    skinny = df.select(source_col, id_col, F.size(F.col(tokens_col)).alias("__ntok"))
+    spans = pack_concat(
+        skinny, id_col, "__ntok", source_col, budget=budget, block_rows=block_rows
+    )
+    joined = spans.join(df.select(id_col, tokens_col), id_col)
+    # SQL slice accepts column bounds (F.slice needs plan-time ints)
+    piece = F.expr(f"slice({tokens_col}, doc_offset + 1, span_len)")
+    parts = joined.select(
+        source_col,
+        "seq_id",
+        F.struct(F.col("seq_offset").alias("o"), piece.alias("p")).alias("__op"),
+    )
+    # array_sort on array<struct> orders by the first field (seq_offset,
+    # unique within a sequence) — deterministic assembly without a sort node
+    assembled = parts.groupBy(source_col, "seq_id").agg(
+        F.flatten(
+            F.transform(F.array_sort(F.collect_list("__op")), lambda s: s["p"])
+        ).alias(tokens_col)
+    )
+    return assembled.select(
+        source_col,
+        "seq_id",
+        F.size(F.col(tokens_col)).cast("long").alias("seq_len"),
+        tokens_col,
+    )
+
+
 def token_chunks(
     df: DataFrame,
     id_col: str = "doc_id",

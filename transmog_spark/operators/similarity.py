@@ -312,7 +312,11 @@ def lsh_topk(
     )
     q = q.select("query_id", "__qv", F.explode(probes).alias("__bkey"))
 
-    joined = c.join(q, "__bkey")
+    # Explicit broadcast of the probe side (queries are small by contract,
+    # like ivf_topk's probe set): without it, a declined auto-broadcast
+    # hash-partitions the 10^12-row corpus on __bkey — at most 2^n_planes
+    # distinct values, a catastrophic shuffle key.
+    joined = c.join(F.broadcast(q), "__bkey")
     if exclude_self:
         joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
     scored = joined.select(

@@ -458,8 +458,8 @@ flagged AS (
                  THEN 1 ELSE 0 END AS is_new
   FROM pit WINDOW w AS (PARTITION BY doc_id ORDER BY ts, rev)),
 sessioned AS (
-  SELECT *, sum(is_new) OVER (PARTITION BY doc_id ORDER BY ts, rev
-                              ROWS UNBOUNDED PRECEDING) - 1 AS session_index
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY doc_id ORDER BY ts, rev
+                              ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_index
   FROM flagged),
 lagged AS (
   SELECT *, lag(rev_n_tok, 1) OVER w AS rev_n_tok_lag1
@@ -598,6 +598,52 @@ walk AS (
 SELECT {source_col}, CAST(block AS BIGINT) AS block, {id_col},
        CAST(n_tok AS BIGINT) AS n_tok, seq_in_block, seq_offset
 FROM walk
+"""
+
+
+def pack_assemble_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    vocab: int = 32768,
+    budget: int = 256,
+) -> str:
+    """Materialized packed sequences (operators/packing.py:pack_assemble).
+
+    Same integer span arithmetic as ``pack_concat_sql``, then the document
+    slices are concatenated per (source, seq_id) in seq_offset order via
+    ``flatten(list(piece ORDER BY seq_offset))``; the assembled token array
+    is scalarized to an order-preserving md5 for the driver's canonicalizer
+    (per-element parity is independently gated by ``token_positions``)."""
+    tok = f"CAST({duck_md5_long('x')} % {vocab} AS INT)"
+    lo = f"seq_id * {budget}"
+    start = f"greatest(tok_start, {lo})"
+    stop = f"least(tok_start + n_tok, {lo} + {budget})"
+    return f"""
+WITH docs AS (SELECT {id_col}, {source_col},
+                     list_transform({duck_ws_tokens(text_col)}, x -> {tok}) AS tk
+              FROM {table}),
+d2 AS (SELECT *, len(tk) AS n_tok FROM docs WHERE len(tk) > 0),
+off AS (SELECT *, CAST(COALESCE(SUM(n_tok) OVER (
+          PARTITION BY {source_col} ORDER BY {id_col}
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        FROM d2),
+spans AS (SELECT {source_col}, {id_col}, tk, tok_start, n_tok,
+                 unnest(generate_series(tok_start // {budget},
+                                        (tok_start + n_tok - 1) // {budget})) AS seq_id
+          FROM off),
+pieces AS (SELECT {source_col}, CAST(seq_id AS BIGINT) AS seq_id,
+                  CAST({start} - {lo} AS BIGINT) AS seq_offset,
+                  list_slice(tk, {start} - tok_start + 1, {stop} - tok_start) AS piece
+           FROM spans),
+asm AS (SELECT {source_col}, seq_id,
+               flatten(list(piece ORDER BY seq_offset)) AS tokens
+        FROM pieces GROUP BY 1, 2)
+SELECT {source_col}, seq_id, CAST(len(tokens) AS BIGINT) AS seq_len,
+       md5(array_to_string(list_transform(tokens, x -> CAST(x AS VARCHAR)), ',')) AS tokens_md5
+FROM asm
 """
 
 

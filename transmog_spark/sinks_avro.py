@@ -413,27 +413,37 @@ def write_avro_fallback(
     Arrow batches cross the Python boundary in bulk; ``to_pylist`` yields
     exact typed values (no NaN-for-null surprises). ``mode='append'`` adds
     uniquely-named files (epoch-free: name derives from existing count).
+
+    Commit protocol (mirrors Hadoop's commit-by-rename): tasks write into a
+    staging subdirectory; only after the whole action succeeds does the
+    driver delete the old files (overwrite) and rename the staged parts into
+    ``path`` — a mid-write failure leaves previously committed data intact.
+    Requires driver and executors to share ``path``'s filesystem (local mode
+    or NFS/DBFS-style shared storage); on object stores use the spark-avro
+    package path instead.
     """
+    import shutil
+    import uuid
+
     import pyarrow as pa
 
     avro_schema = spark_to_avro_schema(df.schema, "spark_avro")
     os.makedirs(path, exist_ok=True)
     if mode == "overwrite":
-        for f in os.listdir(path):
-            if f.endswith(".avro"):
-                os.remove(os.path.join(path, f))
         suffix = ""
     elif mode == "append":
         suffix = f"-{len([f for f in os.listdir(path) if f.endswith('.avro')]):05d}"
     else:
         raise ValueError(f"Unsupported mode {mode!r}")
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex[:12]}")
+    os.makedirs(staging)
     schema_json = json.dumps(avro_schema)
 
     def write_partition(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        target = os.path.join(path, f"part-{pid:05d}{suffix}.avro")
+        target = os.path.join(staging, f"part-{pid:05d}{suffix}.avro")
         schema = json.loads(schema_json)
 
         def rows() -> Iterator[dict]:
@@ -445,7 +455,19 @@ def write_avro_fallback(
         yield pa.RecordBatch.from_pydict({"rows": [n]})
 
     counts = df.mapInArrow(write_partition, "rows long")
-    counts.agg({"rows": "sum"}).collect()  # trigger the distributed write
+    try:
+        counts.agg({"rows": "sum"}).collect()  # trigger the distributed write
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    # the action succeeded: commit — destructive step happens only now
+    if mode == "overwrite":
+        for f in os.listdir(path):
+            if f.endswith(".avro"):
+                os.remove(os.path.join(path, f))
+    for f in sorted(os.listdir(staging)):
+        os.replace(os.path.join(staging, f), os.path.join(path, f))
+    shutil.rmtree(staging, ignore_errors=True)
     return path
 
 
