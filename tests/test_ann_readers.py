@@ -48,6 +48,50 @@ def test_ivf_full_probe_equals_brute_force(emb):
     assert exact == full
 
 
+def test_kmeans_refine_deterministic_and_balances(emb):
+    """Lloyd refinement is bit-deterministic (exact scaled-integer means)
+    and never worsens quantization: the mean round(cos,6) of each point to
+    its assigned centroid is non-decreasing vs the raw md5-seed centroids."""
+    from transmog_spark.operators.similarity import (
+        _centroid_sim_structs,
+        kmeans_refine,
+    )
+    from transmog_spark.functions.hashing import md5_long
+
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"))
+    seed_rows = (
+        c.orderBy(md5_long(F.col("neighbor_id").cast("string")), "neighbor_id")
+        .limit(8)
+        .collect()
+    )
+    seeds = sorted((r["neighbor_id"], [float(x) for x in r["__cv"]]) for r in seed_rows)
+
+    r1 = kmeans_refine(c, seeds, dim=64, iterations=2)
+    r2 = kmeans_refine(c, seeds, dim=64, iterations=2)
+    assert r1 == r2  # bit-identical across runs (exact integer sums)
+    assert [cid for cid, _ in r1] == [cid for cid, _ in seeds]  # stable labels
+
+    def mean_sim(cents):
+        sim = F.array_max(_centroid_sim_structs(cents)(F.col("__cv")))["s"]
+        return c.agg(F.avg(sim)).collect()[0][0]
+
+    assert mean_sim(r1) >= mean_sim(seeds) - 1e-9  # Lloyd never degrades
+
+
+def test_ivf_refined_full_probe_equals_brute_force(emb):
+    """Refined centroids still partition the corpus: probing every list is
+    exact search regardless of where the centroids moved."""
+    q = emb.where(F.col("vec_id") < 10)
+    exact = _topk_sets(brute_force_topk(emb, q, id_col="vec_id", vec_col="embedding", k=5))
+    full = _topk_sets(
+        ivf_topk(
+            emb, q, id_col="vec_id", vec_col="embedding", k=5, nlist=8, nprobe=8,
+            refine_iterations=2, dim=64,
+        )
+    )
+    assert exact == full
+
+
 def test_lsh_topk_returns_ranked_neighbors(emb):
     q = emb.where(F.col("vec_id") < 10)
     out = lsh_topk(
@@ -129,13 +173,18 @@ def test_read_csv_file(spark, tmp_path):
     assert df.count() == 2 and set(df.columns) == {"a", "b"}
 
 
-def test_json5_gated_on_dependency(spark, tmp_path):
+def test_read_json5_file(spark, tmp_path):
+    # parses with or without the optional json5 package (vendored fallback)
     p = tmp_path / "d.json5"
-    p.write_text("{a: 1}")
-    try:
-        import json5  # noqa: F401
+    p.write_text(
+        "// config\n[\n  {a: 1, b: 'x', c: .5,},\n  {a: 0x10, b: \"y\", c: +2.,},\n]"
+    )
+    rows = {tuple(r) for r in read_file(spark, str(p)).select("a", "b", "c").collect()}
+    assert rows == {(1, "x", 0.5), (16, "y", 2.0)}
 
-        assert read_file(spark, str(p)).count() == 1
-    except ImportError:
-        with pytest.raises(ImportError, match="json5"):
-            read_file(spark, str(p))
+
+def test_read_hjson_file(spark, tmp_path):
+    p = tmp_path / "d.hjson"
+    p.write_text("{\n  # comment\n  name: hello world\n  count: 3\n  ok: true\n}")
+    r = read_file(spark, str(p)).collect()[0]
+    assert (r["name"], r["count"], r["ok"]) == ("hello world", 3, True)

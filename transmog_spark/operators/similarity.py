@@ -54,6 +54,108 @@ def brute_force_topk(
     )
 
 
+def _fold_norm(cv: list[float]) -> float:
+    # EXACT mirror of cosine_sim's left fold (same IEEE op order) so the
+    # plan-time constant equals what the engine would compute in-row
+    import math
+
+    acc = 0.0
+    for x in cv:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def _centroid_sim_structs(cents: list[tuple[int, list[float]]]):
+    """Expression factory: vec -> array<struct(sim, -idx, cid)> over the
+    centroid set as plan-time literals.
+
+    array_max / sort_array compare fields left to right, so max = highest
+    round(cos,6), ties broken by LOWEST cid (idx follows cid order) —
+    identical keys to the oracle's row_number() OVER (ORDER BY sim DESC,
+    cid ASC). ONE literal node per list (F.lit of whole arrays):
+    per-element Literal trees and per-centroid lambda folds made Catalyst
+    analysis (seconds per build) dominate the wall at small scale — a
+    single transform over a 2D literal keeps the plan at 3 lambdas
+    regardless of nlist.
+    """
+    cents_arr = F.lit([cv for _, cv in cents])
+    norms_arr = F.lit([_fold_norm(cv) for _, cv in cents])
+    cids_arr = F.lit([cid for cid, _ in cents])
+
+    def sim_structs(vec: Column) -> Column:
+        na = F.sqrt(
+            F.aggregate(vec, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+        )
+
+        def mk(cv: Column, i: Column) -> Column:
+            dot = F.aggregate(
+                F.zip_with(vec, cv, lambda x, y: x.cast("double") * y.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            nb = F.element_at(norms_arr, i + 1)
+            sim = F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+            return F.struct(
+                F.round(sim, 6).alias("s"),
+                (-i).alias("negidx"),
+                F.element_at(cids_arr, i + 1).alias("cid"),
+            )
+
+        return F.transform(cents_arr, mk)
+
+    return sim_structs
+
+
+def kmeans_refine(
+    c: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    *,
+    dim: int,
+    iterations: int,
+    scale: int = 1_000_000,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd refinement of IVF centroids, deterministic across engines.
+
+    Each iteration: per-row argmax assignment over centroid literals (zero
+    shuffle) -> per-list per-dimension mean via ``2 + dim`` map-side-combined
+    aggregate expressions (``element_at`` — never a posexplode, which would
+    be rows×dim exploded rows at corpus scale; same shape as
+    ``sq8_params``). Sums are exact scaled integers (``round(v·1e6)`` as
+    long), so the means are independent of partition order and
+    bit-reproducible in the DuckDB oracle — floating-point summation order
+    can never flip an assignment between engines. A list that captures no
+    points keeps its previous centroid. ``dim`` is explicit for the same
+    reason as everywhere else: probing an array column's length would be a
+    driver action on a 10^12-row table.
+
+    The per-iteration collect is ``nlist × (dim + 1)`` longs — bounded and
+    tiny, the same class as the seed-centroid collect in ``ivf_topk``.
+    """
+    for _ in range(iterations):
+        sim_structs = _centroid_sim_structs(cents)
+        assigned = c.withColumn("__cid", F.array_max(sim_structs(F.col("__cv")))["cid"])
+        # cast double BEFORE scaling: float32 × int would round in float32
+        # and can land on a different integer than the oracle's DOUBLE[] math
+        aggs = [F.count(F.lit(1)).alias("__n")] + [
+            F.sum(
+                F.round(F.element_at(F.col("__cv"), i + 1).cast("double") * scale).cast("long")
+            ).alias(f"__s{i}")
+            for i in range(dim)
+        ]
+        rows = assigned.groupBy("__cid").agg(*aggs).collect()
+        by_cid = {r["__cid"]: r for r in rows}
+        new_cents = []
+        for cid, cv in cents:
+            r = by_cid.get(cid)
+            if r is None:
+                new_cents.append((cid, cv))  # empty list keeps its centroid
+            else:
+                denom = r["__n"] * float(scale)
+                new_cents.append((cid, [r[f"__s{i}"] / denom for i in range(dim)]))
+        cents = new_cents
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -65,14 +167,18 @@ def ivf_topk(
     nlist: int = 16,
     nprobe: int = 4,
     exclude_self: bool = True,
+    refine_iterations: int = 0,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into ``nlist`` inverted lists
     around deterministic centroids; probe the ``nprobe`` nearest lists.
 
-    Centroids are the vectors of the ``nlist`` corpus rows with the smallest
-    md5 hash of their id — no RNG, no iteration, bit-reproducible in the
-    DuckDB oracle (a k-means refinement would drop in here on a real
-    cluster; list assignment and probing stay identical).
+    Seed centroids are the vectors of the ``nlist`` corpus rows with the
+    smallest md5 hash of their id — no RNG, bit-reproducible in the DuckDB
+    oracle. ``refine_iterations > 0`` runs that many Lloyd k-means passes
+    over the seeds (``kmeans_refine``; requires explicit ``dim``) for
+    better list balance/recall; list assignment and probing are identical
+    either way.
 
     Scale shape: centroid set is tiny (broadcast); corpus assignment is one
     narrow pass + rank; the query-side join touches ``nprobe/nlist`` of the
@@ -95,50 +201,12 @@ def ivf_topk(
         ((r["neighbor_id"], [float(x) for x in r["__cv"]]) for r in cent_rows),
         key=lambda t: t[0],
     )
+    if refine_iterations > 0:
+        if dim is None:
+            raise ValueError("refine_iterations requires explicit dim")
+        cents = kmeans_refine(c, cents, dim=dim, iterations=refine_iterations)
 
-    def _fold_norm(cv: list[float]) -> float:
-        # EXACT mirror of cosine_sim's left fold (same IEEE op order) so the
-        # plan-time constant equals what the engine would compute in-row
-        import math
-
-        acc = 0.0
-        for x in cv:
-            acc += x * x
-        return math.sqrt(acc)
-
-    cent_norms = [_fold_norm(cv) for _, cv in cents]
-    # ONE literal node per list (F.lit of whole arrays): per-element Literal
-    # trees and per-centroid lambda folds made Catalyst analysis (seconds per
-    # build) dominate the wall at small scale — a single transform over a 2D
-    # literal keeps the plan at 3 lambdas regardless of nlist.
-    cents_arr = F.lit([cv for _, cv in cents])
-    norms_arr = F.lit(cent_norms)
-    cids_arr = F.lit([cid for cid, _ in cents])
-
-    def sim_structs(vec: Column) -> Column:
-        # array<struct(sim, -idx, cid)>: array_max / sort_array compare
-        # fields left to right, so max = highest round(cos,6), ties broken
-        # by LOWEST cid (idx follows cid order) — identical keys to the
-        # oracle's row_number() OVER (ORDER BY sim DESC, cid ASC).
-        na = F.sqrt(
-            F.aggregate(vec, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
-        )
-
-        def mk(cv: Column, i: Column) -> Column:
-            dot = F.aggregate(
-                F.zip_with(vec, cv, lambda x, y: x.cast("double") * y.cast("double")),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            nb = F.element_at(norms_arr, i + 1)
-            sim = F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
-            return F.struct(
-                F.round(sim, 6).alias("s"),
-                (-i).alias("negidx"),
-                F.element_at(cids_arr, i + 1).alias("cid"),
-            )
-
-        return F.transform(cents_arr, mk)
+    sim_structs = _centroid_sim_structs(cents)
 
     # corpus→list assignment: expression argmax over centroid literals —
     # ZERO shuffle (the old formulation cross-joined nlist copies of the

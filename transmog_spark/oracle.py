@@ -214,27 +214,53 @@ def ivf_topk_sql(
     k: int = 5,
     nlist: int = 16,
     nprobe: int = 4,
+    refine_iterations: int = 0,
+    dim: int = 64,
 ) -> str:
     """Mirror of operators.similarity.ivf_topk (same centroid rule, same
-    round(·,6) rank keys, same tie-breaks)."""
+    round(·,6) rank keys, same tie-breaks). ``refine_iterations`` mirrors
+    kmeans_refine: per-iteration argmax assignment + per-dimension means as
+    exact scaled-integer sums (sum of round(v·1e6) longs, cast DOUBLE at
+    the end) — bit-identical to the engine regardless of summation order;
+    empty lists carry their previous centroid (COALESCE)."""
     h = duck_md5_long(f"CAST({id_col} AS VARCHAR)")
+    refine = ""
+    prev = "cent"
+    for t in range(refine_iterations):
+        means = ", ".join(
+            f"CAST(sum(CAST(round(v[{i + 1}] * 1000000) AS BIGINT)) AS DOUBLE)"
+            f" / (count(*) * 1000000.0)"
+            for i in range(dim)
+        )
+        refine += f"""
+asg{t} AS (
+  SELECT nid, v, cid FROM (
+    SELECT e.nid, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.nid
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
+    FROM e CROSS JOIN {prev} c) WHERE rn = 1),
+agg{t} AS (SELECT cid, [{means}] AS mv FROM asg{t} GROUP BY cid),
+cent{t + 1} AS (
+  SELECT c.cid, COALESCE(a.mv, c.cv) AS cv
+  FROM {prev} c LEFT JOIN agg{t} a USING (cid)),"""
+        prev = f"cent{t + 1}"
     return f"""
 WITH e AS (SELECT {id_col} AS nid, {vec_col}::DOUBLE[] AS v FROM {table}),
 cent AS (
-  SELECT nid AS cid, v AS cv FROM e ORDER BY {h.replace(id_col, 'nid')}, nid LIMIT {nlist}),
+  SELECT nid AS cid, v AS cv FROM e ORDER BY {h.replace(id_col, 'nid')}, nid LIMIT {nlist}),{refine}
 assigned AS (
   SELECT nid, v, cid FROM (
     SELECT e.nid, e.v, c.cid,
            row_number() OVER (PARTITION BY e.nid
              ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
-    FROM e CROSS JOIN cent c) WHERE rn = 1),
+    FROM e CROSS JOIN {prev} c) WHERE rn = 1),
 q AS (SELECT {id_col} AS qid, {vec_col}::DOUBLE[] AS qv FROM {table} WHERE {query_filter}),
 probes AS (
   SELECT qid, qv, cid FROM (
     SELECT q.qid, q.qv, c.cid,
            row_number() OVER (PARTITION BY q.qid
              ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cid) AS rn
-    FROM q CROSS JOIN cent c) WHERE rn <= {nprobe}),
+    FROM q CROSS JOIN {prev} c) WHERE rn <= {nprobe}),
 scored AS (
   SELECT p.qid AS query_id, a.nid AS neighbor_id,
          round(list_cosine_similarity(p.qv, a.v), 6) AS cos

@@ -11,9 +11,10 @@ collapses onto Spark's distributed JSON scan:
 * S8 format sniffer -> extension dispatch + the same >=2-parsed-lines
   heuristic for bare strings (iterators.py:79-104,403-425).
 
-JSON5/HJSON (S5/S6) need lenient parsers Spark lacks; exposed behind an
-import-try on the optional libs, applied as a driver-side pre-parse (these
-formats are small-config-file territory, not 100 TB inputs).
+JSON5/HJSON (S5/S6) need lenient parsers Spark lacks; the optional
+json5/hjson libs are preferred when importable, with a vendored spec
+parser (lenient_json.py) as fallback, applied as a driver-side pre-parse
+(these formats are small-config-file territory, not 100 TB inputs).
 """
 
 from __future__ import annotations
@@ -92,19 +93,25 @@ def read_data(spark: SparkSession, text: str) -> DataFrame:
 
 
 def _read_lenient(spark: SparkSession, path: str, fmt: str) -> DataFrame:
-    """JSON5/HJSON via optional libs; driver-side parse (small files only)."""
+    """JSON5/HJSON; driver-side parse (small-config-file formats).
+
+    Prefers the optional ``json5``/``hjson`` packages (the parsers the
+    reference requires, iterators.py:266-319); falls back to the vendored
+    spec parser in ``lenient_json`` so these formats work everywhere —
+    unlike the reference, a missing package is not fatal.
+    """
+    with open(path, encoding="utf-8") as fh:
+        text = fh.read()
     try:
         if fmt == "json5":
             import json5 as lenient  # type: ignore[import-not-found]
         else:
             import hjson as lenient  # type: ignore[import-not-found]
-    except ImportError as exc:
-        raise ImportError(
-            f"{fmt} support requires the optional '{fmt}' package "
-            "(reference gates identically: iterators.py:266-319)"
-        ) from exc
-    with open(path, encoding="utf-8") as fh:
-        data = lenient.load(fh)
+        data = lenient.loads(text)
+    except ImportError:
+        from transmog_spark.sources.lenient_json import loads
+
+        data = loads(text, mode=fmt)
     if isinstance(data, dict):
         data = [data]
     return spark.read.json(
