@@ -637,6 +637,34 @@ def _q_pack_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_assemble_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized greedy no-split sequences: pack_greedy assignments
+    joined back to token arrays (operators/packing.py:pack_assemble_greedy);
+    arrays scalarized to md5."""
+    from transmog_spark.operators.packing import pack_assemble_greedy
+    from transmog_spark.operators.text import tokenize_ids
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", tokenize_ids(F.col("text")).alias("tokens"))
+    asm = pack_assemble_greedy(toks, budget=256, block_rows=128)
+    tok_str = F.concat_ws(",", F.transform(F.col("tokens"), lambda x: x.cast("string")))
+    return asm.select(
+        "source", "block", "seq_in_block", "seq_len", F.md5(tok_str).alias("tokens_md5")
+    )
+
+
+BM25_QUERY = ["spark", "window", "vector"]
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 document retrieval for a 3-term query: exact scaled-integer
+    per-doc score sum, TakeOrdered global top-k (never a whole-corpus
+    single-partition window)."""
+    from transmog_spark.operators.corpus import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), BM25_QUERY, k=10)
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark 3-gram decontamination: corpus (doc_id % 97 != 0) scored
     against the held-out benchmark slice (doc_id % 97 == 0)."""
@@ -749,6 +777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_concat": _q_pack_concat,
         "pack_greedy": _q_pack_greedy,
         "pack_assemble": _q_pack_assemble,
+        "pack_assemble_greedy": _q_pack_assemble_greedy,
+        "bm25_topk": _q_bm25_topk,
         "token_chunks": _q_token_chunks,
         "decontaminate": _q_decontaminate,
         "repetition_profile": _q_repetition,
@@ -771,6 +801,8 @@ def oracle_sql() -> dict[str, str]:
         epoch_mixture_sql,
         vocab_stats_sql,
         repetition_profile_sql,
+        bm25_topk_sql,
+        pack_assemble_greedy_sql,
         pack_assemble_sql,
         pack_concat_sql,
         pack_greedy_sql,
@@ -1051,6 +1083,8 @@ FROM lagged l JOIN sess s ON l.user_id = s.user_id AND l.session_index = s.sessi
         "pack_concat": pack_concat_sql(budget=256),
         "pack_greedy": pack_greedy_sql(budget=256, block_rows=128),
         "pack_assemble": pack_assemble_sql(budget=256),
+        "pack_assemble_greedy": pack_assemble_greedy_sql(budget=256, block_rows=128),
+        "bm25_topk": bm25_topk_sql(query_terms=BM25_QUERY, k=10),
         "token_chunks": token_chunks_sql(window=32, stride=16),
         "decontaminate": decontaminate_sql(shingle_n=3, bench_mod=97),
         "repetition_profile": repetition_profile_sql(),

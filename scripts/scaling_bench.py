@@ -19,9 +19,18 @@ and only ~0.77 from 8->32 (SMT territory beyond the physical cores), so
 4 vs 16 is the pair that actually varies *parallelism* rather than
 hyperthread contention.
 
+Partitioning: by default every level runs the SAME fixed partitioning
+(``--partitions 64`` — the cluster posture, where partition count follows
+data volume, ~constant bytes per partition, and scaling only adds cores).
+``--partitions 0`` restores the legacy cores-proportional mode
+(shuffle = cpus), which conflates partition-size effects with parallelism:
+at 8M docs local[4]'s window sorts are 4x larger per partition than
+local[16]'s, and the measured "efficiency" mixes the two effects.
+
 Usage:
-  python scripts/scaling_bench.py [--docs N] [--levels 8,32]
-  python scripts/scaling_bench.py --child CPUS DOCS      (internal)
+  SPARK_GRAFT_DRIVER_MEM=48g python scripts/scaling_bench.py \
+      [--docs N] [--levels 4,16] [--rounds 2] [--partitions 64]
+  python scripts/scaling_bench.py --child CPUS DOCS PACK_DOCS PARTS  (internal)
 
 Writes BENCH/BASELINE.md and BENCH/scaling.json.
 """
@@ -39,7 +48,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def child(cpus: int, n_docs: int, pack_docs: int) -> None:
+def child(cpus: int, n_docs: int, pack_docs: int, partitions: int) -> None:
     from pyspark.sql import functions as F
 
     from transmog_spark.operators.packing import pack_concat
@@ -47,7 +56,15 @@ def child(cpus: int, n_docs: int, pack_docs: int) -> None:
     from transmog_spark.session import get_spark
     from transmog_spark.sources import synth
 
-    spark = get_spark(f"local[{cpus}]", shuffle_partitions=cpus)
+    # partitions > 0: FIXED partitioning at every level — the cluster
+    # posture (partitions sized to data volume, ~constant bytes/partition;
+    # scaling = same job, same partitioning, more cores). partitions == 0:
+    # legacy cores-proportional mode (shuffle = cpus), which conflates
+    # partition-size effects with parallelism — at 8M docs the 4x-larger
+    # per-partition window sorts at local[4] vs local[16] distort the ratio.
+    shuffle = partitions if partitions > 0 else cpus
+    in_parts = partitions if partitions > 0 else cpus * 2
+    spark = get_spark(f"local[{cpus}]", shuffle_partitions=shuffle)
 
     def best_of(df, runs: int = 6) -> list[float]:
         # one plan, many executions: analysis/codegen amortize exactly as
@@ -60,14 +77,14 @@ def child(cpus: int, n_docs: int, pack_docs: int) -> None:
             walls.append(time.perf_counter() - t0)
         return walls
 
-    walls = best_of(token_features(spark, n_docs, salt_buckets=0, partitions=cpus * 2))
+    walls = best_of(token_features(spark, n_docs, salt_buckets=0, partitions=in_parts))
     best = min(walls)
 
     # second scaling subject: the two-level prefix-sum packing scan over the
     # same skewed-source synthetic table (50% of docs in one hot source —
     # the (source, block) keying is what keeps this from becoming a
     # single-partition window)
-    seqs = synth.sequences(spark, pack_docs, partitions=cpus * 2).select(
+    seqs = synth.sequences(spark, pack_docs, partitions=in_parts).select(
         F.expr("CAST(substr(doc_id, 4) AS LONG)").alias("doc_num"), "source", "n_tok"
     )
     pack_walls = best_of(pack_concat(seqs, id_col="doc_num", budget=2048, block_rows=8192))
@@ -93,7 +110,7 @@ def child(cpus: int, n_docs: int, pack_docs: int) -> None:
 def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "--child":
-        child(int(args[1]), int(args[2]), int(args[3]))
+        child(int(args[1]), int(args[2]), int(args[3]), int(args[4]))
         return
 
     # Sizing note: the per-job serial component (driver planning, stage
@@ -114,6 +131,11 @@ def main() -> None:
     if "--levels" in args:
         levels = [int(x) for x in args[args.index("--levels") + 1].split(",")]
     rounds = int(args[args.index("--rounds") + 1]) if "--rounds" in args else 2
+    # fixed data-sized partitioning at every level by default (cluster
+    # posture; see child()); --partitions 0 restores cores-proportional
+    partitions = (
+        int(args[args.index("--partitions") + 1]) if "--partitions" in args else 64
+    )
 
     # interleave levels across two fresh-JVM rounds (A,B,A,B) so slow
     # bursts on this shared box cannot bias one level
@@ -128,6 +150,7 @@ def main() -> None:
                     str(cpus),
                     str(n_docs),
                     str(pack_docs),
+                    str(partitions),
                 ],
                 capture_output=True,
                 text=True,

@@ -47,6 +47,28 @@ def test_bm25_idf_formula(docs):
     assert row.bm25 == pytest.approx(round(expect, 4))
 
 
+def test_bm25_topk_retrieval(docs):
+    from transmog_spark.operators.corpus import bm25_topk
+
+    out = bm25_topk(docs, ["cat", "sat", "mat"], k=3).collect()
+    # only docs 1 and 2 contain any query term: docs with no hits are
+    # absent from the result, not zero-scored
+    assert [r.rank for r in out] == [1, 2]
+    # doc 1 matches all three terms and must win; doc 2 matches only 'sat'
+    assert out[0].doc_id == 1 and out[0].terms_matched == 3
+    assert out[1].doc_id == 2 and out[1].terms_matched == 1
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # score is the sum of the doc's per-term bm25 (exact integer arithmetic)
+    per_term = {
+        (r.doc_id, r.term): r.bm25
+        for r in bm25_scores(docs).collect()
+        if r.term in {"cat", "sat", "mat"}
+    }
+    want = round(sum(v for (d, _), v in per_term.items() if d == 1), 4)
+    assert out[0].score == pytest.approx(want, abs=1e-4)
+
+
 def test_hash_sample_deterministic_and_stable(spark):
     d = spark.range(10_000).select(F.col("id").alias("doc_id"))
     a = sorted(r.doc_id for r in hash_sample(d, fraction=0.2).collect())

@@ -123,6 +123,45 @@ def test_pack_assemble_materializes_token_stream(spark):
     assert set(by_source) == set(expected)
 
 
+def test_pack_assemble_greedy_no_split_materialization(spark):
+    """Greedy assembly: every document's tokens appear contiguously in
+    exactly one sequence; multi-doc sequences respect the budget."""
+    from transmog_spark.operators.packing import pack_assemble_greedy
+
+    rows, nxt = [], 0
+    for doc_id, source, n in [
+        (0, "a", 40), (1, "a", 40), (2, "a", 40), (3, "a", 150), (4, "a", 1),
+        (10, "b", 100), (11, "b", 100), (12, "b", 7), (13, "b", 0),
+    ]:
+        rows.append((doc_id, source, list(range(nxt, nxt + n))))
+        nxt += n
+    docs = spark.createDataFrame(rows, "doc_id long, source string, tokens array<int>")
+    out = pack_assemble_greedy(docs, budget=BUDGET, block_rows=256).collect()
+
+    doc_tokens = {tuple(t): d for d, _, t in rows if t}
+    seen_docs = set()
+    for r in out:
+        assert r.seq_len == len(r.tokens)
+        # decompose the sequence back into member docs: tokens are globally
+        # unique and contiguous per doc, so greedy concat must preserve runs
+        i = 0
+        total = 0
+        while i < len(r.tokens):
+            matched = False
+            for toks, d in doc_tokens.items():
+                if tuple(r.tokens[i : i + len(toks)]) == toks:
+                    assert d not in seen_docs  # no doc split across sequences
+                    seen_docs.add(d)
+                    i += len(toks)
+                    total += 1
+                    matched = True
+                    break
+            assert matched, f"unaligned token run at offset {i}"
+        if total > 1:
+            assert r.seq_len <= BUDGET  # only oversized singletons exceed
+    assert seen_docs == {d for d, _, t in rows if t}
+
+
 def test_pack_greedy_no_split_first_fit(spark, docs):
     from transmog_spark.operators.packing import pack_greedy
 

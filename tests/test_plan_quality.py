@@ -100,6 +100,29 @@ def test_lsh_topk_single_rank_shuffle(spark, sf_dir):
         assert "__bkey" not in ex.group(1)
 
 
+def test_bm25_topk_is_take_ordered(spark, sf_dir):
+    # global top-k must be a TakeOrdered (per-partition top-k + driver merge
+    # of k rows), never a whole-corpus single-partition ranking window
+    plan = _plan(spark, sf_dir, "bm25_topk")
+    tree = plan.split("\n\n")[0]  # operator tree (details repeat node names)
+    assert "TakeOrderedAndProject" in tree
+    # the only Window is the rank assignment over the k collected rows,
+    # ABOVE the TakeOrdered — never a ranking window on the corpus subtree
+    assert tree.count("Window") == 1
+    assert tree.index("Window") < tree.index("TakeOrderedAndProject")
+    # the term filter is pushed below every aggregation: only the query's
+    # terms leave the explode
+    assert "IN (spark,vector,window)" in plan
+
+
+def test_pack_assemble_bounded_shuffles(spark, sf_dir):
+    # spans plan (2 narrow shuffles) + doc-id join + assembly groupBy; the
+    # token arrays must never be crossed or replicated
+    plan = _plan(spark, sf_dir, "pack_assemble")
+    assert "CartesianProduct" not in plan and "CrossJoin" not in plan
+    assert _exchanges(plan) <= 6
+
+
 def test_minhash_shuffles_longs_not_shingles(spark, sf_dir):
     plan = _plan(spark, sf_dir, "minhash_pairs")
     # the signature aggregate must have a map-side partial (partial_min)

@@ -60,6 +60,49 @@ def bm25_scores(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k document retrieval for a term query: per-doc relevance is the
+    sum of the query terms' BM25 scores (missing terms contribute 0).
+
+    The per-doc sum uses exact scaled-integer arithmetic
+    (``sum(round(bm25·1e4))``) so the score is independent of addition
+    order — floating-point summation order would otherwise flip ranks
+    between engines at the round(·,4) boundary.
+
+    Scale shape: the per-(doc, term) score frame is filtered to the query's
+    terms BEFORE any aggregation (a handful of keys), the per-doc sum is
+    map-side combined, and the global top-k is ``orderBy().limit(k)`` — a
+    TakeOrdered (per-partition top-k + driver merge of k rows), never a
+    whole-corpus single-partition ranking window; ``rank`` is then a window
+    over only the k collected rows.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    scores = bm25_scores(df, id_col, text_col, k1=k1, b=b)
+    hits = scores.where(F.col("term").isin(terms))
+    per_doc = hits.groupBy("doc_id").agg(
+        (
+            F.sum(F.round(F.col("bm25") * 10000).cast("long")).cast("double") / 10000.0
+        ).alias("score"),
+        F.count(F.lit(1)).alias("terms_matched"),
+    )
+    topk = per_doc.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", F.round("score", 4).alias("score"), "terms_matched", "rank"
+    )
+
+
 def hash_sample(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -252,6 +252,53 @@ def pack_assemble(
     )
 
 
+def pack_assemble_greedy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    source_col: str = "source",
+    *,
+    budget: int = DEFAULT_BUDGET,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+) -> DataFrame:
+    """Materialized greedy (no-split) training sequences.
+
+    ``pack_greedy`` assigns whole documents to sequences; this joins the
+    assignments back to the token arrays and emits one row per sequence
+    ``(source, block, seq_in_block)`` with the member documents' tokens
+    concatenated in ``seq_offset`` order. No slicing — documents are never
+    split, so ``seq_len <= budget`` except when a single oversized document
+    (> budget tokens) occupies a sequence alone.
+
+    Scale shape: assignment runs on a skinny projection; token arrays move
+    through the doc-id join and one bounded-group assembly groupBy (state
+    per group <= max(budget, longest document) tokens).
+    """
+    skinny = df.select(source_col, id_col, F.size(F.col(tokens_col)).alias("__ntok"))
+    asg = pack_greedy(
+        skinny, id_col, "__ntok", source_col, budget=budget, block_rows=block_rows
+    )
+    joined = asg.join(df.select(id_col, tokens_col), id_col)
+    parts = joined.select(
+        source_col,
+        "block",
+        "seq_in_block",
+        F.struct(F.col("seq_offset").alias("o"), F.col(tokens_col).alias("p")).alias("__op"),
+    )
+    assembled = parts.groupBy(source_col, "block", "seq_in_block").agg(
+        F.flatten(
+            F.transform(F.array_sort(F.collect_list("__op")), lambda s: s["p"])
+        ).alias(tokens_col)
+    )
+    return assembled.select(
+        source_col,
+        "block",
+        "seq_in_block",
+        F.size(F.col(tokens_col)).cast("long").alias("seq_len"),
+        tokens_col,
+    )
+
+
 def token_chunks(
     df: DataFrame,
     id_col: str = "doc_id",

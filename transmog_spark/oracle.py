@@ -372,6 +372,34 @@ FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s
 """
 
 
+def bm25_topk_sql(
+    *,
+    query_terms: list[str],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> str:
+    """Mirror of operators.corpus.bm25_topk: same exact scaled-integer
+    per-doc sum (order-independent), same (score DESC, doc_id) rank keys."""
+    terms = ", ".join(f"'{t}'" for t in sorted({t.lower() for t in query_terms}))
+    inner = bm25_sql(table=table, id_col=id_col, text_col=text_col, k1=k1, b=b)
+    return f"""
+WITH scored AS ({inner}),
+hits AS (SELECT * FROM scored WHERE term IN ({terms})),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(CAST(round(bm25 * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS score,
+         count(*) AS terms_matched
+  FROM hits GROUP BY 1)
+SELECT doc_id, round(score, 4) AS score, terms_matched, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM agg)
+WHERE rank <= {k}
+"""
+
+
 def hash_sample_sql(
     *,
     table: str = "documents",
@@ -668,6 +696,59 @@ asm AS (SELECT {source_col}, seq_id,
                flatten(list(piece ORDER BY seq_offset)) AS tokens
         FROM pieces GROUP BY 1, 2)
 SELECT {source_col}, seq_id, CAST(len(tokens) AS BIGINT) AS seq_len,
+       md5(array_to_string(list_transform(tokens, x -> CAST(x AS VARCHAR)), ',')) AS tokens_md5
+FROM asm
+"""
+
+
+def pack_assemble_greedy_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    vocab: int = 32768,
+    budget: int = 256,
+    block_rows: int = 128,
+) -> str:
+    """Materialized greedy sequences (packing.py:pack_assemble_greedy).
+
+    Same recursive-CTE first-fit walk as ``pack_greedy_sql``, then member
+    token arrays concatenated per (source, block, seq_in_block) in
+    seq_offset order; arrays scalarized to an order-preserving md5."""
+    tok = f"CAST({duck_md5_long('x')} % {vocab} AS INT)"
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT {id_col}, {source_col},
+         list_transform({duck_ws_tokens(text_col)}, x -> {tok}) AS tk,
+         {id_col} // {block_rows} AS block
+  FROM {table}),
+nz AS (
+  SELECT *, len(tk) AS n_tok,
+         row_number() OVER (PARTITION BY {source_col}, block ORDER BY {id_col}) AS rn
+  FROM docs WHERE len(tk) > 0),
+walk AS (
+  SELECT {source_col}, block, {id_col}, n_tok, rn,
+         CAST(0 AS BIGINT) AS seq_in_block, CAST(0 AS BIGINT) AS seq_offset,
+         CAST(n_tok AS BIGINT) AS fill
+  FROM nz WHERE rn = 1
+  UNION ALL
+  SELECT d.{source_col}, d.block, d.{id_col}, d.n_tok, d.rn,
+         CASE WHEN w.fill > 0 AND w.fill + d.n_tok > {budget}
+              THEN w.seq_in_block + 1 ELSE w.seq_in_block END,
+         CASE WHEN w.fill > 0 AND w.fill + d.n_tok > {budget}
+              THEN CAST(0 AS BIGINT) ELSE w.fill END,
+         CASE WHEN w.fill > 0 AND w.fill + d.n_tok > {budget}
+              THEN CAST(d.n_tok AS BIGINT) ELSE w.fill + d.n_tok END
+  FROM walk w
+  JOIN nz d ON d.{source_col} = w.{source_col} AND d.block = w.block AND d.rn = w.rn + 1),
+asm AS (
+  SELECT w.{source_col}, w.block, w.seq_in_block,
+         flatten(list(n.tk ORDER BY w.seq_offset)) AS tokens
+  FROM walk w JOIN nz n ON n.{id_col} = w.{id_col}
+  GROUP BY 1, 2, 3)
+SELECT {source_col}, CAST(block AS BIGINT) AS block, seq_in_block,
+       CAST(len(tokens) AS BIGINT) AS seq_len,
        md5(array_to_string(list_transform(tokens, x -> CAST(x AS VARCHAR)), ',')) AS tokens_md5
 FROM asm
 """
