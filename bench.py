@@ -44,6 +44,8 @@ HEADLINE = [
     "minhash_pairs",
     "dedup_clusters",
     "bm25",
+    "bm25_topk",
+    "pack_assemble",
     "text_profile",
     "embedding_topk",
     "embedding_topk_ivf",
