@@ -420,7 +420,13 @@ def _minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     anyway); repeated executions of the clustering query should iterate on
     those edges, not re-run LSH candidate generation from raw text each
     time. ``minhash_pairs`` itself stays unpersisted so its benchmark keeps
-    timing the full candidate-generation plan."""
+    timing the full candidate-generation plan.
+
+    Lifetime: entries live until ``clear_pairs_cache()`` or session end
+    (executor storage is reclaimed with the app). Bench-reporting note:
+    because of this memoization, ``dedup_clusters``/``dedupe_near`` walls
+    time clustering/application only — candidate generation is timed under
+    ``minhash_pairs`` (see BASELINE.md)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PAIRS_CACHE:
         from transmog_spark.operators.dedup import minhash_near_duplicates
@@ -433,12 +439,42 @@ def _minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PAIRS_CACHE[key]
 
 
+def clear_pairs_cache() -> None:
+    """Unpersist and drop all memoized candidate-pair frames — call at
+    pipeline teardown when the driver session outlives the dedup stage."""
+    for df in _PAIRS_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+    _PAIRS_CACHE.clear()
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: MinHash pair edges -> connected components
     (min-label propagation; cluster_id = smallest reachable doc id)."""
     from transmog_spark.operators.dedup import duplicate_components
 
     return duplicate_components(_minhash_pairs_cached(spark, sf_dir))
+
+
+def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same components contract via alternating large-star/small-star
+    (Kiveris et al.) — the O(log n)-round trillion-edge path; gated by the
+    identical transitive-closure oracle as dedup_clusters."""
+    from transmog_spark.operators.dedup import duplicate_components
+
+    return duplicate_components(_minhash_pairs_cached(spark, sf_dir), algorithm="star")
+
+
+def _q_dedupe_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup keep/drop applied to the corpus: one representative (min-id)
+    per duplicate cluster survives, unclustered docs pass through
+    (operators/dedup.py:dedupe_near)."""
+    from transmog_spark.operators.dedup import dedupe_near
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return dedupe_near(d, _minhash_pairs_cached(spark, sf_dir))
 
 
 def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -637,6 +673,40 @@ def _q_pack_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_concat_strkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing over STRING doc ids (the north-rule
+    ``doc_id:string`` contract): hash-ordered blocking defines the packing
+    order as (source, md5-block, id) — no numeric id or global sort needed
+    (operators/packing.py:_blocked string path)."""
+    from transmog_spark.operators.packing import pack_concat
+
+    d = _docs_ntok(spark, sf_dir).select(
+        F.format_string("doc%012d", F.col("doc_id")).alias("doc_id"),
+        "source",
+        "n_tok",
+    )
+    return pack_concat(d, budget=256, hash_blocks=64)
+
+
+def _q_pack_assemble_strkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed sequences over STRING doc ids (hash-ordered
+    blocking; see _q_pack_concat_strkey); arrays scalarized to md5."""
+    from transmog_spark.operators.packing import pack_assemble
+    from transmog_spark.operators.text import tokenize_ids
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.format_string("doc%012d", F.col("doc_id")).alias("doc_id"),
+        "source",
+        tokenize_ids(F.col("text")).alias("tokens"),
+    )
+    asm = pack_assemble(toks, budget=256, hash_blocks=64)
+    tok_str = F.concat_ws(",", F.transform(F.col("tokens"), lambda x: x.cast("string")))
+    return asm.select(
+        "source", "seq_id", "seq_len", F.md5(tok_str).alias("tokens_md5")
+    )
+
+
 def _q_pack_assemble_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized greedy no-split sequences: pack_greedy assignments
     joined back to token arrays (operators/packing.py:pack_assemble_greedy);
@@ -707,11 +777,16 @@ def _q_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation flagship for the training-data tier: repetition filter ->
-    benchmark decontamination -> exact dedup -> tokenize -> concat packing.
-    Every stage is an already-oracle-gated operator; the composed oracle
-    (oracle.curation_pipeline_sql) mirrors the chain as CTEs."""
+    benchmark decontamination -> exact dedup -> NEAR-dup dedup (MinHash+LSH
+    -> connected components -> min-id representative) -> tokenize -> concat
+    packing. Every stage is an already-oracle-gated operator; the composed
+    oracle (oracle.curation_pipeline_sql) mirrors the chain as CTEs."""
     from transmog_spark.operators.corpus import decontaminate
-    from transmog_spark.operators.dedup import dedupe_exact
+    from transmog_spark.operators.dedup import (
+        dedupe_exact,
+        dedupe_near,
+        minhash_near_duplicates,
+    )
     from transmog_spark.operators.packing import pack_concat
     from transmog_spark.operators.text import repetition_profile, ws_tokens
 
@@ -727,7 +802,12 @@ def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "text")
     )
     ded = dedupe_exact(keep, "doc_id", "text")
-    toks = ded.select(
+    pairs = minhash_near_duplicates(
+        ded, "doc_id", "text", shingle_n=3, num_hashes=8, bands=4,
+        threshold=0.5, max_bucket=500,
+    )
+    nded = dedupe_near(ded, pairs)
+    toks = nded.select(
         "doc_id", "source", F.size(ws_tokens(F.col("text"))).alias("n_tok")
     )
     return pack_concat(toks, budget=256, block_rows=128)
@@ -766,6 +846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": _q_corpus_sample,
         "source_percentiles": _q_source_percentiles,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_star": _q_dedup_clusters_star,
+        "dedupe_near": _q_dedupe_near,
         "embedding_topk": _q_embedding_topk,
         "embedding_topk_ivf": _q_embedding_topk_ivf,
         "embedding_topk_ivfk": _q_embedding_topk_ivfk,
@@ -778,6 +860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": _q_pack_greedy,
         "pack_assemble": _q_pack_assemble,
         "pack_assemble_greedy": _q_pack_assemble_greedy,
+        "pack_concat_strkey": _q_pack_concat_strkey,
+        "pack_assemble_strkey": _q_pack_assemble_strkey,
         "bm25_topk": _q_bm25_topk,
         "token_chunks": _q_token_chunks,
         "decontaminate": _q_decontaminate,
@@ -796,6 +880,7 @@ def oracle_sql() -> dict[str, str]:
     from transmog_spark.oracle import (
         bm25_sql,
         components_sql,
+        dedupe_near_sql,
         curation_pipeline_sql,
         decontaminate_sql,
         epoch_mixture_sql,
@@ -1037,6 +1122,16 @@ FROM documents GROUP BY 1
                 shingle_n=3, num_hashes=8, bands=4, threshold=0.2, max_bucket=500
             )
         ),
+        "dedup_clusters_star": components_sql(
+            minhash_pairs_sql(
+                shingle_n=3, num_hashes=8, bands=4, threshold=0.2, max_bucket=500
+            )
+        ),
+        "dedupe_near": dedupe_near_sql(
+            minhash_pairs_sql(
+                shingle_n=3, num_hashes=8, bands=4, threshold=0.2, max_bucket=500
+            )
+        ),
         "embedding_topk_lsh": lsh_topk_sql(
             query_filter="vec_id < 10", k=5, n_planes=8, n_probes=3, dim=64
         ),
@@ -1084,6 +1179,12 @@ FROM lagged l JOIN sess s ON l.user_id = s.user_id AND l.session_index = s.sessi
         "pack_greedy": pack_greedy_sql(budget=256, block_rows=128),
         "pack_assemble": pack_assemble_sql(budget=256),
         "pack_assemble_greedy": pack_assemble_greedy_sql(budget=256, block_rows=128),
+        "pack_concat_strkey": pack_concat_sql(
+            table="(SELECT 'doc' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, text, source FROM documents)", budget=256, hash_blocks=64
+        ),
+        "pack_assemble_strkey": pack_assemble_sql(
+            table="(SELECT 'doc' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, text, source FROM documents)", budget=256, hash_blocks=64
+        ),
         "bm25_topk": bm25_topk_sql(query_terms=BM25_QUERY, k=10),
         "token_chunks": token_chunks_sql(window=32, stride=16),
         "decontaminate": decontaminate_sql(shingle_n=3, bench_mod=97),

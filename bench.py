@@ -114,13 +114,13 @@ def main() -> None:
     from transmog_spark.sources import synth
 
     def _packed():
+        # north-rule doc_id:string feeds pack_concat directly (hash-ordered
+        # blocking, operators/packing.py:_blocked) — no numeric re-key
         seqs = synth.sequences(spark, n_docs, partitions=cpus * 2).select(
-            F.expr("CAST(substr(doc_id, 4) AS LONG)").alias("doc_num"),
-            "source",
-            "n_tok",
+            "doc_id", "source", "n_tok"
         )
         return pack_concat(
-            seqs, id_col="doc_num", budget=2048, block_rows=8192
+            seqs, budget=2048, hash_blocks=max(n_docs // 8192, 16)
         )
 
     pack_wall = timed(_packed)

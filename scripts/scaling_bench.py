@@ -84,10 +84,14 @@ def child(cpus: int, n_docs: int, pack_docs: int, partitions: int) -> None:
     # same skewed-source synthetic table (50% of docs in one hot source —
     # the (source, block) keying is what keeps this from becoming a
     # single-partition window)
+    # north-rule doc_id:string feeds pack_concat directly (hash-ordered
+    # blocking in operators/packing.py:_blocked — no numeric re-key)
     seqs = synth.sequences(spark, pack_docs, partitions=in_parts).select(
-        F.expr("CAST(substr(doc_id, 4) AS LONG)").alias("doc_num"), "source", "n_tok"
+        "doc_id", "source", "n_tok"
     )
-    pack_walls = best_of(pack_concat(seqs, id_col="doc_num", budget=2048, block_rows=8192))
+    pack_walls = best_of(
+        pack_concat(seqs, budget=2048, hash_blocks=max(pack_docs // 8192, 16))
+    )
     pack_best = min(pack_walls)
 
     print(

@@ -129,6 +129,66 @@ def test_duplicate_components_long_chain_converges(spark):
     assert len(got) == n + 1
 
 
+def test_star_components_high_diameter_chain(spark):
+    # a 64-hop path: label propagation needs ~64 rounds (default budget 25
+    # warns and splits clusters); large-star/small-star contracts paths and
+    # converges in O(log n) rounds with exact components
+    import warnings
+
+    from transmog_spark.operators.dedup import _star_components
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # star must NOT warn
+        got = {
+            r.doc_id: r.cluster_id
+            for r in duplicate_components(pairs, algorithm="star").collect()
+        }
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+    # rounds-to-converge: O(log n) for star on the same 64-hop chain
+    from pyspark.sql import functions as F
+
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    sym = edges.union(edges.select("dst", "src")).distinct().localCheckpoint()
+    _, rounds, converged, _ = _star_components(sym, 25)
+    assert converged and rounds <= 10  # log2(65) ~ 6 + fixpoint confirmation
+
+    # label propagation on the same graph exhausts a small budget and warns
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        duplicate_components(pairs, algorithm="label", max_iterations=3).collect()
+
+
+def test_star_components_matches_label_on_mixed_graph(spark):
+    # same output contract on a mixed graph: clique + triangle + isolated pair
+    edges = [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (20, 21), (5, 4)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    lab = {r.doc_id: r.cluster_id for r in duplicate_components(pairs).collect()}
+    star = {
+        r.doc_id: r.cluster_id
+        for r in duplicate_components(pairs, algorithm="star").collect()
+    }
+    assert star == lab
+
+
+def test_dedupe_near_keeps_one_representative(spark):
+    from transmog_spark.operators.dedup import dedupe_near
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    kept = sorted(r.doc_id for r in dedupe_near(df, pairs).collect())
+    # clusters {1,2,3}->keep 1, {7,8}->keep 7; 0,4,5,6,9 untouched
+    assert kept == [0, 1, 4, 5, 6, 7, 9]
+
+
 def test_epoch_mixture_fractional_weights(spark):
     from transmog_spark.operators.corpus import epoch_mixture
 

@@ -79,7 +79,7 @@ def asof_join(
     if salt_buckets > 1:
         # Queries land in one sub-key; features are replicated into all K.
         l = l.withColumn(
-            _SALT, (F.abs(F.xxhash64(*[F.col(c) for c in lcols], F.col(_ts))) % salt_buckets)
+            _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in lcols], F.col(_ts)), F.lit(salt_buckets))
         )
         r = r.withColumn(
             _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>"))

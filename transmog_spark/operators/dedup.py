@@ -406,28 +406,61 @@ def duplicate_components(
     id_b: str = "id_b",
     *,
     max_iterations: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Connected components over a duplicate-pair edge list: every document
     in a near-dup cluster gets ``cluster_id`` = the smallest doc id reachable
     from it — the canonical-representative step that turns pairwise dedup
     output into keep/drop decisions.
 
-    Algorithm: iterative min-label propagation (each node takes the min of
-    its own label and its neighbors') until fixpoint — converges in at most
-    ``diameter`` rounds; dup clusters are near-cliques, so typically 2-3.
-    Each round is one join + one partial-agg groupBy on the (small relative
-    to the corpus) edge list; ``localCheckpoint`` truncates the growing plan
-    lineage. This is an inherently iterative algorithm — the per-round
-    convergence check is a driver action by design. For trillion-edge graphs
-    swap the propagation body for alternating large-star/small-star
-    (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
-    surrounding loop and contract stay identical.
+    Two algorithms behind one contract (identical output):
+
+    * ``algorithm='label'`` — iterative min-label propagation (each node
+      takes the min of its own label and its neighbors') until fixpoint —
+      converges in ``diameter`` rounds; near-dup clusters are near-cliques,
+      so typically 2-3. Each round is one join + one partial-agg groupBy on
+      the (small relative to the corpus) edge list.
+    * ``algorithm='star'`` — alternating large-star/small-star rounds
+      (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+      which contract paths toward the component minimum and converge in
+      O(log n) rounds regardless of diameter — the trillion-edge path for
+      high-diameter graphs (long chains), where label propagation would
+      need diameter rounds.
+
+    Both are inherently iterative — the per-round convergence check is a
+    driver action by design; ``localCheckpoint`` truncates the growing plan
+    lineage each round.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     # materialize the edge list once: the pair source is typically an
-    # expensive LSH query, and every propagation round joins against it —
-    # without this the whole candidate generation re-runs per iteration
+    # expensive LSH query, and every round joins against it — without this
+    # the whole candidate generation re-runs per iteration
     sym = edges.union(edges.select(F.col("dst"), F.col("src"))).distinct().localCheckpoint()
+    if algorithm == "label":
+        labels, _rounds, converged, detail = _propagate_components(sym, max_iterations)
+    elif algorithm == "star":
+        labels, _rounds, converged, detail = _star_components(sym, max_iterations)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r} (use 'label' or 'star')")
+    if not converged:
+        # a component needing more rounds than max_iterations would
+        # otherwise silently emit split clusters and fail the exact
+        # transitive-closure oracle in a hard-to-diagnose way
+        import warnings
+
+        warnings.warn(
+            f"duplicate_components({algorithm!r}) did not converge in "
+            f"{max_iterations} iterations ({detail}) — cluster_id is a "
+            "refinement of the true components; raise max_iterations"
+            + (" or use algorithm='star' for high-diameter graphs" if algorithm == "label" else ""),
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _propagate_components(sym: DataFrame, max_iterations: int):
+    """Min-label propagation body. Returns (labels, rounds, converged, detail)."""
     # initialization already performs round 1 (label = min of self and
     # direct neighbors): pair/triangle clusters — the common near-dup case —
     # then converge on the first fixpoint check
@@ -441,6 +474,7 @@ def duplicate_components(
         .localCheckpoint()
     )
     changed = -1
+    rounds = 1
     for _ in range(max_iterations):
         msgs = sym.join(labels, sym.dst == labels.node).select(
             F.col("src").alias("node"), F.col("label")
@@ -454,23 +488,131 @@ def duplicate_components(
             .count()
         )
         labels = new_labels
+        rounds += 1
         if changed == 0:
             break
-    if changed != 0:
-        # a chain-shaped component longer than max_iterations hops would
-        # otherwise silently emit split clusters and fail the exact
-        # transitive-closure oracle in a hard-to-diagnose way
-        import warnings
+    return labels, rounds, changed == 0, f"{changed} labels still changing"
 
-        warnings.warn(
-            f"duplicate_components did not converge in {max_iterations} "
-            f"iterations ({changed} labels still changing) — cluster_id is a "
-            "refinement of the true components; raise max_iterations or use "
-            "large-star/small-star for high-diameter graphs",
-            RuntimeWarning,
-            stacklevel=2,
+
+def _star_components(sym: DataFrame, max_iterations: int):
+    """Alternating large-star/small-star rounds (Kiveris et al. 2014).
+
+    Invariant maintained on the (symmetric-input) edge list, kept directed
+    as (hi > lo) pairs between rounds:
+
+    * large-star: every node u with neighborhood N(u) connects its LARGER
+      neighbors {w in N(u) : w > u} to m = min(N(u) ∪ {u}) — long paths
+      halve because grandchildren re-attach to the local minimum.
+    * small-star: every node u connects its smaller-or-equal neighbors
+      (plus itself) to m — stars flatten onto the component minimum.
+
+    Each round is one partial-agg groupBy (min) + one broadcast-eligible
+    join + distinct on the edge list — no full-graph label table, and edge
+    count never grows beyond the input (edges only re-point). Converges in
+    O(log n) rounds regardless of diameter; termination = edge set fixpoint,
+    checked with a (count, xor-of-hashes) driver fetch per round.
+
+    Returns (labels, rounds, converged, detail).
+    """
+    # directed hi->lo representation (self-loops impossible: src != dst)
+    edges = (
+        sym.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
         )
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # order-independent set fingerprint; bit_xor over 64-bit hashes
+            F.expr("CAST(bit_xor(xxhash64(u, v)) AS LONG)").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    converged = False
+    rounds = 0
+    sig = _sig(edges)
+    for _ in range(max_iterations):
+        # ---- large-star: neighborhoods over BOTH directions ----
+        both = edges.select("u", "v").unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = both.groupBy("u").agg(F.min("v").alias("__mn")).select(
+            "u", F.least(F.col("__mn"), F.col("u")).alias("m")
+        )
+        large = (
+            both.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star: hi->lo only; m = min neighbor (all < u) ----
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .select(
+                F.col("v").alias("w"), F.col("m"), F.col("u").alias("hi")
+            )
+        )
+        new_edges = (
+            small.select(F.greatest("w", "m").alias("u"), F.least("w", "m").alias("v"))
+            .unionByName(small.select(F.col("hi").alias("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        rounds += 1
+        new_sig = _sig(new_edges)
+        edges = new_edges
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    # at fixpoint the edges form stars: u -> component minimum
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("label"))
+        .select(F.col("u").alias("node"), "label")
+        .unionByName(
+            edges.select(F.col("v").alias("node"), F.col("v").alias("label")).distinct()
+        )
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+    return labels, rounds, converged, "edge set still changing"
+
+
+def dedupe_near(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iterations: int = 25,
+    algorithm: str = "label",
+) -> DataFrame:
+    """Apply near-dup clustering to the corpus: keep ONE representative per
+    duplicate cluster (the min-id member) and every unclustered document.
+
+    This is the ``dedupe_exact`` analog for near-duplicates — the step every
+    dedup user actually ends at: ``pairs`` (from ``minhash_lsh_pairs`` /
+    ``simhash_pairs`` / ``embedding_neardup``) → connected components →
+    filter the corpus. Scale shape: the components frame is tiny relative
+    to the corpus (only clustered docs appear in it), so the keep/drop
+    decision is one LEFT ANTI join against the non-representative members —
+    broadcast-eligible whenever the dup set fits, shuffle-join otherwise.
+    """
+    comps = duplicate_components(
+        pairs, id_a, id_b, max_iterations=max_iterations, algorithm=algorithm
+    )
+    drops = comps.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(drops, id_col, "left_anti")
 
 
 def hyperplane_weights(dim: int, n_planes: int) -> list[list[float]]:

@@ -48,17 +48,42 @@ from pyspark.sql import functions as F
 
 DEFAULT_BUDGET = 2048
 DEFAULT_BLOCK_ROWS = 4096
+DEFAULT_HASH_BLOCKS = 1024
+
+_NUMERIC_ID_TYPES = {"tinyint", "smallint", "int", "bigint", "long"}
 
 
-def _blocked(df: DataFrame, id_col: str, block_rows: int) -> DataFrame:
+def _blocked(
+    df: DataFrame, id_col: str, block_rows: int, hash_blocks: int
+) -> DataFrame:
     """Coarse deterministic blocking of the order key.
 
-    ``block = floor(id / block_rows)`` is stateless and SQL-expressible;
-    blocks need not be equally sized (sparse ids just make smaller blocks),
-    they only need to be contiguous runs of the (source, id) order.
+    Numeric ids: ``block = floor(id / block_rows)`` — stateless and
+    SQL-expressible; blocks need not be equally sized (sparse ids just make
+    smaller blocks), they only need to be contiguous runs of the
+    (source, id) order. Integer div (not float-divide-then-cast): exact at
+    10^12-scale ids.
+
+    String ids (the north-rule ``doc_id:string`` contract): hash-ordered
+    blocking — ``block = md5_long(id) % hash_blocks`` — which DEFINES the
+    packing order as ``(source, block, id)`` rather than pure lexicographic
+    id order. Any deterministic total order is valid for training-sequence
+    layout; this one needs no global sort or row_number spine (both
+    scale-killers), is reproducible across engines (60-bit md5, mirrored in
+    the DuckDB oracle), and is stable under repartition. Size
+    ``hash_blocks`` so rows/hash_blocks ≈ the block granularity you want
+    per source (~10^6 blocks at 10^12 rows keeps the per-source block-offset
+    frame broadcastable).
     """
-    # integer div (not float-divide-then-cast): exact at 10^12-scale ids
-    return df.withColumn("block", F.expr(f"{id_col} div {block_rows}"))
+    dtype = dict(df.dtypes)[id_col]
+    if dtype in _NUMERIC_ID_TYPES:
+        return df.withColumn("block", F.expr(f"{id_col} div {block_rows}"))
+    from transmog_spark.functions.hashing import md5_long
+
+    # md5_long is 60-bit non-negative, so plain % never goes negative
+    return df.withColumn(
+        "block", (md5_long(F.col(id_col)) % hash_blocks).cast("long")
+    )
 
 
 def doc_offsets(
@@ -68,14 +93,16 @@ def doc_offsets(
     source_col: str = "source",
     *,
     block_rows: int = DEFAULT_BLOCK_ROWS,
+    hash_blocks: int = DEFAULT_HASH_BLOCKS,
 ) -> DataFrame:
-    """Exclusive prefix sum of token counts per source, in ``id_col`` order.
+    """Exclusive prefix sum of token counts per source, in ``id_col`` order
+    (string ids: in ``(block, id)`` order — see ``_blocked``).
 
     Two-level scan: local cumsum inside ``(source, block)`` + broadcast
     cumsum of block totals per source. Output adds ``tok_start`` (global
     offset of the document's first token within its source stream).
     """
-    b = _blocked(df.select(source_col, id_col, ntok_col), id_col, block_rows)
+    b = _blocked(df.select(source_col, id_col, ntok_col), id_col, block_rows, hash_blocks)
 
     local_w = (
         Window.partitionBy(source_col, "block")
@@ -107,6 +134,7 @@ def pack_concat(
     *,
     budget: int = DEFAULT_BUDGET,
     block_rows: int = DEFAULT_BLOCK_ROWS,
+    hash_blocks: int = DEFAULT_HASH_BLOCKS,
 ) -> DataFrame:
     """Concat-then-chunk packing: per-source token stream cut every ``budget``.
 
@@ -117,7 +145,7 @@ def pack_concat(
     tokens). All integer math — bit-identical across engines.
     """
     off = doc_offsets(
-        df, id_col, ntok_col, source_col, block_rows=block_rows
+        df, id_col, ntok_col, source_col, block_rows=block_rows, hash_blocks=hash_blocks
     ).where(F.col(ntok_col) > 0)
     first_seq = F.expr(f"tok_start div {budget}")
     last_seq = F.expr(f"(tok_start + {ntok_col} - 1) div {budget}")
@@ -143,6 +171,7 @@ def pack_greedy(
     *,
     budget: int = DEFAULT_BUDGET,
     block_rows: int = DEFAULT_BLOCK_ROWS,
+    hash_blocks: int = DEFAULT_HASH_BLOCKS,
 ) -> DataFrame:
     """First-fit no-split packing inside deterministic blocks.
 
@@ -162,9 +191,11 @@ def pack_greedy(
         df.select(source_col, id_col, ntok_col).where(F.col(ntok_col) > 0),
         id_col,
         block_rows,
+        hash_blocks,
     )
+    id_type = dict(b.dtypes)[id_col]  # preserve string ids end-to-end
     schema = (
-        f"{source_col} string, block long, {id_col} long, {ntok_col} long, "
+        f"{source_col} string, block long, {id_col} {id_type}, {ntok_col} long, "
         "seq_in_block long, seq_offset long"
     )
 
@@ -190,7 +221,7 @@ def pack_greedy(
     return packed.select(
         source_col,
         F.col("block").cast("long"),
-        F.col(id_col).cast("long"),
+        id_col,
         F.col(ntok_col).cast("long"),
         "seq_in_block",
         "seq_offset",
@@ -205,6 +236,7 @@ def pack_assemble(
     *,
     budget: int = DEFAULT_BUDGET,
     block_rows: int = DEFAULT_BLOCK_ROWS,
+    hash_blocks: int = DEFAULT_HASH_BLOCKS,
 ) -> DataFrame:
     """Materialized concat-then-chunk training sequences.
 
@@ -227,9 +259,13 @@ def pack_assemble(
     """
     skinny = df.select(source_col, id_col, F.size(F.col(tokens_col)).alias("__ntok"))
     spans = pack_concat(
-        skinny, id_col, "__ntok", source_col, budget=budget, block_rows=block_rows
+        skinny, id_col, "__ntok", source_col,
+        budget=budget, block_rows=block_rows, hash_blocks=hash_blocks,
     )
-    joined = spans.join(df.select(id_col, tokens_col), id_col)
+    # join on (source, id): doc ids need only be unique per source
+    joined = spans.join(
+        df.select(source_col, id_col, tokens_col), [source_col, id_col]
+    )
     # SQL slice accepts column bounds (F.slice needs plan-time ints)
     piece = F.expr(f"slice({tokens_col}, doc_offset + 1, span_len)")
     parts = joined.select(
@@ -260,6 +296,7 @@ def pack_assemble_greedy(
     *,
     budget: int = DEFAULT_BUDGET,
     block_rows: int = DEFAULT_BLOCK_ROWS,
+    hash_blocks: int = DEFAULT_HASH_BLOCKS,
 ) -> DataFrame:
     """Materialized greedy (no-split) training sequences.
 
@@ -276,9 +313,13 @@ def pack_assemble_greedy(
     """
     skinny = df.select(source_col, id_col, F.size(F.col(tokens_col)).alias("__ntok"))
     asg = pack_greedy(
-        skinny, id_col, "__ntok", source_col, budget=budget, block_rows=block_rows
+        skinny, id_col, "__ntok", source_col,
+        budget=budget, block_rows=block_rows, hash_blocks=hash_blocks,
     )
-    joined = asg.join(df.select(id_col, tokens_col), id_col)
+    # join on (source, id): doc ids need only be unique per source
+    joined = asg.join(
+        df.select(source_col, id_col, tokens_col), [source_col, id_col]
+    )
     parts = joined.select(
         source_col,
         "block",

@@ -384,7 +384,10 @@ def bm25_topk_sql(
 ) -> str:
     """Mirror of operators.corpus.bm25_topk: same exact scaled-integer
     per-doc sum (order-independent), same (score DESC, doc_id) rank keys."""
-    terms = ", ".join(f"'{t}'" for t in sorted({t.lower() for t in query_terms}))
+    terms = ", ".join(
+        "'" + t.replace("'", "''") + "'"
+        for t in sorted({t.lower() for t in query_terms})
+    )
     inner = bm25_sql(table=table, id_col=id_col, text_col=text_col, k1=k1, b=b)
     return f"""
 WITH scored AS ({inner}),
@@ -446,6 +449,25 @@ closure(node, peer) AS (
   SELECT c.node, s.peer FROM closure c JOIN sym s ON c.peer = s.node)
 SELECT node AS doc_id, least(node, min(peer)) AS cluster_id
 FROM closure GROUP BY node
+"""
+
+
+def dedupe_near_sql(
+    pairs_sql: str,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    select_cols: str = "doc_id, source",
+) -> str:
+    """Near-dup keep/drop application (operators/dedup.py:dedupe_near):
+    connected components over the pair query, then the corpus filtered to
+    one representative (the min-id member) per cluster."""
+    comp = components_sql(pairs_sql)
+    return f"""
+WITH comps AS ({comp}),
+drops AS (SELECT doc_id AS drop_id FROM comps WHERE doc_id <> cluster_id)
+SELECT {select_cols} FROM {table} t
+WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.drop_id = t.{id_col})
 """
 
 
@@ -585,17 +607,26 @@ def pack_concat_sql(
     text_col: str = "text",
     source_col: str = "source",
     budget: int = 256,
+    hash_blocks: int | None = None,
 ) -> str:
     """Concat-then-chunk packing (operators/packing.py:pack_concat).
 
     The engine's two-level distributed scan reduces to a plain window
-    cumsum at oracle scale — identical integer arithmetic."""
+    cumsum at oracle scale — identical integer arithmetic. For string ids
+    (``hash_blocks`` set) the packing order is ``(hash block, id)``,
+    mirroring operators/packing.py:_blocked."""
+    blk = (
+        f", {duck_md5_long(id_col)} % {hash_blocks} AS blk"
+        if hash_blocks
+        else ""
+    )
+    order = f"blk, {id_col}" if hash_blocks else id_col
     return f"""
 WITH docs AS (SELECT {id_col}, {source_col},
-                     len({duck_ws_tokens(text_col)}) AS n_tok FROM {table}),
+                     len({duck_ws_tokens(text_col)}) AS n_tok{blk} FROM {table}),
 nz AS (SELECT * FROM docs WHERE n_tok > 0),
 off AS (SELECT *, CAST(COALESCE(SUM(n_tok) OVER (
-          PARTITION BY {source_col} ORDER BY {id_col}
+          PARTITION BY {source_col} ORDER BY {order}
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
         FROM nz),
 spans AS (SELECT {source_col}, {id_col}, tok_start, n_tok,
@@ -663,6 +694,7 @@ def pack_assemble_sql(
     source_col: str = "source",
     vocab: int = 32768,
     budget: int = 256,
+    hash_blocks: int | None = None,
 ) -> str:
     """Materialized packed sequences (operators/packing.py:pack_assemble).
 
@@ -675,13 +707,19 @@ def pack_assemble_sql(
     lo = f"seq_id * {budget}"
     start = f"greatest(tok_start, {lo})"
     stop = f"least(tok_start + n_tok, {lo} + {budget})"
+    blk = (
+        f", {duck_md5_long(id_col)} % {hash_blocks} AS blk"
+        if hash_blocks
+        else ""
+    )
+    order = f"blk, {id_col}" if hash_blocks else id_col
     return f"""
 WITH docs AS (SELECT {id_col}, {source_col},
-                     list_transform({duck_ws_tokens(text_col)}, x -> {tok}) AS tk
+                     list_transform({duck_ws_tokens(text_col)}, x -> {tok}) AS tk{blk}
               FROM {table}),
 d2 AS (SELECT *, len(tk) AS n_tok FROM docs WHERE len(tk) > 0),
 off AS (SELECT *, CAST(COALESCE(SUM(n_tok) OVER (
-          PARTITION BY {source_col} ORDER BY {id_col}
+          PARTITION BY {source_col} ORDER BY {order}
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
         FROM d2),
 spans AS (SELECT {source_col}, {id_col}, tk, tok_start, n_tok,
@@ -859,11 +897,17 @@ def curation_pipeline_sql(
     max_top2gram: float = 0.09,
     max_contamination: float = 0.02,
     budget: int = 256,
+    near_num_hashes: int = 8,
+    near_bands: int = 4,
+    near_threshold: float = 0.5,
+    near_max_bucket: int = 500,
 ) -> str:
     """End-to-end curation flagship: repetition filter -> decontamination
-    filter -> exact dedup (min-id keeper) -> tokenize -> concat packing.
-    Composes the per-operator oracles as CTEs, so any mismatch localizes
-    to the stage whose standalone oracle also fails."""
+    filter -> exact dedup (min-id keeper) -> NEAR-dup dedup (MinHash+LSH
+    pairs -> connected components -> min-id representative per cluster) ->
+    tokenize -> concat packing. Composes the per-operator oracles as CTEs,
+    so any mismatch localizes to the stage whose standalone oracle also
+    fails."""
     rep = repetition_profile_sql(table=table, id_col=id_col, text_col=text_col)
     dec = decontaminate_sql(
         table=table,
@@ -872,6 +916,17 @@ def curation_pipeline_sql(
         shingle_n=shingle_n,
         bench_mod=bench_mod,
     )
+    nd_pairs = minhash_pairs_sql(
+        table="ded",
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_hashes=near_num_hashes,
+        bands=near_bands,
+        threshold=near_threshold,
+        max_bucket=near_max_bucket,
+    )
+    comps = components_sql(nd_pairs)
     return f"""
 WITH rep AS ({rep}),
 dec AS ({dec}),
@@ -889,8 +944,13 @@ ded AS (
                                  ORDER BY {id_col}) AS rn
     FROM keep)
   WHERE rn = 1),
+comps AS ({comps}),
+nded AS (
+  SELECT d.* FROM ded d
+  WHERE NOT EXISTS (SELECT 1 FROM comps c
+                    WHERE c.doc_id = d.{id_col} AND c.doc_id <> c.cluster_id)),
 docs AS (SELECT {id_col}, {source_col},
-                len({duck_ws_tokens(text_col)}) AS n_tok FROM ded),
+                len({duck_ws_tokens(text_col)}) AS n_tok FROM nded),
 nz AS (SELECT * FROM docs WHERE n_tok > 0),
 off AS (SELECT *, CAST(COALESCE(SUM(n_tok) OVER (
           PARTITION BY {source_col} ORDER BY {id_col}

@@ -416,8 +416,11 @@ def write_avro_fallback(
 
     Commit protocol (mirrors Hadoop's commit-by-rename): tasks write into a
     staging subdirectory; only after the whole action succeeds does the
-    driver delete the old files (overwrite) and rename the staged parts into
-    ``path`` — a mid-write failure leaves previously committed data intact.
+    driver atomically rename the staged parts into ``path`` (``os.replace``
+    overwrites same-named old parts) and then delete leftover old files —
+    a failure at any point leaves each part either fully-old or fully-new.
+    Stale ``_staging-*`` dirs from prior crashed runs are pruned on entry
+    (callers must not write to the same ``path`` concurrently).
     Requires driver and executors to share ``path``'s filesystem (local mode
     or NFS/DBFS-style shared storage); on object stores use the spark-avro
     package path instead.
@@ -429,6 +432,11 @@ def write_avro_fallback(
 
     avro_schema = spark_to_avro_schema(df.schema, "spark_avro")
     os.makedirs(path, exist_ok=True)
+    # prune stale staging dirs from prior crashed runs so recursive readers
+    # never pick up their uncommitted part files
+    for f in os.listdir(path):
+        if f.startswith("_staging-"):
+            shutil.rmtree(os.path.join(path, f), ignore_errors=True)
     if mode == "overwrite":
         suffix = ""
     elif mode == "append":
@@ -460,13 +468,19 @@ def write_avro_fallback(
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    # the action succeeded: commit — destructive step happens only now
-    if mode == "overwrite":
-        for f in os.listdir(path):
-            if f.endswith(".avro"):
-                os.remove(os.path.join(path, f))
+    # the action succeeded: commit. os.replace is atomic, so renaming the
+    # staged parts FIRST (overwriting same-named old parts) and deleting
+    # leftover old files only afterwards means a crash at any point leaves
+    # each part either fully-old or fully-new — no window where data from
+    # both generations is missing.
+    committed = set()
     for f in sorted(os.listdir(staging)):
         os.replace(os.path.join(staging, f), os.path.join(path, f))
+        committed.add(f)
+    if mode == "overwrite":
+        for f in os.listdir(path):
+            if f.endswith(".avro") and f not in committed:
+                os.remove(os.path.join(path, f))
     shutil.rmtree(staging, ignore_errors=True)
     return path
 

@@ -262,17 +262,43 @@ class _Parser:
             if e == "\n":  # JSON5 line continuation
                 self.i += 1
             elif e == "u":
-                buf.append(chr(int(self.s[self.i + 1 : self.i + 5], 16)))
-                self.i += 5
+                cp = self._hex_escape(4)
+                # UTF-16 surrogate pair: \uD800-\uDBFF followed by
+                # \uDC00-\uDFFF combine into one astral codepoint, matching
+                # json/json5/hjson library behavior.
+                if 0xD800 <= cp <= 0xDBFF and self.s[self.i : self.i + 2] == "\\u":
+                    save = self.i
+                    self.i += 1  # past the backslash; _hex_escape reads from 'u'
+                    lo = self._hex_escape(4)
+                    if 0xDC00 <= lo <= 0xDFFF:
+                        cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00)
+                    else:
+                        self.i = save  # not a low surrogate: leave unpaired
+                buf.append(chr(cp))
             elif e == "x":
-                buf.append(chr(int(self.s[self.i + 1 : self.i + 3], 16)))
-                self.i += 3
+                buf.append(chr(self._hex_escape(2)))
             elif e in _ESCAPES:
                 buf.append(_ESCAPES[e])
                 self.i += 1
             else:
                 buf.append(e)  # JSON5: \X -> X for other chars
                 self.i += 1
+
+    def _hex_escape(self, width: int) -> int:
+        """Read ``width`` hex digits after a ``\\u``/``\\x`` escape.
+
+        Raises :class:`LenientJSONError` with line/col context on
+        truncated or non-hex escapes instead of a bare ``ValueError``.
+        """
+        digits = self.s[self.i + 1 : self.i + 1 + width]
+        if len(digits) < width:
+            raise self.error("truncated \\u/\\x escape")
+        try:
+            cp = int(digits, 16)
+        except ValueError:
+            raise self.error(f"invalid hex escape {digits!r}") from None
+        self.i += 1 + width
+        return cp
 
     def parse_multiline(self) -> str:
         """HJSON ``'''`` string: common leading indent stripped."""
