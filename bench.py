@@ -45,6 +45,9 @@ HEADLINE = [
     "dedup_clusters",
     "bm25",
     "bm25_topk",
+    # first run builds the memoized term-partitioned index, best-of-N then
+    # times the decoupled indexed-query path (partition-pruned scan + topk)
+    "bm25_topk_indexed",
     "pack_assemble",
     "text_profile",
     "embedding_topk",

@@ -109,3 +109,108 @@ def test_frame_sample_plan(media_df):
     plan = frame_sample_plan(media_df.where(F.col("kind") == "video"), every_ms=1000)
     rows = sorted((r.media_id, r.frame_ts_ms) for r in plan.collect())
     assert rows == [("m3", 0), ("m3", 1000), ("m3", 2000)]
+
+
+# --------------------------------------------------------------------------
+# Real codecs (pure-Python WAV/PPM): the NON-stub decode path
+# --------------------------------------------------------------------------
+
+import math
+import struct
+
+from transmog_spark.operators.codecs import (
+    decode_ppm,
+    decode_wav_pcm16,
+    encode_ppm,
+    encode_wav_pcm16,
+    ppm_feature_vector,
+    wav_feature_vector,
+)
+
+
+def test_wav_roundtrip():
+    samples = [0, 1000, -1000, 32767, -32768, 5]
+    payload = encode_wav_pcm16(samples, 16000)
+    sr, ch, got = decode_wav_pcm16(payload)
+    assert (sr, ch, got) == (16000, 1, samples)
+
+
+def test_wav_decoder_walks_extra_chunks():
+    # insert a LIST chunk (odd length -> padded) between fmt and data, as a
+    # real RIFF writer may: the chunk walker must skip it and keep alignment
+    payload = encode_wav_pcm16([7, -7, 7], 8000)
+    fmt_end = payload.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad to even
+    patched = payload[:fmt_end] + extra + payload[fmt_end:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    sr, ch, got = decode_wav_pcm16(patched)
+    assert (sr, got) == (8000, [7, -7, 7])
+
+
+def test_wav_rejects_non_pcm():
+    payload = bytearray(encode_wav_pcm16([1, 2], 8000))
+    payload[20] = 3  # format tag -> IEEE float
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_wav_pcm16(bytes(payload))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav_pcm16(b"not a wav")
+
+
+def test_wav_features_sine_physics():
+    # 440 Hz sine at amplitude 0.5, 1 s at 8 kHz: rms = A/sqrt(2),
+    # zcr = 2 crossings per cycle
+    sr, freq, amp, n = 8000, 440, 0.5, 8000
+    samples = [
+        int(round(amp * 32767 * math.sin(2 * math.pi * freq * i / sr)))
+        for i in range(n)
+    ]
+    nsamp, rate, peak, rms, zcr = wav_feature_vector(
+        encode_wav_pcm16(samples, sr)
+    )
+    assert (nsamp, rate) == (n, sr)
+    assert peak == pytest.approx(amp, rel=1e-3)
+    assert rms == pytest.approx(amp / math.sqrt(2), rel=1e-3)
+    assert zcr == pytest.approx(2 * freq / sr, rel=0.01)
+
+
+def test_ppm_roundtrip_and_features():
+    # 2x2 solid orange-ish image
+    px = bytes([200, 100, 50] * 4)
+    payload = encode_ppm(px, 2, 2)
+    w, h, maxval, got = decode_ppm(payload)
+    assert (w, h, maxval, got) == (2, 2, 255, px)
+    fw, fh, mr, mg, mb, luma = ppm_feature_vector(payload)
+    assert (fw, fh) == (2.0, 2.0)
+    assert mr == pytest.approx(200 / 255)
+    assert mg == pytest.approx(100 / 255)
+    assert mb == pytest.approx(50 / 255)
+    assert luma == pytest.approx(0.299 * mr + 0.587 * mg + 0.114 * mb)
+
+
+def test_ppm_header_comments_and_truncation():
+    px = bytes([1, 2, 3])
+    payload = b"P6\n# a comment\n1 1\n# another\n255\n" + px
+    assert decode_ppm(payload) == (1, 1, 255, px)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(payload[:-1])
+    with pytest.raises(ValueError, match="P6"):
+        decode_ppm(b"P3\n1 1\n255\n...")
+
+
+def test_extract_features_real_wav_decoder(spark):
+    # the actual mapInPandas operator with the REAL decoder: Spark-side
+    # features must byte-match the driver-side pure-Python computation
+    payloads = {
+        "w1": encode_wav_pcm16([100 * i for i in range(-50, 50)], 8000),
+        "w2": encode_wav_pcm16([0, 0, 0, 1], 44100),
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "media_id string, payload binary",
+    )
+    got = {
+        r.media_id: list(r.feature)
+        for r in extract_features(df, decode_fn=wav_feature_vector).collect()
+    }
+    for k, v in payloads.items():
+        assert got[k] == wav_feature_vector(v)

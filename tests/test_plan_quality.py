@@ -186,3 +186,18 @@ def test_repetition_profile_two_exchanges_no_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "repetition_profile")
     assert _exchanges(plan) == 2
     assert "Join" not in plan
+
+
+def test_bm25_indexed_prunes_partitions_and_pushes_terms(spark, sf_dir):
+    # the materialized-index query must touch only the query terms' buckets
+    # (partition pruning on term_bucket) and push term IN (...) to the scan
+    plan = _plan(spark, sf_dir, "bm25_topk_indexed")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "term_bucket" in m.group(1), plan[:2000]
+    assert re.search(r"PushedFilters: \[[^\]]*In\(term", plan), plan[:2000]
+    # no corpus-stats recompute: a single scan (the index), no joins
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # exactly one file source (the index) — node names repeat in the detail
+    # section, so count scan *locations*, not name occurrences
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "TakeOrderedAndProject" in plan  # global top-k, not a full sort

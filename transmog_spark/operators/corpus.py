@@ -88,6 +88,12 @@ def bm25_topk(
     terms = sorted({t.lower() for t in query_terms})
     scores = bm25_scores(df, id_col, text_col, k1=k1, b=b)
     hits = scores.where(F.col("term").isin(terms))
+    return _topk_from_hits(hits, k)
+
+
+def _topk_from_hits(hits: DataFrame, k: int) -> DataFrame:
+    """Shared top-k tail: exact scaled-integer per-doc score sum (addition-
+    order independent), TakeOrdered global top-k, rank window over k rows."""
     per_doc = hits.groupBy("doc_id").agg(
         (
             F.sum(F.round(F.col("bm25") * 10000).cast("long")).cast("double") / 10000.0
@@ -101,6 +107,85 @@ def bm25_topk(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", F.round("score", 4).alias("score"), "terms_matched", "rank"
     )
+
+
+def _term_bucket_py(term: str, term_buckets: int) -> int:
+    """Driver-side twin of the index's term_bucket column: 60-bit md5
+    (functions.hashing.md5_long formula) mod term_buckets — lets the query
+    side compute which partitions to prune to without any Spark job."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % term_buckets
+
+
+def bm25_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    term_buckets: int = 64,
+    mode: str = "overwrite",
+) -> str:
+    """Materialize the per-(term, doc) BM25 score table as a persistent,
+    term-partitioned retrieval index.
+
+    ``bm25_topk`` recomputes tf/df/avgdl from raw text on every query; a
+    production retrieval surface pays that corpus scan ONCE and answers
+    queries from the index. Layout: parquet partitioned by ``term_bucket =
+    md5_long(term) % term_buckets`` — partitioning by raw term would create
+    one directory per vocabulary term (millions at corpus scale), while
+    hash buckets keep the directory count fixed and each query prunes to at
+    most |query terms| buckets. The bucket hash is the engine's 60-bit md5
+    (not xxhash64) so the QUERY side can compute bucket ids driver-side in
+    pure Python (``_term_bucket_py``) with zero Spark work.
+
+    Writes ``_bm25_index_meta.json`` next to the data so readers don't need
+    to re-specify ``term_buckets``/``k1``/``b``.
+    """
+    import json
+    import os
+
+    scores = bm25_scores(df, id_col, text_col, k1=k1, b=b)
+    out = scores.withColumn(
+        "term_bucket", (md5_long(F.col("term")) % term_buckets).cast("int")
+    )
+    out.write.partitionBy("term_bucket").mode(mode).parquet(path)
+    meta = {"term_buckets": term_buckets, "k1": k1, "b": b}
+    with open(os.path.join(path, "_bm25_index_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return path
+
+
+def bm25_topk_indexed(
+    spark,
+    index_path: str,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k retrieval served FROM the materialized index: scans only the
+    query terms' partitions (partition pruning on ``term_bucket`` + pushed
+    ``term IN (...)`` filter at the parquet scan — plan-pinned), so query
+    latency is decoupled from corpus-stats recompute entirely.
+
+    Identical output contract (and oracle) as ``bm25_topk`` over the same
+    corpus — the index stores the exact ``bm25_scores`` values.
+    """
+    import json
+    import os
+
+    with open(os.path.join(index_path, "_bm25_index_meta.json")) as fh:
+        meta = json.load(fh)
+    terms = sorted({t.lower() for t in query_terms})
+    buckets = sorted({_term_bucket_py(t, meta["term_buckets"]) for t in terms})
+    idx = spark.read.parquet(index_path)
+    hits = idx.where(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    return _topk_from_hits(hits, k)
 
 
 def hash_sample(

@@ -535,31 +535,59 @@ def _star_components(sym: DataFrame, max_iterations: int):
     rounds = 0
     sig = _sig(edges)
     for _ in range(max_iterations):
+        # NOTE both "emit two rows per input row" steps use explode(array(
+        # struct, struct)) rather than a self-union: unioning two branches of
+        # the same self-join lineage trips a Catalyst internal error in
+        # PruneFilters ("key not found: v#NNL") on Spark 4.x. Explode keeps a
+        # single linear lineage and is also one fewer scan of the input.
         # ---- large-star: neighborhoods over BOTH directions ----
-        both = edges.select("u", "v").unionByName(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        mins = both.groupBy("u").agg(F.min("v").alias("__mn")).select(
-            "u", F.least(F.col("__mn"), F.col("u")).alias("m")
+        both = edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+                    F.struct(F.col("v").alias("a"), F.col("u").alias("b")),
+                )
+            ).alias("__e")
+        ).select(F.col("__e.a").alias("u"), F.col("__e.b").alias("v"))
+        # self-joins of derived frames: rename the agg side's key so the
+        # join condition never reuses the parent's expression ids (Catalyst
+        # otherwise hits internal attribute-dedup errors intermittently)
+        mins = (
+            both.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select(
+                F.col("u").alias("__mu"), F.least(F.col("__mn"), F.col("u")).alias("m")
+            )
         )
         large = (
-            both.join(mins, "u")
+            both.join(mins, both.u == mins.__mu)
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
         # ---- small-star: hi->lo only; m = min neighbor (all < u) ----
-        smins = large.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
-            large.join(smins, "u")
-            .select(
-                F.col("v").alias("w"), F.col("m"), F.col("u").alias("hi")
-            )
+        smins = (
+            large.groupBy("u")
+            .agg(F.min("v").alias("m"))
+            .select(F.col("u").alias("__su"), "m")
+        )
+        small = large.join(smins, large.u == smins.__su).select(
+            F.col("v").alias("w"), F.col("m"), F.col("u").alias("hi")
         )
         new_edges = (
-            small.select(F.greatest("w", "m").alias("u"), F.least("w", "m").alias("v"))
-            .unionByName(small.select(F.col("hi").alias("u"), F.col("m").alias("v")))
+            small.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.greatest("w", "m").alias("a"),
+                            F.least("w", "m").alias("b"),
+                        ),
+                        F.struct(F.col("hi").alias("a"), F.col("m").alias("b")),
+                    )
+                ).alias("__e")
+            )
+            .select(F.col("__e.a").alias("u"), F.col("__e.b").alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint()
