@@ -343,6 +343,48 @@ def _q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile(d, "doc_id", "text")
 
 
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM corpus-quality scoring (operators/lm.py:lm_score): model
+    trained on the 80% md5 hash-split, every doc scored by add-k-smoothed
+    mean ln P(w2|w1) + OOV-bigram count — the CCNet/Gopher-style
+    perplexity filter as a first-class distributed operator."""
+    from transmog_spark.operators.lm import lm_score
+
+    d = _t(spark, sf_dir, "documents")
+    return lm_score(d, "doc_id", "text")
+
+
+def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (operators/pii.py): deterministic PII snippets are
+    injected per doc (same concat in the oracle SQL), then counted per type
+    over the original text and redacted in fixed pattern order — the
+    redacted-text md5 is the cross-engine proof that Java regex and RE2
+    found byte-identical spans."""
+    from transmog_spark.operators.pii import pii_profile
+
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("mail u"), F.col("doc_id").cast("string"), F.lit("@example.org now")),
+            )
+            .when(F.col("doc_id") % 3 == 1, F.lit("call 555-867-5309 today"))
+            .otherwise(
+                F.concat(
+                    F.lit("host 192.168."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit(".42 id 123-45-6789"),
+                )
+            ),
+        ).alias("text"),
+    )
+    return pii_profile(injected, "doc_id", "text")
+
+
 def _q_doc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("source").agg(
@@ -952,6 +994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_stats": _q_doc_source_stats,
         "media_features": _q_media_features,
         "media_wav_features": _q_media_wav_features,
+        "lm_perplexity": _q_lm_perplexity,
+        "pii_scan": _q_pii_scan,
         "interval_sessions": _q_interval_sessions,
         "time_rollup": _q_time_rollup,
         "bm25": _q_bm25,
@@ -1013,6 +1057,8 @@ def oracle_sql() -> dict[str, str]:
         ngram_jaccard_pairs_sql,
         simhash_pairs_sql,
         simhash_sql,
+        lm_perplexity_sql,
+        pii_scan_sql,
         text_profile_sql,
         token_features_sql,
         token_pipeline_sql,
@@ -1151,6 +1197,8 @@ SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
 FROM docs GROUP BY 1
 """,
         "text_profile": text_profile_sql(),
+        "lm_perplexity": lm_perplexity_sql(),
+        "pii_scan": pii_scan_sql(),
         "doc_source_stats": """
 SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
        round(avg(n_chars), 4) AS avg_chars, CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -39,6 +39,7 @@ from transmog_spark.session import get_spark  # noqa: E402
 K = 5
 N_QUERIES = 50
 DIM = 64
+_TMP = os.environ.get("SPARK_GRAFT_TMP", "/tmp/transmog_ann_bench")
 
 
 def synth_corpus(spark, n):
@@ -84,9 +85,19 @@ def bench(fn, runs=2):
     return sets, best
 
 
+def _materialize(spark, df, name):
+    """Equal input cost for all variants. Parquet roundtrip, not
+    localCheckpoint: checkpoint blocks live in the block manager and a
+    killed/evicted executor loses them mid-sweep ("Block rdd_N does not
+    exist"); a file is crash-proof and is also the realistic input shape."""
+    path = os.path.join(_TMP, name)
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def sweep(spark, corpus, queries, label, rows):
-    corpus = corpus.localCheckpoint()  # equal input cost for all variants
-    queries = queries.localCheckpoint()
+    corpus = _materialize(spark, corpus, label.split(" ")[0] + "_corpus")
+    queries = _materialize(spark, queries, label.split(" ")[0] + "_queries")
     kw = dict(id_col="vec_id", vec_col="embedding", k=K)
 
     truth, bf_wall = bench(lambda: brute_force_topk(corpus, queries, **kw))

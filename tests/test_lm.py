@@ -1,0 +1,115 @@
+"""Bigram-LM perplexity scoring: value parity vs a pure-Python reference."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from transmog_spark.operators.lm import LM_K, bigram_array, lm_score
+
+
+def _md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_lm(docs: dict[int, str], train_pct: int = 80, k: float = LM_K):
+    """Reference implementation, deliberately independent of the Spark code."""
+    toks = {d: [t for t in txt.lower().split() if t] for d, txt in docs.items()}
+    grams = {d: [f"{a} {b}" for a, b in zip(t, t[1:])] for d, t in toks.items()}
+    train = [d for d in docs if _md5_60(str(d)) % 100 < train_pct]
+    bc: dict[str, int] = {}
+    vocab = set()
+    for d in train:
+        vocab.update(toks[d])
+        for g in grams[d]:
+            bc[g] = bc.get(g, 0) + 1
+    cc: dict[str, int] = {}
+    for g, c in bc.items():
+        w1 = g.split(" ", 1)[0]
+        cc[w1] = cc.get(w1, 0) + c
+    v = len(vocab)
+    out = {}
+    for d, gs in grams.items():
+        if not gs:
+            continue
+        slp = 0
+        oov = 0
+        for g in gs:
+            c2 = bc.get(g, 0)
+            c1 = cc.get(g.split(" ", 1)[0], 0)
+            if c2 == 0:
+                oov += 1
+            slp += round(math.log((c2 + k) / (c1 + k * v)) * 10000)
+        avg = slp / 10000.0 / len(gs)
+        out[d] = (len(gs), oov, round(avg, 4), round(math.exp(-avg), 2))
+    return out
+
+
+DOCS = {
+    0: "the cat sat on the mat",
+    1: "the cat sat on the hat",
+    2: "the dog sat on the mat",
+    3: "a completely different sentence here",
+    4: "the cat the cat the cat",
+    5: "xyzzy plugh quux",          # all-OOV candidate
+    6: "single",                     # < 2 tokens -> absent
+    7: "",                           # empty -> absent
+    8: "The CAT sat",               # case folding
+}
+
+
+def test_bigram_array_basics(spark):
+    df = spark.createDataFrame([("a b c d",), ("a",), ("",)], "t string")
+    got = df.select(
+        bigram_array(F.filter(F.split(F.lower("t"), r"\s+"), lambda x: x != "")).alias("g")
+    ).collect()
+    assert list(got[0]["g"]) == ["a b", "b c", "c d"]
+    assert list(got[1]["g"]) == []
+    assert list(got[2]["g"]) == []
+
+
+def test_lm_score_matches_reference(spark):
+    df = spark.createDataFrame(
+        [(d, t) for d, t in DOCS.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["n_oov"], r["avg_logp"], r["ppl"])
+        for r in lm_score(df).collect()
+    }
+    exp = _py_lm(DOCS)
+    assert got == exp
+    assert 6 not in got and 7 not in got  # no-bigram docs absent
+    # repeated in-model bigrams must score higher than the OOV doc
+    if 5 in got and 0 in got:
+        assert got[0][2] > got[5][2]
+
+
+def test_lm_score_train_split_is_deterministic(spark):
+    df = spark.createDataFrame(
+        [(d, t) for d, t in DOCS.items()], "doc_id long, text string"
+    )
+    a = {r["doc_id"]: r["avg_logp"] for r in lm_score(df).collect()}
+    b = {r["doc_id"]: r["avg_logp"] for r in lm_score(df).collect()}
+    assert a == b
+
+
+def test_lm_score_full_train_no_oov_for_trained_docs(spark):
+    # train_pct=100: every doc is in the model, so no bigram is OOV
+    df = spark.createDataFrame(
+        [(d, t) for d, t in DOCS.items()], "doc_id long, text string"
+    )
+    got = lm_score(df, train_pct=100).agg(F.sum("n_oov")).collect()[0][0]
+    assert got == 0
+
+
+def test_lm_score_ppl_orders_quality(spark):
+    # a natural-ish doc made of common bigrams must have lower perplexity
+    # than token soup, when both are scored against the same model
+    rows = [(i, "the cat sat on the mat and the dog ran") for i in range(20)]
+    rows.append((100, "qq zz pp ww rr tt yy uu ii oo"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["ppl"] for r in lm_score(df, train_pct=90).collect()}
+    assert got[0] < got[100]

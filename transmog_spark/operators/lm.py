@@ -1,0 +1,161 @@
+"""N-gram language-model quality scoring (perplexity filtering).
+
+The CCNet / Gopher-style corpus-quality gate: train a bigram LM on a
+deterministic hash-split of the corpus, score every document by its
+average bigram log-probability, and filter/stratify on the score. Low
+avg-logp (high perplexity) flags boilerplate, non-language noise, and
+OCR garbage; suspiciously high avg-logp flags templated duplication.
+
+Scale shape (100 TB posture):
+
+* counts are two partial-agg ``groupBy`` passes over exploded bigrams —
+  map-side combine keeps the shuffle at distinct-gram volume;
+* scoring pre-aggregates to (doc, distinct bigram, multiplicity) before
+  joining the count tables, so the join stream is bounded by distinct
+  grams per doc, not token count;
+* the two count joins are plain shuffle joins on the gram key — hot grams
+  ("of the") are exactly the AQE skew-join case, same posture as BM25's
+  term join (BENCH/skew_bm25.md);
+* the 3 scalar model stats (vocab size, context total, trained flag)
+  travel as a broadcast single-row frame, like BM25's avgdl.
+
+Cross-engine determinism: per-bigram log-probabilities are rounded to 4
+decimals and summed as scaled integers (``sum(round(logp*10000) as
+long)``) so the doc aggregate is addition-order independent and the
+DuckDB oracle (``oracle.lm_perplexity_sql``) hashes identically; ln() is
+evaluated on bit-identical doubles on both engines (counts are exact
+longs), so the 1e-4 rounding grid absorbs any last-ulp libm divergence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from transmog_spark.functions.hashing import md5_long
+from transmog_spark.operators.text import ws_tokens
+
+LM_K = 0.5  # add-k smoothing constant
+
+
+def bigram_array(toks: Column) -> Column:
+    """Adjacent word pairs WITH multiplicity, in order: zip the token array
+    against its 1-shifted slice (O(tokens), same idiom as word_shingles —
+    never per-position slice). Docs with < 2 tokens yield an empty array."""
+    size = F.size(toks)
+    shifted = F.slice(toks, 2, F.greatest(size - 1, F.lit(0)))
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(size - 1, F.lit(0))),
+        shifted,
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.filter(grams, lambda x: x.isNotNull())
+
+
+def _train_split(df: DataFrame, id_col: str, train_pct: int) -> DataFrame:
+    """Deterministic stateless split: md5 of the id, no shuffle, no RNG —
+    the same seeded-hash predicate as corpus.hash_sample."""
+    return df.where(
+        md5_long(F.col(id_col).cast("string")) % 100 < F.lit(train_pct)
+    )
+
+
+def ngram_lm_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    train_pct: int = 80,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the bigram model: returns (bigram_counts, context_counts,
+    stats) where stats is a single-row frame (vocab_size, n_contexts).
+
+    ``context_counts`` are derived FROM the bigram counts (count of w1 as a
+    bigram context), so conditional probabilities normalize exactly.
+    """
+    toks = _train_split(df, id_col, train_pct).select(
+        ws_tokens(F.col(text_col)).alias("__toks")
+    )
+    grams = toks.select(F.explode(bigram_array(F.col("__toks"))).alias("gram"))
+    bigram_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))
+    context_counts = bigram_counts.groupBy(
+        F.substring_index("gram", " ", 1).alias("w1")
+    ).agg(F.sum("c2").alias("c1"))
+    vocab = (
+        toks.select(F.explode("__toks").alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab_size"))
+    )
+    return bigram_counts, context_counts, vocab
+
+
+def lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    train_pct: int = 80,
+    k: float = LM_K,
+) -> DataFrame:
+    """Per-document bigram-LM quality score against a model trained on the
+    ``train_pct`` hash-split of the same frame.
+
+    Output: (id, n_bigrams, n_oov, avg_logp, ppl) — avg_logp is the mean
+    add-k-smoothed ln P(w2|w1), n_oov counts bigrams never seen in
+    training. Docs with < 2 tokens have no bigrams and are absent.
+    """
+    bigram_counts, context_counts, vocab = ngram_lm_counts(
+        df, id_col, text_col, train_pct=train_pct
+    )
+
+    doc_grams = (
+        df.select(
+            F.col(id_col),
+            F.explode(bigram_array(ws_tokens(F.col(text_col)))).alias("gram"),
+        )
+        # pre-aggregate to distinct grams per doc: the count-table joins see
+        # one row per (doc, gram), not one per token position
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    scored = (
+        doc_grams.join(bigram_counts, "gram", "left")
+        .withColumn("w1", F.substring_index("gram", " ", 1))
+        .join(context_counts, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            "m",
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            "vocab_size",
+        )
+    )
+    logp = F.log(
+        (F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("vocab_size"))
+    )
+    # scaled-integer sum of per-gram round(logp,4): order-independent and
+    # bit-identical in the DuckDB mirror
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("m").cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("c2") == 0, F.col("m")).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.sum(F.round(logp * 10000).cast("long") * F.col("m")).alias("__slp"),
+    )
+    # Final rounding in EXACT integer arithmetic: slp/n lands on a half-grid
+    # tie with probability ~1/(2n) per doc, and Spark/DuckDB disagree on
+    # double tie-rounding — so round-half-away-from-zero via long DIV
+    # ((|slp|*2 + n) div 2n), then one exact int/1e4 division. Both engines
+    # then emit bit-identical doubles with no round() call at all.
+    avg_e4 = F.when(F.col("__slp") < 0, F.lit(-1)).otherwise(F.lit(1)) * F.expr(
+        "(abs(__slp) * 2 + n_bigrams) DIV (2 * n_bigrams)"
+    )
+    per_doc = per_doc.withColumn("__avg_e4", avg_e4)
+    avg = F.col("__avg_e4") / F.lit(10000.0)
+    return per_doc.select(
+        F.col(id_col),
+        "n_bigrams",
+        "n_oov",
+        avg.alias("avg_logp"),
+        F.round(F.exp(-avg), 2).alias("ppl"),
+    )

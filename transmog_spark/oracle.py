@@ -1022,3 +1022,105 @@ SELECT {strata_col},
        round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_token_share
 FROM cnt GROUP BY 1
 """
+
+
+def lm_perplexity_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_pct: int = 80,
+    k: float = 0.5,
+) -> str:
+    """Bigram-LM quality scoring (operators/lm.py:lm_score): add-k-smoothed
+    mean ln P(w2|w1) per doc, model trained on the md5 hash-split. Scaled-
+    integer sum of round(logp, 4) keeps the aggregate order-independent;
+    ln() sees bit-identical doubles on both engines (exact integer
+    counts), so the 1e-4 grid absorbs last-ulp libm divergence."""
+    split = f"{duck_md5_long(f'CAST({id_col} AS VARCHAR)')} % 100 < {train_pct}"
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, {duck_ws_tokens(text_col)} AS t FROM {table}
+),
+grams AS (
+  SELECT {id_col},
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS gram
+  FROM toks WHERE len(t) >= 2
+),
+bc AS (
+  SELECT gram, count(*) AS c2 FROM grams WHERE {split} GROUP BY gram
+),
+cc AS (
+  SELECT split_part(gram, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+  FROM bc GROUP BY 1
+),
+vocab AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(t) AS tok FROM toks WHERE {split})
+),
+dg AS (
+  SELECT {id_col}, gram, count(*) AS m FROM grams GROUP BY 1, 2
+),
+scored AS (
+  SELECT dg.{id_col}, dg.m,
+         coalesce(bc.c2, 0) AS c2, coalesce(cc.c1, 0) AS c1, vocab.v
+  FROM dg
+  LEFT JOIN bc USING (gram)
+  LEFT JOIN cc ON split_part(dg.gram, ' ', 1) = cc.w1
+  CROSS JOIN vocab
+),
+per_doc AS (
+  SELECT {id_col},
+         CAST(sum(m) AS BIGINT) AS n_bigrams,
+         CAST(sum(CASE WHEN c2 = 0 THEN m ELSE 0 END) AS BIGINT) AS n_oov,
+         CAST(sum(CAST(round(ln((c2 + {k}) / (c1 + {k} * v)) * 10000) AS BIGINT) * m)
+              AS BIGINT) AS slp
+  FROM scored GROUP BY 1
+),
+final AS (
+  SELECT {id_col}, n_bigrams, n_oov,
+         -- exact half-away-from-zero at the 1e-4 grid via BIGINT division:
+         -- slp/n hits .5 ties with prob ~1/(2n) and double round() ties
+         -- diverge across engines (Spark BigDecimal vs C libm)
+         (CASE WHEN slp < 0 THEN -1 ELSE 1 END)
+           * ((abs(slp) * 2 + n_bigrams) // (2 * n_bigrams)) AS avg_e4
+  FROM per_doc
+)
+SELECT {id_col}, n_bigrams, n_oov,
+       avg_e4 / 10000.0 AS avg_logp,
+       round(exp(-(avg_e4 / 10000.0)), 2) AS ppl
+FROM final
+"""
+
+
+def pii_scan_sql(
+    *, table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """PII scan + redaction mirror (operators/pii.py): identical RE2-safe
+    pattern strings, counts over the ORIGINAL text, redaction applied in
+    the same fixed order with the 'g' flag (Spark regexp_replace is
+    global by default)."""
+    from transmog_spark.operators.pii import PII_PATTERNS
+
+    inject = (
+        f"{text_col} || ' ' || CASE {id_col} % 3 "
+        f"WHEN 0 THEN 'mail u' || {id_col} || '@example.org now' "
+        f"WHEN 1 THEN 'call 555-867-5309 today' "
+        f"ELSE 'host 192.168.' || ({id_col} % 200) || '.42 id 123-45-6789' END"
+    )
+    counts = ", ".join(
+        f"len(regexp_extract_all(txt, '{pat}')) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    total = " + ".join(f"n_{name}" for name in PII_PATTERNS)
+    red = "txt"
+    for name, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+    return f"""
+WITH docs AS (SELECT {id_col}, {inject} AS txt FROM {table}),
+cnt AS (SELECT {id_col}, txt, {counts} FROM docs)
+SELECT {id_col}, n_email, n_ssn, n_phone, n_ipv4,
+       {total} AS n_pii,
+       md5({red}) AS redacted_md5
+FROM cnt
+"""
