@@ -59,6 +59,27 @@ def synth_corpus(spark, n):
     )
 
 
+def synth_clustered(spark, n, n_centers=32, spread=0.08):
+    """Deterministic clustered corpus: vec = center[id % n_centers] + small
+    per-id offset (all xxhash64-derived). The case ANN indexes exist for —
+    near neighbors share a center, so partition scans recover them without
+    scanning the corpus; contrast with synth_corpus's hash-uniform values
+    where recall is bounded by the scanned fraction."""
+    cid = F.col("id") % n_centers
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda j: (
+                (F.xxhash64(F.lit("c"), cid, j) % 100000).cast("double") / 100000.0
+                + spread
+                * (F.xxhash64(F.lit("n"), F.col("id"), j) % 100000).cast("double")
+                / 100000.0
+            ),
+        ).alias("embedding"),
+    )
+
+
 def topk_sets(df):
     """{query_id: frozenset(neighbor_id)} from a (query_id, neighbor_id, ...)
     top-k frame."""
@@ -138,7 +159,16 @@ def main():
 
     c = synth_corpus(spark, 100_000)
     sweep(
-        spark, c, c.where(F.col("vec_id") < N_QUERIES), "synth (100k x 64)", rows
+        spark, c, c.where(F.col("vec_id") < N_QUERIES), "uniform (100k x 64)", rows
+    )
+
+    cl = synth_clustered(spark, 100_000)
+    sweep(
+        spark,
+        cl,
+        cl.where(F.col("vec_id") < N_QUERIES),
+        "clustered (100k x 64, 32 centers)",
+        rows,
     )
 
     out = os.path.join(os.path.dirname(__file__), "..", "BENCH", "ann.md")
@@ -154,12 +184,27 @@ def main():
         for label, variant, rec, wall in rows:
             fh.write(f"| {label} | {variant} | {rec:.3f} | {wall:.2f} |\n")
         fh.write(
-            "\nDefaults justified: `ivf nlist=16 nprobe=4` is the knee of the\n"
-            "recall curve (see nprobe sweep); `lsh planes=8 probes=3` trades\n"
-            "one-bit probe fan-out for recall; `sq8` is near-exact (int8\n"
-            "rounding only) at 4x smaller corpus bytes. At corpus scale the\n"
-            "probe-fraction (nprobe/nlist, bucket fraction for lsh) sets the\n"
-            "scan cost; walls here are dominated by fixed per-query planning.\n"
+            "\nHow to read this. The sf0.1 and uniform corpora are\n"
+            "hash-uniform — there are no near neighbors to exploit — so for\n"
+            "ANY partition-scan index recall is bounded by the scanned\n"
+            "fraction: ivf recall tracks nprobe/nlist almost linearly, and\n"
+            "256-bucket lsh probing 1-5 buckets scans ~1-2% of the corpus\n"
+            "for single-digit recall. That is the information-theoretic\n"
+            "floor on structureless data, not an indexing defect. The\n"
+            "clustered corpus is the case ANN indexes exist for (real\n"
+            "embedding spaces are clustered): there ivf recovers\n"
+            "same-cluster neighbors at a quarter of the scan and lsh's\n"
+            "signature buckets align with clusters. sq8 is\n"
+            "structure-independent (int8 rounding is the only loss, full\n"
+            "scan at 4x smaller corpus bytes) — the safe default when the\n"
+            "embedding geometry is unknown. Defaults in __spark_entry__\n"
+            "(ivf nlist=16 nprobe=4; lsh planes=8 probes=3) are the\n"
+            "quarter-scan / multi-probe points: right for clustered\n"
+            "corpora, and on structureless ones no setting short of a full\n"
+            "scan does better — raise nprobe toward nlist or use sq8.\n"
+            "Walls at this corpus size are dominated by fixed per-query\n"
+            "planning (~3-4s serial per execution); the scan-fraction\n"
+            "economics only show at corpus scale.\n"
         )
     for r in rows:
         print("%-18s %-32s recall=%.3f wall=%.2fs" % r)
