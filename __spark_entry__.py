@@ -385,6 +385,59 @@ def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_profile(injected, "doc_id", "text")
 
 
+def _q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE subword tokenization (operators/bpe.py): the fixed seed merge
+    table applied by the Arrow-batched encoder; tok_md5 hashes the full
+    ordered token stream, proving the pandas-UDF encoder and the DuckDB
+    recursive-CTE encoder produced byte-identical subword sequences."""
+    from transmog_spark.operators.bpe import bpe_tokenize, seed_merges
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_tokenize(d, list(seed_merges()), "doc_id", "text")
+
+
+def _q_bpe_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end subword training-data flow: documents -> BPE tokens
+    (seed merge table, Arrow-batched encoder) -> deterministic 32k-vocab
+    ids -> sliding 32-token context windows (operators/packing.py:
+    token_chunks). Chunk arrays scalarized to md5 for the driver gate."""
+    from transmog_spark.functions.hashing import md5_long
+    from transmog_spark.operators.bpe import (
+        bpe_encode_udf,
+        pretokenize,
+        seed_merges,
+    )
+    from transmog_spark.operators.packing import token_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    enc = bpe_encode_udf(list(seed_merges()))
+    toks = d.select(
+        "doc_id",
+        F.transform(
+            enc(pretokenize(F.col("text"))),
+            lambda t: (md5_long(t) % 32768).cast("int"),
+        ).alias("tokens"),
+    )
+    ch = token_chunks(toks, window=32, stride=16)
+    chunk_str = F.concat_ws(
+        ",", F.transform(F.col("chunk"), lambda x: x.cast("string"))
+    )
+    return ch.select(
+        "doc_id", "chunk_id", "chunk_len", F.md5(chunk_str).alias("chunk_md5")
+    )
+
+
+def _q_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (operators/lm.py:importance_weights):
+    every doc scored under a bigram LM trained on the English subset vs one
+    trained on the whole corpus; log_ratio = avg_logp_target - avg_logp_raw
+    ranks docs by target-likeness for importance resampling."""
+    from transmog_spark.operators.lm import importance_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return importance_weights(d, "doc_id", "text", target=F.col("lang") == "en")
+
+
 def _q_doc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("source").agg(
@@ -995,6 +1048,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "media_wav_features": _q_media_wav_features,
         "lm_perplexity": _q_lm_perplexity,
+        "importance": _q_importance,
+        "bpe_tokenize": _q_bpe_tokenize,
+        "bpe_chunks": _q_bpe_chunks,
         "pii_scan": _q_pii_scan,
         "interval_sessions": _q_interval_sessions,
         "time_rollup": _q_time_rollup,
@@ -1057,6 +1113,9 @@ def oracle_sql() -> dict[str, str]:
         ngram_jaccard_pairs_sql,
         simhash_pairs_sql,
         simhash_sql,
+        bpe_chunks_sql,
+        bpe_tokenize_sql,
+        importance_sql,
         lm_perplexity_sql,
         pii_scan_sql,
         text_profile_sql,
@@ -1198,6 +1257,9 @@ FROM docs GROUP BY 1
 """,
         "text_profile": text_profile_sql(),
         "lm_perplexity": lm_perplexity_sql(),
+        "importance": importance_sql(),
+        "bpe_tokenize": bpe_tokenize_sql(),
+        "bpe_chunks": bpe_chunks_sql(),
         "pii_scan": pii_scan_sql(),
         "doc_source_stats": """
 SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,

@@ -50,6 +50,7 @@ HEADLINE = [
     "bm25_topk_indexed",
     "pack_assemble",
     "text_profile",
+    "bpe_tokenize",
     "embedding_topk",
     "embedding_topk_ivf",
     "flagship_pipeline",

@@ -105,6 +105,73 @@ def test_lm_score_full_train_no_oov_for_trained_docs(spark):
     assert got == 0
 
 
+def _py_importance(docs: dict[int, tuple[str, bool]], k: float = LM_K):
+    """Independent reference for importance_weights: two add-k bigram LMs
+    (target subset vs whole corpus), exact e4-integer arithmetic."""
+    toks = {d: [t for t in txt.lower().split() if t] for d, (txt, _) in docs.items()}
+    grams = {d: [f"{a} {b}" for a, b in zip(t, t[1:])] for d, t in toks.items()}
+
+    def model(ids):
+        bc: dict[str, int] = {}
+        vocab = set()
+        for d in ids:
+            vocab.update(toks[d])
+            for g in grams[d]:
+                bc[g] = bc.get(g, 0) + 1
+        cc: dict[str, int] = {}
+        for g, c in bc.items():
+            w1 = g.split(" ", 1)[0]
+            cc[w1] = cc.get(w1, 0) + c
+        return bc, cc, len(vocab)
+
+    mt = model([d for d, (_, tgt) in docs.items() if tgt])
+    mr = model(list(docs))
+
+    def score(gs, m):
+        bc, cc, v = m
+        return sum(
+            round(math.log((bc.get(g, 0) + k) / (cc.get(g.split(" ", 1)[0], 0) + k * v)) * 10000)
+            for g in gs
+        )
+
+    def e4(slp, n):
+        return (-1 if slp < 0 else 1) * ((abs(slp) * 2 + n) // (2 * n))
+
+    out = {}
+    for d, gs in grams.items():
+        if not gs:
+            continue
+        n = len(gs)
+        t_e4, r_e4 = e4(score(gs, mt), n), e4(score(gs, mr), n)
+        out[d] = (n, t_e4 / 10000.0, r_e4 / 10000.0, (t_e4 - r_e4) / 10000.0)
+    return out
+
+
+def test_importance_weights_matches_reference(spark):
+    docs = {
+        0: ("the cat sat on the mat", True),
+        1: ("the cat sat on the hat", True),
+        2: ("the dog sat on the mat", False),
+        3: ("a completely different sentence here", False),
+        4: ("the cat the cat the cat", True),
+        5: ("xyzzy plugh quux", False),
+        6: ("single", True),
+    }
+    from transmog_spark.operators.lm import importance_weights
+
+    df = spark.createDataFrame(
+        [(d, t, tgt) for d, (t, tgt) in docs.items()],
+        "doc_id long, text string, tgt boolean",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp_target"], r["avg_logp_raw"], r["log_ratio"])
+        for r in importance_weights(df, target=F.col("tgt")).collect()
+    }
+    assert got == _py_importance(docs)
+    # target-like docs must out-rank the anti-target token soup
+    assert got[0][3] > got[5][3]
+
+
 def test_lm_score_ppl_orders_quality(spark):
     # a natural-ish doc made of common bigrams must have lower perplexity
     # than token soup, when both are scored against the same model

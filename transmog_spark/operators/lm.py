@@ -88,6 +88,31 @@ def ngram_lm_counts(
     return bigram_counts, context_counts, vocab
 
 
+def _doc_grams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, gram, multiplicity) — pre-aggregated to distinct grams per doc so
+    downstream count-table joins see one row per (doc, gram), not one per
+    token position."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(bigram_array(ws_tokens(F.col(text_col)))).alias("gram"),
+        )
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+
+
+def _avg_e4(slp_col: str, n_col: str) -> Column:
+    """Exact integer round-half-away-from-zero of slp/n at the 1e-4 grid:
+    slp/n lands on a half-grid tie with probability ~1/(2n) per doc, and
+    Spark/DuckDB disagree on double tie-rounding — so divide in BIGINTs
+    ((|slp|*2 + n) DIV 2n). Both engines then derive bit-identical doubles
+    from the same integer with no round() call at all."""
+    return F.when(F.col(slp_col) < 0, F.lit(-1)).otherwise(F.lit(1)) * F.expr(
+        f"(abs({slp_col}) * 2 + {n_col}) DIV (2 * {n_col})"
+    )
+
+
 def lm_score(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -107,16 +132,7 @@ def lm_score(
         df, id_col, text_col, train_pct=train_pct
     )
 
-    doc_grams = (
-        df.select(
-            F.col(id_col),
-            F.explode(bigram_array(ws_tokens(F.col(text_col)))).alias("gram"),
-        )
-        # pre-aggregate to distinct grams per doc: the count-table joins see
-        # one row per (doc, gram), not one per token position
-        .groupBy(id_col, "gram")
-        .agg(F.count(F.lit(1)).alias("m"))
-    )
+    doc_grams = _doc_grams(df, id_col, text_col)
     scored = (
         doc_grams.join(bigram_counts, "gram", "left")
         .withColumn("w1", F.substring_index("gram", " ", 1))
@@ -142,15 +158,7 @@ def lm_score(
         .alias("n_oov"),
         F.sum(F.round(logp * 10000).cast("long") * F.col("m")).alias("__slp"),
     )
-    # Final rounding in EXACT integer arithmetic: slp/n lands on a half-grid
-    # tie with probability ~1/(2n) per doc, and Spark/DuckDB disagree on
-    # double tie-rounding — so round-half-away-from-zero via long DIV
-    # ((|slp|*2 + n) div 2n), then one exact int/1e4 division. Both engines
-    # then emit bit-identical doubles with no round() call at all.
-    avg_e4 = F.when(F.col("__slp") < 0, F.lit(-1)).otherwise(F.lit(1)) * F.expr(
-        "(abs(__slp) * 2 + n_bigrams) DIV (2 * n_bigrams)"
-    )
-    per_doc = per_doc.withColumn("__avg_e4", avg_e4)
+    per_doc = per_doc.withColumn("__avg_e4", _avg_e4("__slp", "n_bigrams"))
     avg = F.col("__avg_e4") / F.lit(10000.0)
     return per_doc.select(
         F.col(id_col),
@@ -158,4 +166,70 @@ def lm_score(
         "n_oov",
         avg.alias("avg_logp"),
         F.round(F.exp(-avg), 2).alias("ppl"),
+    )
+
+
+def importance_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    target: Column,
+    k: float = LM_K,
+) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    under a bigram LM trained on the ``target`` subset and one trained on
+    the whole (raw) corpus; the log importance ratio
+    ``avg_logp_target - avg_logp_raw`` ranks documents by how much more
+    target-like than corpus-typical they are. Resampling with probability
+    proportional to ``exp(log_ratio)`` is then a stateless seeded-hash
+    predicate (``corpus.hash_sample``) over the output.
+
+    Scale shape: one doc-gram pass (distinct grams per doc), four count
+    joins on the gram/context key (AQE-skew posture, same as BM25's term
+    join), two broadcast single-row vocab frames. All logp sums are
+    scaled-integer exact, so the DuckDB mirror (``oracle.importance_sql``)
+    hashes identically.
+
+    Output: (id, n_bigrams, avg_logp_target, avg_logp_raw, log_ratio).
+    Docs with < 2 tokens have no bigrams and are absent.
+    """
+    bc_t, cc_t, v_t = ngram_lm_counts(
+        df.where(target), id_col, text_col, train_pct=100
+    )
+    bc_r, cc_r, v_r = ngram_lm_counts(df, id_col, text_col, train_pct=100)
+
+    scored = (
+        _doc_grams(df, id_col, text_col)
+        .join(bc_t.withColumnRenamed("c2", "c2_t"), "gram", "left")
+        .join(bc_r.withColumnRenamed("c2", "c2_r"), "gram", "left")
+        .withColumn("w1", F.substring_index("gram", " ", 1))
+        .join(cc_t.withColumnRenamed("c1", "c1_t"), "w1", "left")
+        .join(cc_r.withColumnRenamed("c1", "c1_r"), "w1", "left")
+        .crossJoin(F.broadcast(v_t.withColumnRenamed("vocab_size", "v_t")))
+        .crossJoin(F.broadcast(v_r.withColumnRenamed("vocab_size", "v_r")))
+    )
+
+    def _slp(c2: str, c1: str, v: str) -> Column:
+        logp = F.log(
+            (F.coalesce(c2, F.lit(0)) + F.lit(k))
+            / (F.coalesce(c1, F.lit(0)) + F.lit(k) * F.col(v))
+        )
+        return F.sum(F.round(logp * 10000).cast("long") * F.col("m"))
+
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("m").cast("long").alias("n_bigrams"),
+        _slp("c2_t", "c1_t", "v_t").alias("__slp_t"),
+        _slp("c2_r", "c1_r", "v_r").alias("__slp_r"),
+    )
+    per_doc = per_doc.withColumn(
+        "__t_e4", _avg_e4("__slp_t", "n_bigrams")
+    ).withColumn("__r_e4", _avg_e4("__slp_r", "n_bigrams"))
+    return per_doc.select(
+        F.col(id_col),
+        "n_bigrams",
+        (F.col("__t_e4") / F.lit(10000.0)).alias("avg_logp_target"),
+        (F.col("__r_e4") / F.lit(10000.0)).alias("avg_logp_raw"),
+        ((F.col("__t_e4") - F.col("__r_e4")) / F.lit(10000.0)).alias("log_ratio"),
     )

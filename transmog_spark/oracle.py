@@ -1093,6 +1093,202 @@ FROM final
 """
 
 
+def _bpe_ctes(table: str, id_col: str, text_col: str) -> str:
+    """Shared BPE-encoding CTE chain (through ``wtok``): the recursive-CTE
+    subword encoder over the DISTINCT pre-token vocabulary.
+
+    Each word's symbol sequence is a boundary-safe string (every symbol
+    wrapped as chr(31)||sym||chr(31)), and iteration r applies merge rank
+    r as one plain ``replace`` — string replace is exactly BPE's
+    non-overlapping left-to-right merge-all, and the double-separator
+    wrapping makes mid-symbol false matches impossible. Applying merges
+    once each in rank order equals the lowest-rank-first encoder for
+    training-consistent merge lists (property-tested on the Spark side).
+    Work is vocabulary x num_merges, not corpus x num_merges. Must be
+    placed inside a ``WITH RECURSIVE``.
+    """
+    from transmog_spark.operators.bpe import PRETOKEN_RE, seed_merges
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    sep = "chr(31)"
+    merges = seed_merges()
+    vals = ",\n    ".join(
+        f"({i + 1}, {sep} || '{q(l)}' || {sep} || {sep} || '{q(r)}' || {sep}, "
+        f"{sep} || '{q(l)}{q(r)}' || {sep})"
+        for i, (l, r) in enumerate(merges)
+    )
+    n = len(merges)
+    return f"""merges(rank, pat, rep) AS (
+  SELECT * FROM (VALUES
+    {vals}) v
+),
+pre AS (
+  SELECT {id_col}, regexp_extract_all({text_col}, '{PRETOKEN_RE}') AS ws
+  FROM {table}
+),
+words AS (
+  SELECT {id_col}, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM pre
+),
+dw AS (SELECT DISTINCT w FROM words),
+init AS (
+  SELECT w,
+         {sep} || array_to_string(regexp_extract_all(w, '.'), {sep} || {sep}) || {sep} AS s
+  FROM dw
+),
+enc AS (
+  SELECT w, s, 1 AS r FROM init
+  UNION ALL
+  SELECT e.w,
+         CASE WHEN m.pat IS NOT NULL THEN replace(e.s, m.pat, m.rep) ELSE e.s END,
+         e.r + 1
+  FROM enc e LEFT JOIN merges m ON m.rank = e.r
+  WHERE e.r <= {n}
+),
+wtok AS (
+  SELECT w,
+         len(string_split(s, {sep} || {sep})) AS n_tok,
+         replace(substr(s, 2, length(s) - 2), {sep} || {sep}, chr(30)) AS toks
+  FROM enc WHERE r = {n} + 1
+)"""
+
+
+def bpe_tokenize_sql(
+    *, table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """BPE subword tokenization mirror (operators/bpe.py:bpe_tokenize) using
+    the fixed seed merge table; see ``_bpe_ctes`` for the encoder."""
+    return f"""
+WITH RECURSIVE {_bpe_ctes(table, id_col, text_col)},
+agg AS (
+  SELECT words.{id_col},
+         count(*) AS n_words,
+         CAST(sum(wt.n_tok) AS BIGINT) AS n_tokens,
+         string_agg(wt.toks, chr(30) ORDER BY words.pos) AS stream
+  FROM words JOIN wtok wt USING (w)
+  GROUP BY 1
+)
+SELECT d.{id_col},
+       CAST(coalesce(a.n_words, 0) AS INTEGER) AS n_words,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       md5(coalesce(a.stream, '')) AS tok_md5
+FROM {table} d LEFT JOIN agg a USING ({id_col})
+"""
+
+
+def bpe_chunks_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: int = 32768,
+    window: int = 32,
+    stride: int = 16,
+) -> str:
+    """BPE-tokenized context windows: the subword encoder (``_bpe_ctes``)
+    composed with the sliding-window chunker (``token_chunks_sql``) — the
+    end-to-end documents -> subword ids -> fixed context windows flow."""
+    sl = f"list_slice(tk, chunk_id * {stride} + 1, chunk_id * {stride} + {window})"
+    return f"""
+WITH RECURSIVE {_bpe_ctes(table, id_col, text_col)},
+doc_toks AS (
+  SELECT words.{id_col},
+         flatten(list(string_split(wt.toks, chr(30)) ORDER BY words.pos)) AS st
+  FROM words JOIN wtok wt USING (w)
+  GROUP BY 1
+),
+ids AS (
+  SELECT {id_col},
+         list_transform(st, x -> CAST({duck_md5_long('x')} % {vocab} AS INT)) AS tk
+  FROM doc_toks
+),
+nz AS (SELECT * FROM ids WHERE len(tk) > 0),
+ex AS (SELECT {id_col}, tk,
+              unnest(generate_series(0,
+                CASE WHEN len(tk) <= {window} THEN 0
+                     ELSE (len(tk) - {window} + {stride} - 1) // {stride} END)) AS chunk_id
+       FROM nz)
+SELECT {id_col}, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len({sl}) AS BIGINT) AS chunk_len,
+       md5(array_to_string(list_transform({sl}, x -> CAST(x AS VARCHAR)), ',')) AS chunk_md5
+FROM ex
+"""
+
+
+def importance_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_pred: str = "lang = 'en'",
+    k: float = 0.5,
+) -> str:
+    """DSIR importance weighting mirror (operators/lm.py:importance_weights):
+    bigram-LM avg logp under the ``target_pred`` subset model minus under
+    the whole-corpus model, all in scaled-integer arithmetic."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, ({target_pred}) AS tgt, {duck_ws_tokens(text_col)} AS t
+  FROM {table}
+),
+grams AS (
+  SELECT {id_col}, tgt,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS gram
+  FROM toks WHERE len(t) >= 2
+),
+bct AS (SELECT gram, count(*) AS c2t FROM grams WHERE tgt GROUP BY gram),
+bcr AS (SELECT gram, count(*) AS c2r FROM grams GROUP BY gram),
+cct AS (
+  SELECT split_part(gram, ' ', 1) AS w1, CAST(sum(c2t) AS BIGINT) AS c1t
+  FROM bct GROUP BY 1
+),
+ccr AS (
+  SELECT split_part(gram, ' ', 1) AS w1, CAST(sum(c2r) AS BIGINT) AS c1r
+  FROM bcr GROUP BY 1
+),
+vt AS (SELECT count(DISTINCT tok) AS v
+       FROM (SELECT unnest(t) AS tok FROM toks WHERE tgt)),
+vr AS (SELECT count(DISTINCT tok) AS v
+       FROM (SELECT unnest(t) AS tok FROM toks)),
+dg AS (SELECT {id_col}, gram, count(*) AS m FROM grams GROUP BY 1, 2),
+scored AS (
+  SELECT dg.{id_col}, dg.m,
+         coalesce(bct.c2t, 0) AS c2t, coalesce(bcr.c2r, 0) AS c2r,
+         coalesce(cct.c1t, 0) AS c1t, coalesce(ccr.c1r, 0) AS c1r,
+         vt.v AS v_t, vr.v AS v_r
+  FROM dg
+  LEFT JOIN bct USING (gram)
+  LEFT JOIN bcr USING (gram)
+  LEFT JOIN cct ON split_part(dg.gram, ' ', 1) = cct.w1
+  LEFT JOIN ccr ON split_part(dg.gram, ' ', 1) = ccr.w1
+  CROSS JOIN vt CROSS JOIN vr
+),
+per_doc AS (
+  SELECT {id_col},
+         CAST(sum(m) AS BIGINT) AS n_bigrams,
+         CAST(sum(CAST(round(ln((c2t + {k}) / (c1t + {k} * v_t)) * 10000) AS BIGINT) * m)
+              AS BIGINT) AS slp_t,
+         CAST(sum(CAST(round(ln((c2r + {k}) / (c1r + {k} * v_r)) * 10000) AS BIGINT) * m)
+              AS BIGINT) AS slp_r
+  FROM scored GROUP BY 1
+),
+final AS (
+  SELECT {id_col}, n_bigrams,
+         (CASE WHEN slp_t < 0 THEN -1 ELSE 1 END)
+           * ((abs(slp_t) * 2 + n_bigrams) // (2 * n_bigrams)) AS t_e4,
+         (CASE WHEN slp_r < 0 THEN -1 ELSE 1 END)
+           * ((abs(slp_r) * 2 + n_bigrams) // (2 * n_bigrams)) AS r_e4
+  FROM per_doc
+)
+SELECT {id_col}, n_bigrams,
+       t_e4 / 10000.0 AS avg_logp_target,
+       r_e4 / 10000.0 AS avg_logp_raw,
+       (t_e4 - r_e4) / 10000.0 AS log_ratio
+FROM final
+"""
+
+
 def pii_scan_sql(
     *, table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
 ) -> str:
