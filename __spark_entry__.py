@@ -354,6 +354,16 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(d, "doc_id", "text")
 
 
+def _q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher/CCNet quality verdict (operators/quality.py):
+    length/word-shape/punctuation/stopword/repetition/perplexity/PII rules
+    in fixed precedence; each doc gets 'keep' or the first failing rule."""
+    from transmog_spark.operators.quality import quality_gate
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_gate(d, "doc_id", "text")
+
+
 def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detect + redact (operators/pii.py): deterministic PII snippets are
     injected per doc (same concat in the oracle SQL), then counted per type
@@ -1052,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": _q_bpe_tokenize,
         "bpe_chunks": _q_bpe_chunks,
         "pii_scan": _q_pii_scan,
+        "quality_gate": _q_quality_gate,
         "interval_sessions": _q_interval_sessions,
         "time_rollup": _q_time_rollup,
         "bm25": _q_bm25,
@@ -1118,6 +1129,7 @@ def oracle_sql() -> dict[str, str]:
         importance_sql,
         lm_perplexity_sql,
         pii_scan_sql,
+        quality_gate_sql,
         text_profile_sql,
         token_features_sql,
         token_pipeline_sql,
@@ -1261,6 +1273,7 @@ FROM docs GROUP BY 1
         "bpe_tokenize": bpe_tokenize_sql(),
         "bpe_chunks": bpe_chunks_sql(),
         "pii_scan": pii_scan_sql(),
+        "quality_gate": quality_gate_sql(),
         "doc_source_stats": """
 SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
        round(avg(n_chars), 4) AS avg_chars, CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -49,10 +49,10 @@ def synth_docs(spark, n_docs: int, partitions: int, words_per_doc: int = 40):
     def word(j):
         h1 = F.pmod(F.xxhash64(F.col("id"), F.lit(j)), F.lit(len(COMMON)))
         base = F.element_at(common, (h1 + 1).cast("int"))
-        h2 = F.pmod(F.xxhash64(F.lit("r"), F.col("id"), F.lit(j)), F.lit(10))
+        h2 = F.pmod(F.xxhash64(F.lit("r"), F.col("id"), F.lit(j)), F.lit(3))
         rare = F.concat(
             base,
-            F.pmod(F.xxhash64(F.lit("s"), F.col("id"), F.lit(j)), F.lit(4099)).cast(
+            F.pmod(F.xxhash64(F.lit("s"), F.col("id"), F.lit(j)), F.lit(65521)).cast(
                 "string"
             ),
         )
@@ -69,7 +69,14 @@ def child(cpus: int, n_docs: int, partitions: int) -> None:
     from transmog_spark.session import get_spark
 
     spark = get_spark(f"local[{cpus}]", shuffle_partitions=partitions)
-    docs = synth_docs(spark, n_docs, partitions)
+    # materialize the input OUTSIDE the timed region: generating it inline
+    # (80 xxhash64 calls/doc, JVM-side) is bandwidth-bound on this host
+    # (BENCH/membw.json: 0.533 scaling 4->16) and would measure the bus,
+    # not the encoder — the subject is scan + pretokenize + Python encode
+    path = f"/tmp/transmog_bpe_scaling_{n_docs}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth_docs(spark, n_docs, partitions).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
     out = bpe_tokenize(docs, list(seed_merges()))
 
     walls = []
@@ -151,8 +158,11 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH", "bpe_scaling.md"), "w") as fh:
         fh.write(
             "# BPE encode scaling (local[%d] vs local[%d])\n\n"
-            "Subject: `bpe_tokenize` — pre-tokenize (JVM regex) + Arrow-batched\n"
-            "pandas-UDF BPE encode + md5 token-stream digest, %s docs x 40 words,\n"
+            "Subject: `bpe_tokenize` — parquet scan + pre-tokenize (JVM regex) +\n"
+            "Arrow-batched pandas-UDF BPE encode + md5 token-stream digest over a\n"
+            "pre-materialized corpus (input synthesis excluded: it is\n"
+            "bandwidth-bound and would measure the host bus, BENCH/membw.json),\n"
+            "%s docs x 40 words (1/3 rare-suffixed, ~2M distinct vocabulary),\n"
             "fixed %d partitions at both levels, fresh JVM per level, best of\n"
             "%d interleaved rounds x 4 executions.\n\n"
             "| level | best wall (s) | docs/s |\n|---|---|---|\n"

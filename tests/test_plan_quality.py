@@ -201,3 +201,57 @@ def test_bm25_indexed_prunes_partitions_and_pushes_terms(spark, sf_dir):
     # section, so count scan *locations*, not name occurrences
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "TakeOrderedAndProject" in plan  # global top-k, not a full sort
+
+
+def _arrow_nodes(plan: str) -> int:
+    # detail headers appear once per node (the tree line is "Name (id)")
+    return len(re.findall(r"\(\d+\) ArrowEvalPython", plan))
+
+
+def test_pii_scan_is_map_only(spark, sf_dir):
+    # regex scan + redaction ride whole-stage codegen: no shuffle, no UDF
+    plan = _plan(spark, sf_dir, "pii_scan")
+    assert _exchanges(plan) == 0
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bpe_tokenize_single_udf_map_only(spark, sf_dir):
+    # pretokenize (JVM regex) -> ONE Arrow encoder pass -> md5; no shuffle
+    plan = _plan(spark, sf_dir, "bpe_tokenize")
+    assert _exchanges(plan) == 0
+    assert _arrow_nodes(plan) == 1
+
+
+def test_bpe_chunks_single_udf_map_only(spark, sf_dir):
+    # the single_eval barrier keeps the encoder at ONE evaluation even
+    # though token_chunks references the token array in a filter AND a
+    # projection (without it: 2 ArrowEvalPython nodes, encoder runs twice)
+    plan = _plan(spark, sf_dir, "bpe_chunks")
+    assert _exchanges(plan) == 0
+    assert _arrow_nodes(plan) == 1
+
+
+def test_lm_perplexity_broadcast_stats_no_cartesian(spark, sf_dir):
+    # count-table joins shuffle on gram/context keys; the single-row vocab
+    # frame broadcasts; nothing crosses
+    plan = _plan(spark, sf_dir, "lm_perplexity")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) >= 1
+    assert _exchanges(plan) <= 8
+
+
+def test_importance_no_cartesian_bounded_exchanges(spark, sf_dir):
+    # two models (target + raw) double the count joins; still no cross and
+    # both vocab singles broadcast
+    plan = _plan(spark, sf_dir, "importance")
+    assert "CartesianProduct" not in plan
+    assert _exchanges(plan) <= 13
+
+
+def test_quality_gate_no_cartesian(spark, sf_dir):
+    # four per-doc signal aggregations joined on the id key; join strategy
+    # is size-based (broadcast here, SMJ at scale) — pin only the absence
+    # of crosses and a bounded exchange count
+    plan = _plan(spark, sf_dir, "quality_gate")
+    assert "CartesianProduct" not in plan
+    assert _exchanges(plan) <= 12

@@ -181,11 +181,21 @@ def bpe_train(
     )
 
 
-def bpe_encode_udf(merges: list[tuple[str, str]]):
+def bpe_encode_udf(merges: list[tuple[str, str]], *, single_eval: bool = True):
     """Arrow-batched encoder over a pre-token array column: returns the
     concatenated subword-token array for each row. Distinct words are
     encoded once per batch (Zipf -> near-total cache hits); the merge
-    table is closure-captured (small)."""
+    table is closure-captured (small).
+
+    ``single_eval`` (default) marks the UDF non-deterministic — it IS
+    deterministic, but the marking is an optimizer barrier: when a
+    downstream plan references the token array more than once (a filter on
+    its size plus a projection, as in token_chunks), CollapseProject
+    otherwise inlines the UDF into every use and the encoder runs once per
+    reference (measured: 2 ArrowEvalPython nodes -> 1). The cost is that
+    unrelated filters no longer reorder below the encode — filter before
+    encoding, which a 100 TB pipeline should do anyway. Pass
+    ``single_eval=False`` to restore full optimizer freedom."""
     ranks = {p: i for i, p in enumerate(merges)}
 
     @pandas_udf(ArrayType(StringType()))
@@ -204,7 +214,7 @@ def bpe_encode_udf(merges: list[tuple[str, str]]):
 
         return words.apply(enc)
 
-    return _encode
+    return _encode.asNondeterministic() if single_eval else _encode
 
 
 def bpe_tokenize(

@@ -886,6 +886,60 @@ FROM prof
 """
 
 
+def quality_gate_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    min_word_len: float = 2.0,
+    max_word_len: float = 12.0,
+    max_punct_ratio: float = 0.2,
+    min_stopword_ratio: float = 0.02,
+    max_top2gram: float = 0.15,
+    max_ppl: float = 31.5,
+    max_pii: int = 3,
+) -> str:
+    """Composite quality verdict (operators/quality.py:quality_gate):
+    the per-operator oracles composed as CTEs + the same fixed-precedence
+    CASE. Rule comparisons see the identical bit-exact doubles the
+    standalone oracles already hash."""
+    from transmog_spark.operators.pii import PII_PATTERNS
+
+    tp = text_profile_sql(table=table, id_col=id_col, text_col=text_col)
+    rp = repetition_profile_sql(table=table, id_col=id_col, text_col=text_col)
+    lm = lm_perplexity_sql(table=table, id_col=id_col, text_col=text_col)
+    pii_total = " + ".join(
+        f"len(regexp_extract_all({text_col}, '{pat}'))"
+        for pat in PII_PATTERNS.values()
+    )
+    return f"""
+WITH tp AS ({tp}),
+rp AS ({rp}),
+lm AS ({lm}),
+pii AS (SELECT {id_col}, CAST({pii_total} AS BIGINT) AS n_pii FROM {table})
+SELECT tp.{id_col},
+       tp.n_tokens_ws,
+       tp.stopword_ratio,
+       coalesce(rp.top_2gram_frac, 0.0) AS top_2gram_frac,
+       coalesce(lm.ppl, 0.0) AS ppl,
+       pii.n_pii,
+       CASE WHEN tp.n_tokens_ws < {min_tokens} THEN 'too_short'
+            WHEN tp.mean_word_len < {min_word_len}
+                 OR tp.mean_word_len > {max_word_len} THEN 'word_shape'
+            WHEN tp.punct_ratio > {max_punct_ratio} THEN 'punct_heavy'
+            WHEN tp.stopword_ratio < {min_stopword_ratio} THEN 'low_stopword'
+            WHEN coalesce(rp.top_2gram_frac, 0.0) > {max_top2gram} THEN 'repetitive'
+            WHEN coalesce(lm.ppl, 0.0) > {max_ppl} THEN 'high_ppl'
+            WHEN pii.n_pii > {max_pii} THEN 'pii_heavy'
+            ELSE 'keep' END AS verdict
+FROM tp
+LEFT JOIN rp ON tp.{id_col} = rp.{id_col}
+LEFT JOIN lm ON tp.{id_col} = lm.{id_col}
+JOIN pii ON tp.{id_col} = pii.{id_col}
+"""
+
+
 def curation_pipeline_sql(
     *,
     table: str = "documents",
