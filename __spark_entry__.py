@@ -636,6 +636,20 @@ def _q_embedding_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_topk(e, q, id_col="vec_id", vec_col="embedding", k=5, dim=64)
 
 
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup verdicts (operators/similarity.py:semdedup — SemDeDup,
+    Abbas et al. 2023): k-means clusters with one Lloyd refinement pass,
+    then per-cluster >=0.4-cosine groups keep their lowest-centroid-sim
+    member. Oracle chains the IVF centroid CTEs + the same keep rule."""
+    from transmog_spark.operators.similarity import semdedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semdedup(
+        e, id_col="vec_id", vec_col="embedding", dim=64, nlist=16,
+        refine_iterations=1, threshold=0.4,
+    )
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine pairs on a bounded slice (oracle-checkable)."""
     from transmog_spark.operators.dedup import cosine_sim
@@ -1077,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_lsh": _q_embedding_topk_lsh,
         "embedding_topk_sq8": _q_embedding_topk_sq8,
         "embedding_neardup": _q_embedding_neardup,
+        "semdedup": _q_semdedup,
         "flagship_pipeline": _q_flagship,
         "token_pipeline": _q_token_pipeline,
         "pack_concat": _q_pack_concat,
@@ -1117,6 +1132,7 @@ def oracle_sql() -> dict[str, str]:
         pack_greedy_sql,
         token_chunks_sql,
         ivf_topk_sql,
+        semdedup_sql,
         lsh_topk_sql,
         minhash_pairs_sql,
         sq8_topk_sql,
@@ -1305,6 +1321,9 @@ SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM (
         "embedding_topk_ivfk": ivf_topk_sql(
             query_filter="vec_id < 10", k=5, nlist=16, nprobe=4,
             refine_iterations=2, dim=64,
+        ),
+        "semdedup": semdedup_sql(
+            nlist=16, refine_iterations=1, dim=64, threshold=0.4,
         ),
         "token_pipeline": token_pipeline_sql(n_docs=2000),
         "interval_sessions": """

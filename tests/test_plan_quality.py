@@ -255,3 +255,12 @@ def test_quality_gate_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "quality_gate")
     assert "CartesianProduct" not in plan
     assert _exchanges(plan) <= 12
+
+
+def test_semdedup_cluster_local_no_cartesian(spark, sf_dir):
+    # assignment is an expression argmax over centroid literals (no join);
+    # the pairwise pass self-joins on cluster_id (hash shuffle, exchange
+    # reused for both sides); verdict join on vec_id — never a cross
+    plan = _plan(spark, sf_dir, "semdedup")
+    assert "CartesianProduct" not in plan
+    assert _exchanges(plan) <= 6

@@ -1,0 +1,69 @@
+"""SemDeDup: keep-rule correctness on planted duplicate groups."""
+
+from __future__ import annotations
+
+from transmog_spark.operators.similarity import semdedup
+
+# dim-4 corpus: a near-identical pair (0, 1), a mutually-similar triple
+# (10, 11, 12), and isolated vectors nowhere near anything else
+VECS = {
+    0: [1.0, 0.0, 0.0, 0.0],
+    1: [0.999, 0.02, 0.0, 0.0],
+    10: [0.0, 1.0, 0.0, 0.0],
+    11: [0.0, 0.999, 0.03, 0.0],
+    12: [0.0, 0.995, 0.0, 0.05],
+    20: [0.0, 0.0, 1.0, 0.0],
+    21: [0.0, 0.0, 0.0, 1.0],
+    22: [0.5, -0.5, 0.5, -0.5],
+    23: [-0.5, 0.5, 0.5, -0.5],
+    24: [-0.5, -0.5, 0.5, 0.5],
+}
+
+
+def _run(spark, **kw):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in VECS.items()], "vec_id long, embedding array<double>"
+    )
+    kw.setdefault("dim", 4)
+    kw.setdefault("nlist", 4)
+    kw.setdefault("threshold", 0.98)
+    rows = semdedup(df, **kw).collect()
+    return {r["vec_id"]: r for r in rows}
+
+
+def test_semdedup_verdicts(spark):
+    got = _run(spark)
+    # one row per input, keep is 0/1
+    assert len(got) == len(VECS)
+    assert all(r["keep"] in (0, 1) for r in got.values())
+    # isolated vectors always survive
+    for i in (20, 21, 22, 23, 24):
+        assert got[i]["keep"] == 1, i
+    # the near-identical pair loses exactly one member: the one closer to
+    # the centroid (SemDeDup keep rule), ids breaking ties
+    pair = [got[0], got[1]]
+    assert sorted(r["keep"] for r in pair) == [0, 1]
+    kept = next(r for r in pair if r["keep"] == 1)
+    dropped = next(r for r in pair if r["keep"] == 0)
+    assert (kept["cent_sim"], kept["vec_id"]) < (dropped["cent_sim"], dropped["vec_id"])
+    # the mutually-similar triple keeps at least its lowest-cent_sim member
+    # and drops at least one
+    triple = [got[10], got[11], got[12]]
+    keeps = [r["keep"] for r in triple]
+    assert 1 <= sum(keeps) <= 2
+    lowest = min(triple, key=lambda r: (r["cent_sim"], r["vec_id"]))
+    assert lowest["keep"] == 1
+
+
+def test_semdedup_threshold_1_keeps_everything(spark):
+    # only bit-identical vectors can reach cosine 1.0 — nothing here does
+    got = _run(spark, threshold=1.0)
+    assert all(r["keep"] == 1 for r in got.values())
+
+
+def test_semdedup_refinement_same_contract(spark):
+    got = _run(spark, refine_iterations=2)
+    assert len(got) == len(VECS)
+    # the planted pair still collapses to one survivor after k-means moves
+    # the centroids
+    assert sorted([got[0]["keep"], got[1]["keep"]]) == [0, 1]

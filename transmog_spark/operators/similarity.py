@@ -156,6 +156,24 @@ def kmeans_refine(
     return cents
 
 
+def _seed_centroids(c: DataFrame, id_name: str, nlist: int) -> list[tuple[int, list[float]]]:
+    """``nlist`` deterministic seed centroids: the vectors of the rows with
+    the smallest md5 hash of their id — no RNG, bit-reproducible in the
+    DuckDB oracle. TakeOrdered (per-partition top-k + driver merge, no
+    total sort); the frame ``c`` must carry (``id_name``, ``__cv``)."""
+    from transmog_spark.functions.hashing import md5_long
+
+    rows = (
+        c.orderBy(md5_long(F.col(id_name).cast("string")).asc(), F.col(id_name).asc())
+        .limit(nlist)
+        .collect()
+    )
+    return sorted(
+        ((r[id_name], [float(x) for x in r["__cv"]]) for r in rows),
+        key=lambda t: t[0],
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -185,22 +203,12 @@ def ivf_topk(
     corpus instead of all of it. Similarities are ranked on round(cos, 6)
     with id tie-breaks so both engines order identically.
     """
-    from transmog_spark.functions.hashing import md5_long
-
     qid = query_id_col or id_col
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-    # Centroid selection is a TakeOrdered (per-partition top-k + driver
-    # merge, no total sort); the nlist rows are tiny and become plan-time
-    # literals — so list assignment below is a pure per-row expression.
-    cent_rows = (
-        c.orderBy(md5_long(F.col("neighbor_id").cast("string")).asc(), F.col("neighbor_id").asc())
-        .limit(nlist)
-        .collect()
-    )
-    cents = sorted(
-        ((r["neighbor_id"], [float(x) for x in r["__cv"]]) for r in cent_rows),
-        key=lambda t: t[0],
-    )
+    # Centroid selection is a TakeOrdered; the nlist rows are tiny and
+    # become plan-time literals — so list assignment below is a pure
+    # per-row expression.
+    cents = _seed_centroids(c, "neighbor_id", nlist)
     if refine_iterations > 0:
         if dim is None:
             raise ValueError("refine_iterations requires explicit dim")
@@ -397,4 +405,97 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
+    )
+
+
+def semdedup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    nlist: int = 16,
+    refine_iterations: int = 0,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Semantic dedup over an embedding column (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space into ``nlist`` clusters,
+    then inside each cluster treat every pair with cosine >= ``threshold``
+    as semantic duplicates and keep the member with the LOWEST similarity
+    to its centroid (the paper's keep rule — low-centroid-similarity
+    examples are the informative ones), ids breaking exact ties.
+
+    Returns one row per input vector: (``id_col``, cluster_id, cent_sim,
+    keep) with keep ∈ {0, 1} — a verdict table, so callers filter the
+    corpus with one semi-join and the drop decision stays auditable.
+
+    Precisely: a vector x is dropped iff some y in the same cluster has
+    round(cos(x, y), 6) >= threshold and (cent_sim(y), id(y)) <
+    (cent_sim(x), id(x)) lexicographically. Survivors are the local minima
+    of cent_sim within their >= threshold neighborhood — at least one
+    member of every duplicate group survives, and the rule needs no
+    transitive closure (single self-join, no iteration).
+
+    Scale shape: centroid seeding/refinement is the bounded ``ivf_topk`` /
+    ``kmeans_refine`` machinery (nlist×(dim+1) longs on the driver);
+    cluster assignment is a zero-shuffle expression argmax over centroid
+    literals; the pairwise pass is strictly cluster-local — one hash
+    shuffle of (id, vector) on cluster_id, reused for both self-join sides.
+    ``nlist`` is the scale knob: SemDeDup's own regime is cluster sizes in
+    the low thousands (nlist ≈ n/4k), which bounds the quadratic term per
+    cluster; work is O(Σ sᵢ²·dim) across clusters, never corpus². A 100 TB
+    caller should persist/checkpoint the assignment frame — it feeds the
+    self-join twice (exchange-reused) plus the verdict join (recomputed
+    here; at bench scale the triple branch is cheaper than a persist).
+
+    Determinism: assignment and cent_sim use the same round(·, 6) struct
+    keys as ``ivf_topk`` (lowest-cid ties), pair similarity rounds to 6
+    before the threshold — every comparison resolves identically in the
+    DuckDB mirror (``oracle.semdedup_sql``).
+    """
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv"))
+    cents = _seed_centroids(c, "vec_id", nlist)
+    if refine_iterations > 0:
+        cents = kmeans_refine(c, cents, dim=dim, iterations=refine_iterations)
+    sim_structs = _centroid_sim_structs(cents)
+
+    # both fields come from ONE array_max expression in ONE select — the
+    # collapsed Project holds two GetStructField over identical children
+    # and whole-stage codegen's subexpression elimination evaluates the
+    # nlist×dim argmax once per row
+    best = F.array_max(sim_structs(F.col("__cv")))
+    assigned = c.select(
+        "vec_id",
+        "__cv",
+        best["cid"].alias("cluster_id"),
+        best["s"].alias("cent_sim"),
+    )
+
+    x = assigned.select(
+        F.col("vec_id").alias("__xid"), F.col("__cv").alias("__xv"),
+        "cluster_id", F.col("cent_sim").alias("__xs"),
+    )
+    y = assigned.select(
+        F.col("vec_id").alias("__yid"), F.col("__cv").alias("__yv"),
+        "cluster_id", F.col("cent_sim").alias("__ys"),
+    )
+    dropped = (
+        x.join(y, "cluster_id")
+        .where(F.col("__xid") != F.col("__yid"))
+        .where(F.round(cosine_sim(F.col("__xv"), F.col("__yv")), 6) >= threshold)
+        .where(
+            (F.col("__ys") < F.col("__xs"))
+            | ((F.col("__ys") == F.col("__xs")) & (F.col("__yid") < F.col("__xid")))
+        )
+        .select(F.col("__xid").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("__dup", F.lit(1)), "vec_id", "left")
+        .select(
+            F.col("vec_id").alias(id_col),
+            "cluster_id",
+            "cent_sim",
+            F.when(F.col("__dup").isNull(), 1).otherwise(0).cast("int").alias("keep"),
+        )
     )

@@ -205,24 +205,23 @@ SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
 """
 
 
-def ivf_topk_sql(
+def _ivf_assignment_ctes(
     *,
-    table: str = "embeddings",
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_filter: str = "vec_id < 10",
-    k: int = 5,
-    nlist: int = 16,
-    nprobe: int = 4,
-    refine_iterations: int = 0,
-    dim: int = 64,
-) -> str:
-    """Mirror of operators.similarity.ivf_topk (same centroid rule, same
-    round(·,6) rank keys, same tie-breaks). ``refine_iterations`` mirrors
-    kmeans_refine: per-iteration argmax assignment + per-dimension means as
+    table: str,
+    id_col: str,
+    vec_col: str,
+    nlist: int,
+    refine_iterations: int,
+    dim: int,
+) -> tuple[str, str]:
+    """Shared CTE prefix for the IVF family (ivf_topk_sql, semdedup_sql):
+    ``e`` (typed vectors), ``cent`` (md5-seeded centroids), the optional
+    Lloyd refine chain, ``assigned`` (argmax cluster per vector). Refine
+    mirrors kmeans_refine: per-iteration argmax + per-dimension means as
     exact scaled-integer sums (sum of round(v·1e6) longs, cast DOUBLE at
     the end) — bit-identical to the engine regardless of summation order;
-    empty lists carry their previous centroid (COALESCE)."""
+    empty lists carry their previous centroid (COALESCE). Returns
+    (ctes_without_WITH, final_centroid_cte_name)."""
     h = duck_md5_long(f"CAST({id_col} AS VARCHAR)")
     refine = ""
     prev = "cent"
@@ -244,8 +243,7 @@ cent{t + 1} AS (
   SELECT c.cid, COALESCE(a.mv, c.cv) AS cv
   FROM {prev} c LEFT JOIN agg{t} a USING (cid)),"""
         prev = f"cent{t + 1}"
-    return f"""
-WITH e AS (SELECT {id_col} AS nid, {vec_col}::DOUBLE[] AS v FROM {table}),
+    ctes = f"""e AS (SELECT {id_col} AS nid, {vec_col}::DOUBLE[] AS v FROM {table}),
 cent AS (
   SELECT nid AS cid, v AS cv FROM e ORDER BY {h.replace(id_col, 'nid')}, nid LIMIT {nlist}),{refine}
 assigned AS (
@@ -253,7 +251,31 @@ assigned AS (
     SELECT e.nid, e.v, c.cid,
            row_number() OVER (PARTITION BY e.nid
              ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
-    FROM e CROSS JOIN {prev} c) WHERE rn = 1),
+    FROM e CROSS JOIN {prev} c) WHERE rn = 1)"""
+    return ctes, prev
+
+
+def ivf_topk_sql(
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str = "vec_id < 10",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    refine_iterations: int = 0,
+    dim: int = 64,
+) -> str:
+    """Mirror of operators.similarity.ivf_topk (same centroid rule, same
+    round(·,6) rank keys, same tie-breaks); centroid/assignment CTEs shared
+    with semdedup_sql via _ivf_assignment_ctes."""
+    ctes, prev = _ivf_assignment_ctes(
+        table=table, id_col=id_col, vec_col=vec_col, nlist=nlist,
+        refine_iterations=refine_iterations, dim=dim,
+    )
+    return f"""
+WITH {ctes},
 q AS (SELECT {id_col} AS qid, {vec_col}::DOUBLE[] AS qv FROM {table} WHERE {query_filter}),
 probes AS (
   SELECT qid, qv, cid FROM (
@@ -268,6 +290,42 @@ scored AS (
 SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
   FROM scored) WHERE rank <= {k}
+"""
+
+
+def semdedup_sql(
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    refine_iterations: int = 0,
+    dim: int = 64,
+    threshold: float = 0.95,
+) -> str:
+    """Mirror of operators.similarity.semdedup: same centroid/assignment
+    CTEs as the IVF oracle, then the SemDeDup keep rule — x is dropped iff
+    a same-cluster y has round(cos(x,y),6) >= threshold and a strictly
+    smaller (cent_sim, id) key. All comparisons on round(·,6) doubles."""
+    ctes, prev = _ivf_assignment_ctes(
+        table=table, id_col=id_col, vec_col=vec_col, nlist=nlist,
+        refine_iterations=refine_iterations, dim=dim,
+    )
+    return f"""
+WITH {ctes},
+cs AS (
+  SELECT a.nid, a.v, a.cid,
+         round(list_cosine_similarity(a.v, c.cv), 6) AS cent_sim
+  FROM assigned a JOIN {prev} c ON a.cid = c.cid),
+dup AS (
+  SELECT DISTINCT x.nid
+  FROM cs x JOIN cs y ON x.cid = y.cid AND x.nid <> y.nid
+  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= {threshold}
+    AND (y.cent_sim < x.cent_sim
+         OR (y.cent_sim = x.cent_sim AND y.nid < x.nid)))
+SELECT cs.nid AS {id_col}, cs.cid AS cluster_id, cs.cent_sim,
+       CAST(CASE WHEN d.nid IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM cs LEFT JOIN dup d ON cs.nid = d.nid
 """
 
 
