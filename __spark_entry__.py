@@ -636,6 +636,26 @@ def _q_embedding_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_topk(e, q, id_col="vec_id", vec_col="embedding", k=5, dim=64)
 
 
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span detection (operators/spans.py:duplicate_spans — the
+    distributed n-gram form of Lee et al. 2022 substring dedup): maximal
+    per-doc token spans covered by corpus-wide >=2x 8-grams."""
+    from transmog_spark.operators.spans import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_spans(d, "doc_id", "text", n=8, min_count=2)
+
+
+def _q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span removal applied (operators/spans.py:strip_duplicate_spans):
+    per-doc kept-token count and md5 fingerprint after dropping every
+    token covered by a duplicated span."""
+    from transmog_spark.operators.spans import strip_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return strip_duplicate_spans(d, "doc_id", "text", n=8, min_count=2)
+
+
 def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup verdicts (operators/similarity.py:semdedup — SemDeDup,
     Abbas et al. 2023): k-means clusters with one Lloyd refinement pass,
@@ -1092,6 +1112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_sq8": _q_embedding_topk_sq8,
         "embedding_neardup": _q_embedding_neardup,
         "semdedup": _q_semdedup,
+        "dup_spans": _q_dup_spans,
+        "strip_dup_spans": _q_strip_dup_spans,
         "flagship_pipeline": _q_flagship,
         "token_pipeline": _q_token_pipeline,
         "pack_concat": _q_pack_concat,
@@ -1133,6 +1155,8 @@ def oracle_sql() -> dict[str, str]:
         token_chunks_sql,
         ivf_topk_sql,
         semdedup_sql,
+        duplicate_spans_sql,
+        strip_duplicate_spans_sql,
         lsh_topk_sql,
         minhash_pairs_sql,
         sq8_topk_sql,
@@ -1325,6 +1349,8 @@ SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM (
         "semdedup": semdedup_sql(
             nlist=16, refine_iterations=1, dim=64, threshold=0.4,
         ),
+        "dup_spans": duplicate_spans_sql(n=8, min_count=2),
+        "strip_dup_spans": strip_duplicate_spans_sql(n=8, min_count=2),
         "token_pipeline": token_pipeline_sql(n_docs=2000),
         "interval_sessions": """
 WITH o AS (

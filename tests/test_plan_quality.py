@@ -264,3 +264,17 @@ def test_semdedup_cluster_local_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "semdedup")
     assert "CartesianProduct" not in plan
     assert _exchanges(plan) <= 6
+
+
+def test_dup_spans_hash_join_no_strings_in_exchange(spark, sf_dir):
+    # gram stream ships (id, pos, 8-byte hash); the dup-gram join is a hash
+    # shuffle of longs; span merge is one per-doc window — no cross, no UDF
+    plan = _plan(spark, sf_dir, "dup_spans")
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # no gram STRINGS cross any exchange: every Exchange's argument schema
+    # carries only ids/positions/hashes (__g never survives past the hash)
+    assert "__g#" not in "".join(
+        line for line in plan.splitlines() if "Arguments" in line and "Exchange" in line
+    )
+    assert _exchanges(plan) <= 4

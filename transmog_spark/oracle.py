@@ -944,6 +944,100 @@ FROM prof
 """
 
 
+def _span_ctes(
+    *, table: str, id_col: str, text_col: str, n: int, min_count: int
+) -> str:
+    """Shared CTE chain for the duplicated-span family (mirrors
+    operators/spans.py): docs -> positioned n-gram hashes -> corpus-wide
+    duplicate grams -> per-doc merged coverage spans. Ends with a
+    ``spans`` CTE (doc, span_start, span_end); no opening WITH."""
+    grams = (
+        f"list_transform(range(1, len(t) - {n} + 2), "
+        f"i -> array_to_string(list_slice(t, i, i + {n} - 1), ' '))"
+    )
+    h = duck_md5_long("gram")
+    return f"""docs AS (SELECT {id_col}, {duck_ws_tokens(text_col)} AS t FROM {table}),
+g AS (
+  SELECT {id_col}, p, {h} AS gh
+  FROM (SELECT {id_col}, unnest(gl) AS gram, generate_subscripts(gl, 1) - 1 AS p
+        FROM (SELECT {id_col}, {grams} AS gl FROM docs))),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= {min_count}),
+dpos AS (SELECT g.{id_col}, g.p FROM g JOIN dup USING (gh)),
+flagged AS (
+  SELECT {id_col}, p,
+         max(p + {n} - 1) OVER (PARTITION BY {id_col} ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+  FROM dpos),
+isl AS (
+  SELECT {id_col}, p,
+         sum(CASE WHEN pe IS NULL OR p > pe + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY {id_col} ORDER BY p) AS island
+  FROM flagged),
+spans AS (
+  SELECT {id_col}, CAST(min(p) AS INT) AS span_start,
+         CAST(max(p) + {n} - 1 AS INT) AS span_end
+  FROM isl GROUP BY {id_col}, island)"""
+
+
+def duplicate_spans_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> str:
+    """Mirror of operators.spans.duplicate_spans."""
+    ctes = _span_ctes(
+        table=table, id_col=id_col, text_col=text_col, n=n, min_count=min_count
+    )
+    return f"""
+WITH {ctes}
+SELECT {id_col}, span_start, span_end,
+       CAST(span_end - span_start + 1 AS INT) AS span_len
+FROM spans
+"""
+
+
+def strip_duplicate_spans_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> str:
+    """Mirror of operators.spans.strip_duplicate_spans: remove covered
+    token positions, fingerprint the kept tokens (md5 of space-rejoined
+    tokens; md5('') when none survive)."""
+    ctes = _span_ctes(
+        table=table, id_col=id_col, text_col=text_col, n=n, min_count=min_count
+    )
+    return f"""
+WITH {ctes},
+covered AS (
+  SELECT DISTINCT {id_col}, unnest(range(span_start, span_end + 1)) AS pos
+  FROM spans),
+tokpos AS (
+  SELECT {id_col}, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+  FROM docs),
+kept AS (
+  SELECT tp.{id_col}, tp.pos, tp.tok
+  FROM tokpos tp LEFT JOIN covered c
+    ON tp.{id_col} = c.{id_col} AND tp.pos = c.pos
+  WHERE c.pos IS NULL),
+agg AS (
+  SELECT {id_col}, CAST(count(*) AS INT) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+  FROM kept GROUP BY {id_col})
+SELECT d.{id_col},
+       CAST(len(d.t) AS INT) AS n_tok,
+       CAST(len(d.t) - COALESCE(a.n_kept, 0) AS INT) AS n_removed,
+       COALESCE(a.fp, md5('')) AS clean_md5
+FROM docs d LEFT JOIN agg a ON d.{id_col} = a.{id_col}
+"""
+
+
 def quality_gate_sql(
     *,
     table: str = "documents",
