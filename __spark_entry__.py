@@ -656,6 +656,25 @@ def _q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_duplicate_spans(d, "doc_id", "text", n=8, min_count=2)
 
 
+def _q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training order (operators/corpus.py:training_order):
+    md5(seed#id) permutation key -> shard + in-shard rank + exclusive
+    running token offsets (n_chars as the count column)."""
+    from transmog_spark.operators.corpus import training_order
+
+    d = _t(spark, sf_dir, "documents")
+    return training_order(d, "doc_id", n_shards=8, seed="r4", ntok_col="n_chars")
+
+
+def _q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest (operators/corpus.py:shard_manifest): row count,
+    token total, order-sensitive id-sequence md5 digest."""
+    from transmog_spark.operators.corpus import shard_manifest
+
+    d = _t(spark, sf_dir, "documents")
+    return shard_manifest(d, "doc_id", n_shards=8, seed="r4", ntok_col="n_chars")
+
+
 def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup verdicts (operators/similarity.py:semdedup — SemDeDup,
     Abbas et al. 2023): k-means clusters with one Lloyd refinement pass,
@@ -1114,6 +1133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "dup_spans": _q_dup_spans,
         "strip_dup_spans": _q_strip_dup_spans,
+        "training_order": _q_training_order,
+        "shard_manifest": _q_shard_manifest,
         "flagship_pipeline": _q_flagship,
         "token_pipeline": _q_token_pipeline,
         "pack_concat": _q_pack_concat,
@@ -1157,6 +1178,8 @@ def oracle_sql() -> dict[str, str]:
         semdedup_sql,
         duplicate_spans_sql,
         strip_duplicate_spans_sql,
+        training_order_sql,
+        shard_manifest_sql,
         lsh_topk_sql,
         minhash_pairs_sql,
         sq8_topk_sql,
@@ -1351,6 +1374,12 @@ SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM (
         ),
         "dup_spans": duplicate_spans_sql(n=8, min_count=2),
         "strip_dup_spans": strip_duplicate_spans_sql(n=8, min_count=2),
+        "training_order": training_order_sql(
+            n_shards=8, seed="r4", ntok_expr="n_chars"
+        ),
+        "shard_manifest": shard_manifest_sql(
+            n_shards=8, seed="r4", ntok_expr="n_chars"
+        ),
         "token_pipeline": token_pipeline_sql(n_docs=2000),
         "interval_sessions": """
 WITH o AS (

@@ -50,9 +50,12 @@ HEADLINE = [
     "bm25_topk_indexed",
     "pack_assemble",
     "text_profile",
+    "quality_gate",
+    "dup_spans",
     "bpe_tokenize",
     "embedding_topk",
     "embedding_topk_ivf",
+    "semdedup",
     "flagship_pipeline",
 ]
 

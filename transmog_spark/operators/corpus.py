@@ -362,3 +362,91 @@ def vocab_stats(
         F.round(F.count(F.lit(1)) / total, 4).alias("type_token_ratio"),
         F.round(F.max("c") / total, 4).alias("top_token_share"),
     )
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    n_shards: int = 4,
+    seed: str = "",
+    ntok_col: str | None = None,
+) -> DataFrame:
+    """Deterministic global training order + shard assignment.
+
+    Every training run needs the corpus in a reproducible pseudo-random
+    order, split into shards a data loader can consume independently. The
+    permutation key is md5(seed # id) — changing ``seed`` reshuffles,
+    same seed replays bit-identically on any cluster size or engine (no
+    RNG state, no partition-order dependence). shard = key mod
+    ``n_shards``; shard_pos = 0-based rank of the key inside the shard.
+    With ``ntok_col``, also passes the count through as ``n_tok`` and
+    emits ``tok_offset`` — the exclusive running token total before each
+    row in its shard — so a loader can seek into packed shard files
+    without scanning.
+
+    Scale shape: one hash shuffle on shard + a per-shard sort (the
+    row_number window). A global permutation cannot cost less than one
+    sort of the keys; sharding bounds each sort to corpus/n_shards rows —
+    ``n_shards`` is the scale knob (pick >= cluster write parallelism).
+    No driver actions; 8-byte keys.
+    """
+    from pyspark.sql import Window
+
+    key = md5_long(F.concat(F.lit(f"{seed}#"), F.col(id_col).cast("string")))
+    out = df.withColumn("__key", key).withColumn(
+        "shard", F.pmod(F.col("__key"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__key").asc(), F.col(id_col).asc())
+    cols = [
+        F.col(id_col),
+        F.col("shard"),
+        (F.row_number().over(w) - 1).alias("shard_pos"),
+    ]
+    if ntok_col is not None:
+        prev = w.rowsBetween(Window.unboundedPreceding, -1)
+        cols.append(F.col(ntok_col).cast("long").alias("n_tok"))
+        cols.append(
+            F.coalesce(F.sum(F.col(ntok_col)).over(prev), F.lit(0))
+            .cast("long")
+            .alias("tok_offset")
+        )
+    return out.select(*cols)
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    n_shards: int = 4,
+    seed: str = "",
+    ntok_col: str | None = None,
+) -> DataFrame:
+    """Per-shard manifest for the ``training_order`` split: row count,
+    token total (when ``ntok_col`` given), and an order-sensitive md5
+    digest of the shard's id sequence — enough to verify a written shard
+    byte-for-byte without re-reading the corpus. One groupBy; the digest
+    folds ids in shard order via the same sorted-assembly idiom as the
+    packing operators (collect_list is bounded by corpus/n_shards ids —
+    size ``n_shards`` so id lists fit; a writer at 100 TB would fold the
+    digest streamingly instead)."""
+    ordered = training_order(
+        df, id_col, n_shards=n_shards, seed=seed, ntok_col=ntok_col
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("shard_pos", F.col(id_col).alias("i")))
+                    ),
+                    lambda s: s["i"].cast("string"),
+                ),
+            )
+        ).alias("ids_md5"),
+    ]
+    if ntok_col is not None:
+        aggs.insert(1, F.sum("n_tok").cast("long").alias("tok_total"))
+    return ordered.groupBy("shard").agg(*aggs)

@@ -944,6 +944,58 @@ FROM prof
 """
 
 
+def training_order_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    n_shards: int = 4,
+    seed: str = "",
+    ntok_expr: str | None = None,
+) -> str:
+    """Mirror of operators.corpus.training_order: md5(seed#id) permutation
+    key, shard = key mod n_shards, 0-based rank in shard; optional n_tok
+    passthrough + exclusive running token offset."""
+    key = duck_md5_long(f"concat('{seed}', '#', CAST({id_col} AS VARCHAR))")
+    tok_cols = ""
+    if ntok_expr is not None:
+        tok_cols = f""",
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(COALESCE(sum(n_tok) OVER (PARTITION BY key % {n_shards}
+         ORDER BY key, {id_col}
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset"""
+    ntok_sel = f", {ntok_expr} AS n_tok" if ntok_expr is not None else ""
+    return f"""
+WITH k AS (SELECT {id_col}, {key} AS key{ntok_sel} FROM {table})
+SELECT {id_col},
+       CAST(key % {n_shards} AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY key % {n_shards}
+         ORDER BY key, {id_col}) - 1 AS INT) AS shard_pos{tok_cols}
+FROM k
+"""
+
+
+def shard_manifest_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    n_shards: int = 4,
+    seed: str = "",
+    ntok_expr: str | None = None,
+) -> str:
+    """Mirror of operators.corpus.shard_manifest: per-shard row count,
+    optional token total, and the order-sensitive id-sequence digest."""
+    inner = training_order_sql(
+        table=table, id_col=id_col, n_shards=n_shards, seed=seed, ntok_expr=ntok_expr
+    )
+    tok = ", CAST(sum(n_tok) AS BIGINT) AS tok_total" if ntok_expr is not None else ""
+    return f"""
+WITH ordered AS ({inner})
+SELECT shard, CAST(count(*) AS BIGINT) AS n_rows{tok},
+       md5(string_agg(CAST({id_col} AS VARCHAR), ',' ORDER BY shard_pos)) AS ids_md5
+FROM ordered GROUP BY shard
+"""
+
+
 def _span_ctes(
     *, table: str, id_col: str, text_col: str, n: int, min_count: int
 ) -> str:
