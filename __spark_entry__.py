@@ -689,6 +689,20 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (operators/similarity.py:pq_topk — Jégou et
+    al. 2011): 8 subspaces x 8-centroid codebooks (one Lloyd pass), ADC
+    scoring on exact scaled-integer squared-L2 keys."""
+    from transmog_spark.operators.similarity import pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return pq_topk(
+        e, q, id_col="vec_id", vec_col="embedding", k=5, dim=64, m=8, ksub=8,
+        refine_iterations=1,
+    )
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine pairs on a bounded slice (oracle-checkable)."""
     from transmog_spark.operators.dedup import cosine_sim
@@ -1045,11 +1059,15 @@ def _q_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Curation flagship for the training-data tier: repetition filter ->
-    benchmark decontamination -> exact dedup -> NEAR-dup dedup (MinHash+LSH
-    -> connected components -> min-id representative) -> tokenize -> concat
-    packing. Every stage is an already-oracle-gated operator; the composed
-    oracle (oracle.curation_pipeline_sql) mirrors the chain as CTEs."""
+    """Curation flagship for the training-data tier: composite quality gate
+    (Gopher/CCNet rules incl. perplexity + PII) -> benchmark
+    decontamination -> exact dedup -> NEAR-dup dedup (MinHash+LSH ->
+    connected components -> min-id representative) -> duplicated-span
+    strip (Lee et al. substring dedup) -> concat packing over the kept
+    token counts. Every stage is an already-oracle-gated operator; the
+    composed oracle (oracle.curation_pipeline_sql) mirrors the chain as
+    CTEs, so a mismatch localizes to the stage whose standalone oracle
+    also fails."""
     from transmog_spark.operators.corpus import decontaminate
     from transmog_spark.operators.dedup import (
         dedupe_exact,
@@ -1057,17 +1075,18 @@ def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_near_duplicates,
     )
     from transmog_spark.operators.packing import pack_concat
-    from transmog_spark.operators.text import repetition_profile, ws_tokens
+    from transmog_spark.operators.quality import quality_gate
+    from transmog_spark.operators.spans import strip_duplicate_spans
 
     d = _t(spark, sf_dir, "documents")
     bench = d.where(F.col("doc_id") % 97 == 0)
     corpus = d.where(F.col("doc_id") % 97 != 0)
-    rep = repetition_profile(d).select("doc_id", "top_2gram_frac")
+    qg = quality_gate(d).where(F.col("verdict") == "keep").select("doc_id")
     dec = decontaminate(corpus, bench, n=3).select("doc_id", "contamination")
     keep = (
-        corpus.join(rep, "doc_id")
+        corpus.join(qg, "doc_id")
         .join(dec, "doc_id")
-        .where((F.col("top_2gram_frac") <= 0.09) & (F.col("contamination") <= 0.02))
+        .where(F.col("contamination") <= 0.02)
         .select("doc_id", "source", "text")
     )
     ded = dedupe_exact(keep, "doc_id", "text")
@@ -1076,8 +1095,13 @@ def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5, max_bucket=500,
     )
     nded = dedupe_near(ded, pairs)
-    toks = nded.select(
-        "doc_id", "source", F.size(ws_tokens(F.col("text"))).alias("n_tok")
+    stripped = strip_duplicate_spans(nded, "doc_id", "text", n=8, min_count=2)
+    toks = (
+        nded.select("doc_id", "source")
+        .join(stripped, "doc_id")
+        .select(
+            "doc_id", "source", (F.col("n_tok") - F.col("n_removed")).alias("n_tok")
+        )
     )
     return pack_concat(toks, budget=256, block_rows=128)
 
@@ -1129,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_ivfk": _q_embedding_topk_ivfk,
         "embedding_topk_lsh": _q_embedding_topk_lsh,
         "embedding_topk_sq8": _q_embedding_topk_sq8,
+        "embedding_topk_pq": _q_embedding_topk_pq,
         "embedding_neardup": _q_embedding_neardup,
         "semdedup": _q_semdedup,
         "dup_spans": _q_dup_spans,
@@ -1183,6 +1208,7 @@ def oracle_sql() -> dict[str, str]:
         lsh_topk_sql,
         minhash_pairs_sql,
         sq8_topk_sql,
+        pq_topk_sql,
         stratified_sample_sql,
         ngram_jaccard_pairs_sql,
         simhash_pairs_sql,
@@ -1447,6 +1473,10 @@ FROM documents GROUP BY 1
             query_filter="vec_id < 10", k=5, n_planes=8, n_probes=3, dim=64
         ),
         "embedding_topk_sq8": sq8_topk_sql(query_filter="vec_id < 10", k=5, dim=64),
+        "embedding_topk_pq": pq_topk_sql(
+            query_filter="vec_id < 10", k=5, dim=64, m=8, ksub=8,
+            refine_iterations=1,
+        ),
         "embedding_neardup": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -278,3 +278,11 @@ def test_dup_spans_hash_join_no_strings_in_exchange(spark, sf_dir):
         line for line in plan.splitlines() if "Arguments" in line and "Exchange" in line
     )
     assert _exchanges(plan) <= 4
+
+
+def test_pq_zero_corpus_shuffle_broadcast_queries(spark, sf_dir):
+    # codebooks are plan-time literals: encoding + ADC are one narrow map
+    # pass over the corpus; the only shuffle is the per-query top-k window
+    plan = _plan(spark, sf_dir, "embedding_topk_pq")
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
+    assert _exchanges(plan) <= 1

@@ -1,0 +1,71 @@
+"""Product quantization: codebook training, ADC ranking, determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from transmog_spark.operators.similarity import pq_topk, pq_train
+
+DIM, M, KSUB = 8, 2, 8
+
+
+def _clustered(spark, n=120, n_centers=4, spread=0.05):
+    # vec = center[id % n_centers] + small deterministic offset
+    cid = F.col("id") % n_centers
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda j: (
+                (F.xxhash64(F.lit("c"), cid, j) % 1000).cast("double") / 1000.0
+                + spread * (F.xxhash64(F.col("id"), j) % 1000).cast("double") / 1000.0
+            ),
+        ).alias("embedding"),
+    )
+
+
+def test_pq_recovers_cluster_neighbors(spark):
+    c = _clustered(spark)
+    q = c.where(F.col("vec_id") < 4)  # one query per center
+    got = pq_topk(
+        c, q, k=5, dim=DIM, m=M, ksub=KSUB, refine_iterations=2
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    for qid, rows in by_q.items():
+        assert len(rows) == 5
+        assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4, 5]
+        # every retrieved neighbor comes from the query's own cluster
+        assert all(r["neighbor_id"] % 4 == qid % 4 for r in rows), rows
+        assert all(r["neighbor_id"] != qid for r in rows)
+
+
+def test_pq_trained_books_shape_and_reuse(spark):
+    c = _clustered(spark)
+    books = pq_train(c, dim=DIM, m=M, ksub=KSUB, refine_iterations=1)
+    assert len(books) == M
+    assert all(len(b) == KSUB for b in books)
+    assert all(len(cv) == DIM // M for b in books for cv in b)
+    q = c.where(F.col("vec_id") < 2)
+    inline = pq_topk(c, q, k=3, dim=DIM, m=M, ksub=KSUB, refine_iterations=1)
+    reused = pq_topk(c, q, k=3, dim=DIM, m=M, ksub=KSUB, books=books)
+    assert sorted(map(tuple, inline.collect())) == sorted(map(tuple, reused.collect()))
+
+
+def test_pq_deterministic_across_partitionings(spark):
+    c1 = _clustered(spark).repartition(1)
+    c16 = _clustered(spark).repartition(16)
+    q = _clustered(spark).where(F.col("vec_id") < 3)
+    a = sorted(map(tuple, pq_topk(c1, q, k=4, dim=DIM, m=M, ksub=KSUB).collect()))
+    b = sorted(map(tuple, pq_topk(c16, q, k=4, dim=DIM, m=M, ksub=KSUB).collect()))
+    assert a == b
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    c = _clustered(spark)
+    import pytest
+
+    with pytest.raises(ValueError):
+        pq_topk(c, c.limit(1), k=1, dim=DIM, m=3)

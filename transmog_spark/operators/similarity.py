@@ -499,3 +499,188 @@ def semdedup(
             F.when(F.col("__dup").isNull(), 1).otherwise(0).cast("int").alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# product quantization (PQ)
+# --------------------------------------------------------------------------
+
+def _sub_dist_structs(cents_s: list[list[float]], offset: int, d0: int):
+    """Expression factory for one PQ subspace: vec -> array<struct(d, j)>
+    of scaled-integer squared-L2 distances to the subspace codebook.
+
+    Distances are exact integers — sum of round((x−c)²·1e12) longs — so
+    argmin assignment, ADC ranking, and every tie resolve bit-identically
+    in the DuckDB mirror regardless of summation order (same trick as
+    kmeans_refine's scaled-integer means). array_min picks (lowest d,
+    lowest j)."""
+    cents_arr = F.lit(cents_s)  # ksub × d0 literal
+
+    def dist_structs(vec: Column) -> Column:
+        sub = F.slice(vec, offset + 1, d0)
+
+        def mk(cv: Column, j: Column) -> Column:
+            d = F.aggregate(
+                F.zip_with(
+                    sub,
+                    cv,
+                    lambda x, y: F.round(
+                        (x.cast("double") - y) * (x.cast("double") - y) * 1e12
+                    ).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            return F.struct(d.alias("d"), j.cast("int").alias("j"))
+
+        return F.transform(cents_arr, mk)
+
+    return dist_structs
+
+
+def pq_train(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    m: int = 8,
+    ksub: int = 8,
+    refine_iterations: int = 1,
+    scale: int = 1_000_000,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks (Jégou et al. 2011, TPAMI "Product Quantization
+    for Nearest Neighbor Search"): split ``dim`` into ``m`` subspaces of
+    dim/m and run an independent ``ksub``-centroid Lloyd k-means in each.
+
+    Seeds are the subvector slices of the ``ksub`` corpus rows with the
+    smallest md5(id) — the ANN family's deterministic seeding, one
+    TakeOrdered collect shared by all subspaces. Assignment uses the
+    scaled-integer L2 keys of ``_sub_dist_structs``; means are exact
+    scaled-integer sums (round(v·1e6) longs), so the codebooks are
+    bit-reproducible in the DuckDB oracle. Per iteration this runs ``m``
+    bounded aggregations (ksub×(d0+1) longs each on the driver) — train on
+    a hash-sampled frame at corpus scale (FAISS's own posture: codebooks
+    come from a sample, encoding streams over everything).
+    """
+    if dim % m:
+        raise ValueError("dim must divide evenly into m subspaces")
+    d0 = dim // m
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv"))
+    seeds = _seed_centroids(c, "vec_id", ksub)
+    books = [
+        [cv[s * d0 : (s + 1) * d0] for _, cv in seeds] for s in range(m)
+    ]
+    for _ in range(refine_iterations):
+        new_books = []
+        for s in range(m):
+            ds = _sub_dist_structs(books[s], s * d0, d0)
+            assigned = c.withColumn("__j", F.array_min(ds(F.col("__cv")))["j"])
+            aggs = [F.count(F.lit(1)).alias("__n")] + [
+                F.sum(
+                    F.round(
+                        F.element_at(F.col("__cv"), s * d0 + i + 1).cast("double")
+                        * scale
+                    ).cast("long")
+                ).alias(f"__s{i}")
+                for i in range(d0)
+            ]
+            rows = assigned.groupBy("__j").agg(*aggs).collect()
+            by_j = {r["__j"]: r for r in rows}
+            book = []
+            for j, cv in enumerate(books[s]):
+                r = by_j.get(j)
+                if r is None:
+                    book.append(cv)  # empty cell keeps its centroid
+                else:
+                    denom = r["__n"] * float(scale)
+                    book.append([r[f"__s{i}"] / denom for i in range(d0)])
+            new_books.append(book)
+        books = new_books
+    return books
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    k: int = 10,
+    dim: int,
+    m: int = 8,
+    ksub: int = 8,
+    refine_iterations: int = 1,
+    exclude_self: bool = True,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Approximate L2 top-k against a product-quantized corpus.
+
+    Each corpus vector compresses to ``m`` codebook indices (m bytes at
+    ksub<=256 — a 32× reduction on dim=64 float32); queries stay full
+    precision and score candidates by asymmetric distance (ADC): the sum
+    over subspaces of the exact scaled-integer squared-L2 between the
+    query slice and the candidate's reconstructed centroid. Integer score
+    keys rank identically in the DuckDB oracle; ``dist2`` is the score
+    descaled to a float for humans.
+
+    Scale shape: codebooks are tiny plan-time literals; encoding is a
+    zero-shuffle map pass (the codes column is what a real deployment
+    persists); scoring is the broadcast-queries single-pass shape of
+    ``sq8_topk`` with 4×(dim/m-fold fewer) corpus bytes in flight. Pass
+    ``books`` from ``pq_train`` on a sample to skip training here.
+    """
+    if dim % m:
+        raise ValueError("dim must divide evenly into m subspaces")
+    d0 = dim // m
+    qid = query_id_col or id_col
+    if books is None:
+        books = pq_train(
+            corpus, id_col=id_col, vec_col=vec_col, dim=dim, m=m, ksub=ksub,
+            refine_iterations=refine_iterations,
+        )
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    subs = [_sub_dist_structs(books[s], s * d0, d0) for s in range(m)]
+    codes = F.array(*[F.array_min(subs[s](F.col("__cv")))["j"] for s in range(m)])
+    encoded = c.select("neighbor_id", codes.alias("__codes"))
+
+    q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv"))
+    joined = encoded.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
+
+    # ADC: reconstruct each candidate's centroid per subspace from the
+    # literal codebook and fold the scaled-integer squared-L2 to the query
+    score = None
+    for s in range(m):
+        book_arr = F.lit(books[s])
+        cent = F.element_at(book_arr, F.element_at(F.col("__codes"), s + 1) + 1)
+        sub = F.slice(F.col("__qv"), s * d0 + 1, d0)
+        ds = F.aggregate(
+            F.zip_with(
+                sub,
+                cent,
+                lambda x, y: F.round(
+                    (x.cast("double") - y) * (x.cast("double") - y) * 1e12
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        score = ds if score is None else score + ds
+    scored = joined.select("query_id", "neighbor_id", score.alias("__score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__score").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__score") / 1e12, 4).alias("dist2"),
+            "rank",
+        )
+    )

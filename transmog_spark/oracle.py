@@ -329,6 +329,102 @@ FROM cs LEFT JOIN dup d ON cs.nid = d.nid
 """
 
 
+def pq_topk_sql(
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str = "vec_id < 10",
+    k: int = 5,
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 8,
+    refine_iterations: int = 1,
+) -> str:
+    """Mirror of operators.similarity.pq_topk: per-subspace codebooks
+    (same md5 seeding, scaled-integer Lloyd means), scaled-integer
+    squared-L2 assignment/ADC keys — every distance is an exact BIGINT on
+    both engines, so argmin codes, ranks, and ties are bit-identical."""
+    d0 = dim // m
+    h = duck_md5_long(f"CAST({id_col} AS VARCHAR)")
+
+    def dist(sv: str, cv: str) -> str:
+        return (
+            f"CAST(COALESCE(list_sum(list_transform(range(1, {d0} + 1), "
+            f"i -> CAST(round(({sv}[i] - {cv}[i]) * ({sv}[i] - {cv}[i]) "
+            f"* 1000000000000) AS BIGINT))), 0) AS BIGINT)"
+        )
+
+    ctes = [
+        f"e AS (SELECT {id_col} AS nid, {vec_col}::DOUBLE[] AS v FROM {table})",
+        f"""seedj AS (
+  SELECT row_number() OVER (ORDER BY nid) - 1 AS j, v
+  FROM (SELECT nid, v FROM e ORDER BY {h.replace(id_col, 'nid')}, nid LIMIT {ksub}))""",
+    ]
+    finals = []
+    for s in range(m):
+        lo, hi = s * d0 + 1, (s + 1) * d0
+        ctes.append(f"esub{s} AS (SELECT nid, list_slice(v, {lo}, {hi}) AS sv FROM e)")
+        ctes.append(
+            f"cent{s}_0 AS (SELECT j, list_slice(v, {lo}, {hi}) AS cv FROM seedj)"
+        )
+        prev = f"cent{s}_0"
+        for t in range(refine_iterations):
+            means = ", ".join(
+                f"CAST(sum(CAST(round(sv[{i + 1}] * 1000000) AS BIGINT)) AS DOUBLE)"
+                f" / (count(*) * 1000000.0)"
+                for i in range(d0)
+            )
+            ctes.append(f"""a{s}_{t} AS (
+  SELECT nid, sv, j FROM (
+    SELECT t.nid, t.sv, c.j,
+           row_number() OVER (PARTITION BY t.nid
+             ORDER BY {dist('t.sv', 'c.cv')}, c.j) AS rn
+    FROM esub{s} t CROSS JOIN {prev} c) WHERE rn = 1)""")
+            ctes.append(
+                f"g{s}_{t} AS (SELECT j, [{means}] AS mv FROM a{s}_{t} GROUP BY j)"
+            )
+            ctes.append(f"""cent{s}_{t + 1} AS (
+  SELECT c.j, COALESCE(g.mv, c.cv) AS cv
+  FROM {prev} c LEFT JOIN g{s}_{t} g USING (j))""")
+            prev = f"cent{s}_{t + 1}"
+        finals.append(prev)
+        ctes.append(f"""code{s} AS (
+  SELECT nid, j FROM (
+    SELECT t.nid, c.j,
+           row_number() OVER (PARTITION BY t.nid
+             ORDER BY {dist('t.sv', 'c.cv')}, c.j) AS rn
+    FROM esub{s} t CROSS JOIN {prev} c) WHERE rn = 1)""")
+    joins = " ".join(f"JOIN code{s} c{s} USING (nid)" for s in range(1, m))
+    code_cols = ", ".join(
+        (f"c{s}.j AS j{s}" if s else "c0.j AS j0") for s in range(m)
+    )
+    ctes.append(f"codes AS (SELECT c0.nid, {code_cols} FROM code0 c0 {joins})")
+    ctes.append(
+        f"q AS (SELECT {id_col} AS qid, {vec_col}::DOUBLE[] AS qv "
+        f"FROM {table} WHERE {query_filter})"
+    )
+    score = " + ".join(
+        dist(f"list_slice(q.qv, {s * d0 + 1}, {(s + 1) * d0})", f"z{s}.cv")
+        for s in range(m)
+    )
+    zjoins = " ".join(
+        f"JOIN {finals[s]} z{s} ON z{s}.j = cd.j{s}" for s in range(m)
+    )
+    ctes.append(f"""scored AS (
+  SELECT q.qid AS query_id, cd.nid AS neighbor_id, {score} AS score
+  FROM codes cd {zjoins} CROSS JOIN q
+  WHERE cd.nid <> q.qid)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT query_id, neighbor_id, round(CAST(score AS DOUBLE) / 1000000000000, 4) AS dist2, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY score, neighbor_id) AS rank FROM scored)
+WHERE rank <= {k}
+"""
+
+
 def lsh_topk_sql(
     *,
     table: str = "embeddings",
@@ -1152,21 +1248,22 @@ def curation_pipeline_sql(
     source_col: str = "source",
     shingle_n: int = 3,
     bench_mod: int = 97,
-    max_top2gram: float = 0.09,
     max_contamination: float = 0.02,
     budget: int = 256,
     near_num_hashes: int = 8,
     near_bands: int = 4,
     near_threshold: float = 0.5,
     near_max_bucket: int = 500,
+    span_n: int = 8,
+    span_min_count: int = 2,
 ) -> str:
-    """End-to-end curation flagship: repetition filter -> decontamination
-    filter -> exact dedup (min-id keeper) -> NEAR-dup dedup (MinHash+LSH
-    pairs -> connected components -> min-id representative per cluster) ->
-    tokenize -> concat packing. Composes the per-operator oracles as CTEs,
-    so any mismatch localizes to the stage whose standalone oracle also
-    fails."""
-    rep = repetition_profile_sql(table=table, id_col=id_col, text_col=text_col)
+    """End-to-end curation flagship: composite quality gate -> benchmark
+    decontamination -> exact dedup (min-id keeper) -> NEAR-dup dedup
+    (MinHash+LSH pairs -> connected components -> min-id representative
+    per cluster) -> duplicated-span strip -> concat packing over the kept
+    token counts. Composes the per-operator oracles as CTEs, so any
+    mismatch localizes to the stage whose standalone oracle also fails."""
+    qg = quality_gate_sql(table=table, id_col=id_col, text_col=text_col)
     dec = decontaminate_sql(
         table=table,
         id_col=id_col,
@@ -1185,30 +1282,39 @@ def curation_pipeline_sql(
         max_bucket=near_max_bucket,
     )
     comps = components_sql(nd_pairs)
+    strip = strip_duplicate_spans_sql(
+        table="nded", id_col=id_col, text_col=text_col,
+        n=span_n, min_count=span_min_count,
+    )
+    # AS MATERIALIZED on every multiply-referenced stage: DuckDB inlines
+    # plain CTEs per reference, re-evaluating the whole upstream chain
+    # (the un-hinted form measured 236s vs 6s at sf0.01, identical rows)
     return f"""
-WITH rep AS ({rep}),
-dec AS ({dec}),
+WITH qg AS MATERIALIZED ({qg}),
+dec AS MATERIALIZED ({dec}),
 corpus AS (SELECT * FROM {table} WHERE {id_col} % {bench_mod} <> 0),
-keep AS (
+keep AS MATERIALIZED (
   SELECT c.{id_col}, c.{source_col}, c.{text_col}
   FROM corpus c
-  JOIN rep r ON c.{id_col} = r.{id_col}
+  JOIN qg q ON c.{id_col} = q.{id_col}
   JOIN dec d ON c.{id_col} = d.{id_col}
-  WHERE r.top_2gram_frac <= {max_top2gram}
+  WHERE q.verdict = 'keep'
     AND d.contamination <= {max_contamination}),
-ded AS (
+ded AS MATERIALIZED (
   SELECT {id_col}, {source_col}, {text_col} FROM (
     SELECT *, row_number() OVER (PARTITION BY md5({text_col})
                                  ORDER BY {id_col}) AS rn
     FROM keep)
   WHERE rn = 1),
-comps AS ({comps}),
-nded AS (
+comps AS MATERIALIZED ({comps}),
+nded AS MATERIALIZED (
   SELECT d.* FROM ded d
   WHERE NOT EXISTS (SELECT 1 FROM comps c
                     WHERE c.doc_id = d.{id_col} AND c.doc_id <> c.cluster_id)),
-docs AS (SELECT {id_col}, {source_col},
-                len({duck_ws_tokens(text_col)}) AS n_tok FROM nded),
+stripped AS MATERIALIZED ({strip}),
+docs AS (
+  SELECT n.{id_col}, n.{source_col}, s.n_tok - s.n_removed AS n_tok
+  FROM nded n JOIN stripped s ON n.{id_col} = s.{id_col}),
 nz AS (SELECT * FROM docs WHERE n_tok > 0),
 off AS (SELECT *, CAST(COALESCE(SUM(n_tok) OVER (
           PARTITION BY {source_col} ORDER BY {id_col}
