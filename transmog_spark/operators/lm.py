@@ -120,15 +120,19 @@ def lm_score(
     *,
     train_pct: int = 80,
     k: float = LM_K,
+    model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Per-document bigram-LM quality score against a model trained on the
-    ``train_pct`` hash-split of the same frame.
+    ``train_pct`` hash-split of the same frame — or against a pre-trained
+    ``model`` (the ``ngram_lm_counts`` triple). Passing ``model`` is the
+    train-once/score-many production shape, and what the streaming gate
+    uses (the count frames join stream-static per micro-batch).
 
     Output: (id, n_bigrams, n_oov, avg_logp, ppl) — avg_logp is the mean
     add-k-smoothed ln P(w2|w1), n_oov counts bigrams never seen in
     training. Docs with < 2 tokens have no bigrams and are absent.
     """
-    bigram_counts, context_counts, vocab = ngram_lm_counts(
+    bigram_counts, context_counts, vocab = model or ngram_lm_counts(
         df, id_col, text_col, train_pct=train_pct
     )
 

@@ -54,16 +54,22 @@ def quality_gate(
     max_ppl: float = 31.5,
     max_pii: int = 3,
     lm_train_pct: int = 80,
+    lm_model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Per-doc verdict table: (id, n_tokens_ws, stopword_ratio,
     top_2gram_frac, ppl, n_pii, verdict) where verdict is 'keep' or the
     first failing rule name in RULES order. Metrics for docs a rule never
-    reaches (e.g. ppl of a 1-token doc) are 0-coalesced, never null."""
+    reaches (e.g. ppl of a 1-token doc) are 0-coalesced, never null.
+    ``lm_model`` (an ``ngram_lm_counts`` triple) scores perplexity against
+    a pre-trained reference model instead of self-training — the streaming
+    / train-once shape."""
     tp = text_profile(df, id_col, text_col).select(
         id_col, "n_tokens_ws", "stopword_ratio", "punct_ratio", "mean_word_len"
     )
     rp = repetition_profile(df, id_col, text_col).select(id_col, "top_2gram_frac")
-    lm = lm_score(df, id_col, text_col, train_pct=lm_train_pct).select(id_col, "ppl")
+    lm = lm_score(
+        df, id_col, text_col, train_pct=lm_train_pct, model=lm_model
+    ).select(id_col, "ppl")
     counts = pii_counts(F.col(text_col))
     n_pii = None
     for c in counts.values():
