@@ -437,6 +437,16 @@ def _q_bpe_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-lite domain reweighting (operators/lm.py:domain_weights):
+    per-source mean DSIR log-ratio -> exp/normalized mixture weights, all
+    on exact integer grids."""
+    from transmog_spark.operators.lm import domain_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return domain_weights(d, "doc_id", "text", "source", target=F.col("lang") == "en")
+
+
 def _q_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weighting (operators/lm.py:importance_weights):
     every doc scored under a bigram LM trained on the English subset vs one
@@ -1136,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav_features": _q_media_wav_features,
         "lm_perplexity": _q_lm_perplexity,
         "importance": _q_importance,
+        "domain_weights": _q_domain_weights,
         "bpe_tokenize": _q_bpe_tokenize,
         "bpe_chunks": _q_bpe_chunks,
         "pii_scan": _q_pii_scan,
@@ -1216,6 +1227,7 @@ def oracle_sql() -> dict[str, str]:
         bpe_chunks_sql,
         bpe_tokenize_sql,
         importance_sql,
+        domain_weights_sql,
         lm_perplexity_sql,
         pii_scan_sql,
         quality_gate_sql,
@@ -1359,6 +1371,7 @@ FROM docs GROUP BY 1
         "text_profile": text_profile_sql(),
         "lm_perplexity": lm_perplexity_sql(),
         "importance": importance_sql(),
+        "domain_weights": domain_weights_sql(),
         "bpe_tokenize": bpe_tokenize_sql(),
         "bpe_chunks": bpe_chunks_sql(),
         "pii_scan": pii_scan_sql(),

@@ -237,3 +237,59 @@ def importance_weights(
         (F.col("__r_e4") / F.lit(10000.0)).alias("avg_logp_raw"),
         ((F.col("__t_e4") - F.col("__r_e4")) / F.lit(10000.0)).alias("log_ratio"),
     )
+
+
+def domain_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    *,
+    target: Column,
+    temperature: float = 1.0,
+    k: float = LM_K,
+) -> DataFrame:
+    """DoReMi-style domain reweighting, reduced to the DSIR signal (Xie et
+    al. 2023 DoReMi trains a proxy model; this lite form uses the bigram
+    importance ratio already computed by ``importance_weights``): a
+    domain whose documents score more target-like than corpus-typical gets
+    upweighted, weight ∝ exp(mean_log_ratio / temperature), normalized
+    over domains.
+
+    Determinism: per-domain means aggregate the per-doc scaled-integer e4
+    ratios (order-free integer sums + the _avg_e4 integer division);
+    exp() is rounded to the 1e-4 grid before normalizing, and the
+    normalizer is an integer sum of those grid values — so the output
+    weights are bit-identical in the DuckDB mirror
+    (``oracle.domain_weights_sql``) no matter the partitioning.
+
+    Scale shape: everything up to the per-domain groupBy is
+    ``importance_weights`` (gram-key joins, AQE-skew posture); the domain
+    aggregate is a handful of rows; the normalizer is a broadcast
+    single-row frame.
+
+    Output: (source, n_docs, mean_log_ratio, weight) — weight sums to ~1.
+    """
+    iw = importance_weights(df, id_col, text_col, target=target, k=k)
+    j = df.select(F.col(id_col), F.col(source_col)).join(iw, id_col)
+    per = j.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.round(F.col("log_ratio") * 10000).cast("long")).alias("__slr"),
+    )
+    per = per.withColumn("__mean_e4", _avg_e4("__slr", "n_docs"))
+    # exp on the exact e4 grid value, snapped back to an integer grid so
+    # the cross-domain normalizer is an order-free integer sum
+    w_int = F.round(
+        F.exp(F.col("__mean_e4") / F.lit(10000.0) / F.lit(temperature)) * 10000
+    ).cast("long")
+    per = per.withColumn("__w", w_int)
+    total = per.agg(F.sum("__w").alias("__tot"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            source_col,
+            "n_docs",
+            (F.col("__mean_e4") / F.lit(10000.0)).alias("mean_log_ratio"),
+            F.round(F.col("__w") / F.col("__tot"), 4).alias("weight"),
+        )
+    )

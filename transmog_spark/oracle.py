@@ -1653,6 +1653,45 @@ FROM final
 """
 
 
+def domain_weights_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    target_pred: str = "lang = 'en'",
+    temperature: float = 1.0,
+    k: float = 0.5,
+) -> str:
+    """DoReMi-lite domain reweighting mirror (operators/lm.py:
+    domain_weights): per-domain mean of the DSIR log-ratio (integer e4
+    grid), exp snapped back to the 1e-4 grid, integer-sum normalizer."""
+    iw = importance_sql(
+        table=table, id_col=id_col, text_col=text_col,
+        target_pred=target_pred, k=k,
+    )
+    return f"""
+WITH iw AS MATERIALIZED ({iw}),
+per AS (
+  SELECT d.{source_col}, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(round(iw.log_ratio * 10000) AS BIGINT)) AS BIGINT) AS slr
+  FROM iw JOIN {table} d USING ({id_col}) GROUP BY 1),
+m AS (
+  SELECT {source_col}, n_docs,
+         (CASE WHEN slr < 0 THEN -1 ELSE 1 END)
+           * ((abs(slr) * 2 + n_docs) // (2 * n_docs)) AS mean_e4
+  FROM per),
+w AS (
+  SELECT *, CAST(round(exp(mean_e4 / 10000.0 / {temperature}) * 10000)
+                 AS BIGINT) AS w_int
+  FROM m),
+t AS (SELECT CAST(sum(w_int) AS BIGINT) AS tot FROM w)
+SELECT {source_col}, n_docs, mean_e4 / 10000.0 AS mean_log_ratio,
+       round(CAST(w_int AS DOUBLE) / tot, 4) AS weight
+FROM w CROSS JOIN t
+"""
+
+
 def pii_scan_sql(
     *, table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
 ) -> str:
