@@ -713,6 +713,21 @@ def _q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composition (operators/similarity.py:ivfpq_topk — FAISS
+    IndexIVFPQ shape, Jégou et al. 2011 §V): 16-list coarse quantizer,
+    residuals product-quantized into 8×8 codebooks (one Lloyd pass),
+    4-probe residual-ADC search on exact scaled-integer L2 keys."""
+    from transmog_spark.operators.similarity import ivfpq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return ivfpq_topk(
+        e, q, id_col="vec_id", vec_col="embedding", k=5, dim=64,
+        nlist=16, nprobe=4, m=8, ksub=8, pq_refine_iterations=1,
+    )
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine pairs on a bounded slice (oracle-checkable)."""
     from transmog_spark.operators.dedup import cosine_sim
@@ -1165,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_lsh": _q_embedding_topk_lsh,
         "embedding_topk_sq8": _q_embedding_topk_sq8,
         "embedding_topk_pq": _q_embedding_topk_pq,
+        "embedding_topk_ivfpq": _q_embedding_topk_ivfpq,
         "embedding_neardup": _q_embedding_neardup,
         "semdedup": _q_semdedup,
         "dup_spans": _q_dup_spans,
@@ -1219,6 +1235,7 @@ def oracle_sql() -> dict[str, str]:
         lsh_topk_sql,
         minhash_pairs_sql,
         sq8_topk_sql,
+        ivfpq_topk_sql,
         pq_topk_sql,
         stratified_sample_sql,
         ngram_jaccard_pairs_sql,
@@ -1489,6 +1506,10 @@ FROM documents GROUP BY 1
         "embedding_topk_pq": pq_topk_sql(
             query_filter="vec_id < 10", k=5, dim=64, m=8, ksub=8,
             refine_iterations=1,
+        ),
+        "embedding_topk_ivfpq": ivfpq_topk_sql(
+            query_filter="vec_id < 10", k=5, dim=64, nlist=16, nprobe=4,
+            m=8, ksub=8, pq_refine_iterations=1,
         ),
         "embedding_neardup": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300)

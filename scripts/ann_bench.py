@@ -31,6 +31,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from transmog_spark.operators.similarity import (  # noqa: E402
     brute_force_topk,
     ivf_topk,
+    ivfpq_topk,
     lsh_topk,
     pq_topk,
     sq8_topk,
@@ -194,6 +195,21 @@ def sweep(spark, corpus, queries, label, rows):
         )
         rows.append(
             (label, f"pq m={m} ksub={ksub} lloyd=1 (vs L2 truth)", recall(l2_truth, s), w)
+        )
+    for nprobe in (4, 8):
+        s, w = bench(
+            lambda nprobe=nprobe: ivfpq_topk(
+                corpus, queries, dim=DIM, nlist=16, nprobe=nprobe, m=8, ksub=8,
+                pq_refine_iterations=1, **kw
+            )
+        )
+        rows.append(
+            (
+                label,
+                f"ivfpq nlist=16 nprobe={nprobe} m=8 ksub=8 (vs L2 truth)",
+                recall(l2_truth, s),
+                w,
+            )
         )
 
 

@@ -286,3 +286,14 @@ def test_pq_zero_corpus_shuffle_broadcast_queries(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embedding_topk_pq")
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
     assert _exchanges(plan) <= 1
+
+
+def test_ivfpq_zero_corpus_shuffle_broadcast_probes(spark, sf_dir):
+    # coarse centroids AND PQ codebooks are plan-time literals: assignment,
+    # residual, encoding and ADC are one narrow corpus pass; the probe side
+    # (queries×nprobe residuals) is explicitly broadcast; the only shuffle
+    # is the per-query top-k window
+    plan = _plan(spark, sf_dir, "embedding_topk_ivfpq")
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
+    assert _exchanges(plan) == 1
+    assert "CartesianProduct" not in plan

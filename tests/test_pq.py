@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from transmog_spark.operators.similarity import pq_topk, pq_train
+from transmog_spark.operators.similarity import ivfpq_topk, pq_topk, pq_train
 
 DIM, M, KSUB = 8, 2, 8
 
@@ -61,6 +61,50 @@ def test_pq_deterministic_across_partitionings(spark):
     a = sorted(map(tuple, pq_topk(c1, q, k=4, dim=DIM, m=M, ksub=KSUB).collect()))
     b = sorted(map(tuple, pq_topk(c16, q, k=4, dim=DIM, m=M, ksub=KSUB).collect()))
     assert a == b
+
+
+def test_ivfpq_recovers_cluster_neighbors(spark):
+    c = _clustered(spark)
+    q = c.where(F.col("vec_id") < 4)
+    got = ivfpq_topk(
+        c, q, k=5, dim=DIM, nlist=4, nprobe=2, m=M, ksub=KSUB,
+        pq_refine_iterations=2,
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    for qid, rows in by_q.items():
+        assert len(rows) == 5
+        assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4, 5]
+        assert all(r["neighbor_id"] % 4 == qid % 4 for r in rows), rows
+        assert all(r["neighbor_id"] != qid for r in rows)
+
+
+def test_ivfpq_deterministic_across_partitionings(spark):
+    c1 = _clustered(spark).repartition(1)
+    c16 = _clustered(spark).repartition(16)
+    q = _clustered(spark).where(F.col("vec_id") < 3)
+    kw = dict(k=4, dim=DIM, nlist=4, nprobe=2, m=M, ksub=KSUB)
+    a = sorted(map(tuple, ivfpq_topk(c1, q, **kw).collect()))
+    b = sorted(map(tuple, ivfpq_topk(c16, q, **kw).collect()))
+    assert a == b
+
+
+def test_ivfpq_residual_adc_beats_probe_floor(spark):
+    # every probed-list candidate appears at most once (a vector lives in
+    # exactly one inverted list, probes are distinct), and self is excluded
+    c = _clustered(spark)
+    q = c.where(F.col("vec_id") < 4)
+    got = ivfpq_topk(
+        c, q, k=50, dim=DIM, nlist=4, nprobe=1, m=M, ksub=KSUB
+    ).collect()
+    seen = set()
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key not in seen
+        assert r["query_id"] != r["neighbor_id"]
+        seen.add(key)
 
 
 def test_pq_rejects_indivisible_dim(spark):

@@ -600,6 +600,137 @@ def pq_train(
     return books
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    k: int = 10,
+    dim: int,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 8,
+    coarse_refine_iterations: int = 0,
+    pq_refine_iterations: int = 1,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF + PQ composition (FAISS ``IndexIVFPQ``; Jégou et al. 2011 §V):
+    a coarse ``nlist``-centroid quantizer routes each vector to an inverted
+    list, and the *residual* (vector − coarse centroid) is product-quantized
+    to ``m`` codebook indices. Queries probe the ``nprobe`` nearest lists
+    and score candidates by ADC between the query's per-list residual and
+    the candidate's reconstructed residual centroid.
+
+    Why residuals: within a list the residual energy is much smaller than
+    the raw vectors', so the same ksub codebook budget quantizes finer —
+    the reason IVFPQ beats flat PQ at equal bytes.
+
+    Determinism: the coarse tier is the exact ``ivf_topk`` machinery
+    (md5-seeded centroids, round(cos,6)+cid argmax keys); residuals are
+    plain double subtractions of plan-time centroid literals, so both
+    engines hold bit-identical residual vectors; the PQ tier is
+    ``pq_train``'s scaled-integer L2 (every assignment/ADC key an exact
+    BIGINT). Ranks and ties match the DuckDB mirror exactly.
+
+    Scale shape: centroids and codebooks are tiny plan-time literals;
+    corpus assignment + residual + encoding is one zero-shuffle map pass
+    (the (cid, codes) pair is what a deployment persists — m bytes + a
+    list id per vector); the probe join is broadcast on the query side and
+    touches ~nprobe/nlist of the corpus; training aggregations are the
+    bounded kmeans_refine shape (ksub×(dim/m+1) longs per subspace on the
+    driver). At 100 TB, train codebooks on a hash-sampled frame and persist
+    the encoded corpus — FAISS's own posture.
+    """
+    if dim % m:
+        raise ValueError("dim must divide evenly into m subspaces")
+    d0 = dim // m
+    qid = query_id_col or id_col
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    cents = _seed_centroids(c, "neighbor_id", nlist)
+    if coarse_refine_iterations > 0:
+        cents = kmeans_refine(c, cents, dim=dim, iterations=coarse_refine_iterations)
+    cents_arr = F.lit([cv for _, cv in cents])  # idx order == cents order
+    sim_structs = _centroid_sim_structs(cents)
+
+    # coarse assignment + residual in ONE select: both fields read the same
+    # array_max expression (codegen subexpression elimination — the
+    # semdedup idiom), and the residual looks the assigned centroid up in
+    # the literal 2-D array by idx (= -negidx), a pure per-row expression.
+    best = F.array_max(sim_structs(F.col("__cv")))
+    idx = -best["negidx"]
+    residual = F.zip_with(
+        F.col("__cv"),
+        F.element_at(cents_arr, (idx + 1).cast("int")),
+        lambda x, y: x.cast("double") - y,
+    )
+    res = c.select(
+        "neighbor_id", best["cid"].alias("__cid"), residual.alias("__rv")
+    )
+
+    # PQ codebooks over the pooled residuals (FAISS trains PQ on residuals
+    # across all lists, not per-list — ksub·m cells total, not nlist·ksub·m)
+    books = pq_train(
+        res, id_col="neighbor_id", vec_col="__rv", dim=dim, m=m, ksub=ksub,
+        refine_iterations=pq_refine_iterations,
+    )
+    subs = [_sub_dist_structs(books[s], s * d0, d0) for s in range(m)]
+    codes = F.array(*[F.array_min(subs[s](F.col("__rv")))["j"] for s in range(m)])
+    encoded = res.select("neighbor_id", "__cid", codes.alias("__codes"))
+
+    # query probes: top-nprobe coarse lists; each probe row carries the
+    # query residual w.r.t. THAT list's centroid (true IVFPQ ADC)
+    q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv"))
+    probe_structs = F.slice(F.sort_array(sim_structs(F.col("__qv")), asc=False), 1, nprobe)
+    probes = q.select("query_id", "__qv", F.explode(probe_structs).alias("__p"))
+    pidx = -F.col("__p")["negidx"]
+    qres = F.zip_with(
+        F.col("__qv"),
+        F.element_at(cents_arr, (pidx + 1).cast("int")),
+        lambda x, y: x.cast("double") - y,
+    )
+    probes = probes.select(
+        "query_id", F.col("__p")["cid"].alias("__cid"), qres.alias("__qr")
+    )
+
+    joined = encoded.join(F.broadcast(probes), "__cid")
+    if exclude_self:
+        joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
+
+    score = None
+    for s in range(m):
+        book_arr = F.lit(books[s])
+        cent = F.element_at(book_arr, F.element_at(F.col("__codes"), s + 1) + 1)
+        sub = F.slice(F.col("__qr"), s * d0 + 1, d0)
+        ds = F.aggregate(
+            F.zip_with(
+                sub,
+                cent,
+                lambda x, y: F.round((x - y) * (x - y) * 1e12).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        score = ds if score is None else score + ds
+    scored = joined.select("query_id", "neighbor_id", score.alias("__score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__score").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__score") / 1e12, 4).alias("dist2"),
+            "rank",
+        )
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -425,6 +425,128 @@ WHERE rank <= {k}
 """
 
 
+def ivfpq_topk_sql(
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str = "vec_id < 10",
+    k: int = 5,
+    dim: int = 64,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 8,
+    coarse_refine_iterations: int = 0,
+    pq_refine_iterations: int = 1,
+) -> str:
+    """Mirror of operators.similarity.ivfpq_topk: the shared IVF
+    centroid/assignment CTEs, residuals as plain double subtractions of
+    the same centroids, then the pq_topk_sql codebook chain over residual
+    subvectors and per-probe residual ADC. Every assignment/ADC key is an
+    exact scaled-integer BIGINT, so codes, ranks and ties are
+    bit-identical to the engine. ``res`` and ``codes`` are MATERIALIZED —
+    DuckDB inlines CTEs per reference, and both feed many consumers."""
+    d0 = dim // m
+    h = duck_md5_long(f"CAST({id_col} AS VARCHAR)")
+
+    def dist(sv: str, cv: str) -> str:
+        return (
+            f"CAST(COALESCE(list_sum(list_transform(range(1, {d0} + 1), "
+            f"i -> CAST(round(({sv}[i] - {cv}[i]) * ({sv}[i] - {cv}[i]) "
+            f"* 1000000000000) AS BIGINT))), 0) AS BIGINT)"
+        )
+
+    ivf_ctes, cent = _ivf_assignment_ctes(
+        table=table, id_col=id_col, vec_col=vec_col, nlist=nlist,
+        refine_iterations=coarse_refine_iterations, dim=dim,
+    )
+    ctes = [
+        ivf_ctes,
+        f"""res AS MATERIALIZED (
+  SELECT a.nid, a.cid,
+         list_transform(range(1, {dim} + 1), i -> a.v[i] - c.cv[i]) AS rv
+  FROM assigned a JOIN {cent} c ON a.cid = c.cid)""",
+        f"""seedj AS (
+  SELECT row_number() OVER (ORDER BY nid) - 1 AS j, rv
+  FROM (SELECT nid, rv FROM res ORDER BY {h.replace(id_col, 'nid')}, nid LIMIT {ksub}))""",
+    ]
+    finals = []
+    for s in range(m):
+        lo, hi = s * d0 + 1, (s + 1) * d0
+        ctes.append(f"esub{s} AS (SELECT nid, list_slice(rv, {lo}, {hi}) AS sv FROM res)")
+        ctes.append(
+            f"cent{s}_0 AS (SELECT j, list_slice(rv, {lo}, {hi}) AS cv FROM seedj)"
+        )
+        prev = f"cent{s}_0"
+        for t in range(pq_refine_iterations):
+            means = ", ".join(
+                f"CAST(sum(CAST(round(sv[{i + 1}] * 1000000) AS BIGINT)) AS DOUBLE)"
+                f" / (count(*) * 1000000.0)"
+                for i in range(d0)
+            )
+            ctes.append(f"""a{s}_{t} AS (
+  SELECT nid, sv, j FROM (
+    SELECT t.nid, t.sv, c.j,
+           row_number() OVER (PARTITION BY t.nid
+             ORDER BY {dist('t.sv', 'c.cv')}, c.j) AS rn
+    FROM esub{s} t CROSS JOIN {prev} c) WHERE rn = 1)""")
+            ctes.append(
+                f"g{s}_{t} AS (SELECT j, [{means}] AS mv FROM a{s}_{t} GROUP BY j)"
+            )
+            ctes.append(f"""cent{s}_{t + 1} AS (
+  SELECT c.j, COALESCE(g.mv, c.cv) AS cv
+  FROM {prev} c LEFT JOIN g{s}_{t} g USING (j))""")
+            prev = f"cent{s}_{t + 1}"
+        finals.append(prev)
+        ctes.append(f"""code{s} AS (
+  SELECT nid, j FROM (
+    SELECT t.nid, c.j,
+           row_number() OVER (PARTITION BY t.nid
+             ORDER BY {dist('t.sv', 'c.cv')}, c.j) AS rn
+    FROM esub{s} t CROSS JOIN {prev} c) WHERE rn = 1)""")
+    joins = " ".join(f"JOIN code{s} c{s} USING (nid)" for s in range(1, m))
+    code_cols = ", ".join(
+        (f"c{s}.j AS j{s}" if s else "c0.j AS j0") for s in range(m)
+    )
+    ctes.append(
+        f"codes AS MATERIALIZED (SELECT c0.nid, rc.cid, {code_cols} "
+        f"FROM code0 c0 {joins} JOIN (SELECT nid, cid FROM res) rc ON rc.nid = c0.nid)"
+    )
+    ctes.append(
+        f"q AS (SELECT {id_col} AS qid, {vec_col}::DOUBLE[] AS qv "
+        f"FROM {table} WHERE {query_filter})"
+    )
+    ctes.append(f"""probes AS (
+  SELECT qid, qv, cid FROM (
+    SELECT q.qid, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cid) AS rn
+    FROM q CROSS JOIN {cent} c) WHERE rn <= {nprobe})""")
+    ctes.append(f"""qres AS (
+  SELECT p.qid, p.cid,
+         list_transform(range(1, {dim} + 1), i -> p.qv[i] - c.cv[i]) AS qr
+  FROM probes p JOIN {cent} c ON p.cid = c.cid)""")
+    score = " + ".join(
+        dist(f"list_slice(p.qr, {s * d0 + 1}, {(s + 1) * d0})", f"z{s}.cv")
+        for s in range(m)
+    )
+    zjoins = " ".join(
+        f"JOIN {finals[s]} z{s} ON z{s}.j = cd.j{s}" for s in range(m)
+    )
+    ctes.append(f"""scored AS (
+  SELECT p.qid AS query_id, cd.nid AS neighbor_id, {score} AS score
+  FROM codes cd {zjoins} JOIN qres p ON p.cid = cd.cid AND cd.nid <> p.qid)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT query_id, neighbor_id, round(CAST(score AS DOUBLE) / 1000000000000, 4) AS dist2, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY score, neighbor_id) AS rank FROM scored)
+WHERE rank <= {k}
+"""
+
+
 def lsh_topk_sql(
     *,
     table: str = "embeddings",
