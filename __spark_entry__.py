@@ -406,6 +406,18 @@ def _q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_tokenize(d, list(seed_merges()), "doc_id", "text")
 
 
+def _q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM subword tokenization (operators/unigram.py — Kudo 2018
+    Viterbi-EM form): the fixed seed vocabulary's integer piece costs
+    drive an Arrow-batched Viterbi decoder; piece_md5 hashes the ordered
+    piece stream, proving the pandas-UDF lattice DP and the DuckDB
+    recursive-CTE lattice enumeration picked identical segmentations."""
+    from transmog_spark.operators.unigram import seed_vocab, unigram_tokenize
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_tokenize(d, list(seed_vocab()), "doc_id", "text")
+
+
 def _q_bpe_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end subword training-data flow: documents -> BPE tokens
     (seed merge table, Arrow-batched encoder) -> deterministic 32k-vocab
@@ -1163,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance": _q_importance,
         "domain_weights": _q_domain_weights,
         "bpe_tokenize": _q_bpe_tokenize,
+        "unigram_tokenize": _q_unigram_tokenize,
         "bpe_chunks": _q_bpe_chunks,
         "pii_scan": _q_pii_scan,
         "quality_gate": _q_quality_gate,
@@ -1243,6 +1256,7 @@ def oracle_sql() -> dict[str, str]:
         simhash_sql,
         bpe_chunks_sql,
         bpe_tokenize_sql,
+        unigram_tokenize_sql,
         importance_sql,
         domain_weights_sql,
         lm_perplexity_sql,
@@ -1254,6 +1268,7 @@ def oracle_sql() -> dict[str, str]:
         token_positions_sql,
         tokenize_docs_sql,
     )
+    from transmog_spark.operators.unigram import seed_vocab as _unigram_seed_vocab
 
     asof_common = """
 WITH clicks AS (
@@ -1390,6 +1405,7 @@ FROM docs GROUP BY 1
         "importance": importance_sql(),
         "domain_weights": domain_weights_sql(),
         "bpe_tokenize": bpe_tokenize_sql(),
+        "unigram_tokenize": unigram_tokenize_sql(_unigram_seed_vocab()),
         "bpe_chunks": bpe_chunks_sql(),
         "pii_scan": pii_scan_sql(),
         "quality_gate": quality_gate_sql(),

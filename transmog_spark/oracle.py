@@ -1702,6 +1702,75 @@ FROM ex
 """
 
 
+def unigram_tokenize_sql(
+    vocab: "list[tuple[str, int]] | tuple[tuple[str, int], ...]",
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_cost: int = 24_000_000,
+) -> str:
+    """Mirror of operators.unigram.unigram_tokenize: a recursive CTE
+    enumerates every segmentation path of each DISTINCT pre-token word
+    through the (piece, cost) lattice — bounded by the distinct-word
+    vocabulary, never the corpus — and row_number() on the exact
+    (cost, n_pieces, path) keys picks the same Viterbi optimum the engine's
+    DP computes (costs are integers fixed at train time; equal-key paths
+    are equal-length strings, so the orderings coincide). OOV characters
+    join the step relation as single-char pieces at ``oov_cost``."""
+    from transmog_spark.operators.bpe import PRETOKEN_RE
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ",\n    ".join(f"('{q(p)}', {c})" for p, c in vocab)
+    return f"""
+WITH RECURSIVE
+vocab(piece, cost) AS (SELECT * FROM (VALUES
+    {vals}) v),
+pre AS (
+  SELECT {id_col}, regexp_extract_all({text_col}, '{PRETOKEN_RE}') AS ws
+  FROM {table}),
+words AS (
+  SELECT {id_col}, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM pre),
+dw AS (SELECT DISTINCT w FROM words),
+oovc AS (
+  SELECT DISTINCT ch AS piece, CAST({oov_cost} AS BIGINT) AS cost
+  FROM (SELECT unnest(list_transform(range(1, length(w) + 1),
+                                     i -> substr(w, i, 1))) AS ch FROM dw)
+  WHERE ch NOT IN (SELECT piece FROM vocab)),
+step AS (SELECT piece, CAST(cost AS BIGINT) AS cost FROM vocab
+         UNION ALL SELECT piece, cost FROM oovc),
+paths AS (
+  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS cost, 0 AS np, '' AS path FROM dw
+  UNION ALL
+  SELECT p.w, p.pos + length(s.piece), p.cost + s.cost, p.np + 1,
+         CASE WHEN p.path = '' THEN s.piece
+              ELSE p.path || chr(31) || s.piece END
+  FROM paths p JOIN step s
+    ON substr(p.w, p.pos + 1, length(s.piece)) = s.piece
+  WHERE p.pos < length(p.w)),
+best AS (
+  SELECT w, cost, np, path FROM (
+    SELECT *, row_number() OVER (PARTITION BY w ORDER BY cost, np, path) AS rn
+    FROM paths WHERE pos = length(w)) WHERE rn = 1),
+agg AS (
+  SELECT words.{id_col},
+         count(*) AS n_words,
+         CAST(sum(b.np) AS BIGINT) AS n_pieces,
+         CAST(sum(b.cost) AS BIGINT) AS total_cost,
+         string_agg(b.path, chr(30) ORDER BY words.pos) AS stream
+  FROM words JOIN best b USING (w)
+  GROUP BY 1)
+SELECT d.{id_col},
+       CAST(coalesce(a.n_words, 0) AS INTEGER) AS n_words,
+       CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+       CAST(coalesce(a.total_cost, 0) AS BIGINT) AS total_cost,
+       md5(coalesce(a.stream, '')) AS piece_md5
+FROM {table} d LEFT JOIN agg a USING ({id_col})
+"""
+
+
 def importance_sql(
     *,
     table: str = "documents",
