@@ -604,6 +604,17 @@ def _q_dedupe_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupe_near(d, _minhash_pairs_cached(spark, sf_dir))
 
 
+def _q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val split (operators/corpus.py:
+    leakage_safe_split): the split hash keys on the duplicate-cluster
+    representative so near-duplicates always land in the same split —
+    validation never scores memorized training text (Lee et al. 2022 §6)."""
+    from transmog_spark.operators.corpus import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents")
+    return leakage_safe_split(d, _minhash_pairs_cached(spark, sf_dir))
+
+
 def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transmog_spark.operators.similarity import brute_force_topk
 
@@ -1120,18 +1131,26 @@ def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.where(F.col("doc_id") % 97 != 0)
     qg = quality_gate(d).where(F.col("verdict") == "keep").select("doc_id")
     dec = decontaminate(corpus, bench, n=3).select("doc_id", "contamination")
+    # persist the stage boundaries: each is consumed by 2+ downstream
+    # branches and Spark's ReuseExchange never fires across them (the
+    # projections differ), so the unpersisted plan re-executes the whole
+    # upstream chain per consumer — 224 parquet scans / 129 exchanges in
+    # one composed plan, measured 18-32s vs 2.1s at sf0.01. A 100 TB run
+    # checkpoints these to the curated store; persist is the local analog.
+    # Lifetime: session-cached like _PAIRS_CACHE (frames are corpus-sized
+    # verdict/kept projections, not raw text duplicates).
     keep = (
         corpus.join(qg, "doc_id")
         .join(dec, "doc_id")
         .where(F.col("contamination") <= 0.02)
         .select("doc_id", "source", "text")
-    )
-    ded = dedupe_exact(keep, "doc_id", "text")
+    ).persist()
+    ded = dedupe_exact(keep, "doc_id", "text").persist()
     pairs = minhash_near_duplicates(
         ded, "doc_id", "text", shingle_n=3, num_hashes=8, bands=4,
         threshold=0.5, max_bucket=500,
     )
-    nded = dedupe_near(ded, pairs)
+    nded = dedupe_near(ded, pairs).persist()
     stripped = strip_duplicate_spans(nded, "doc_id", "text", n=8, min_count=2)
     toks = (
         nded.select("doc_id", "source")
@@ -1187,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_star": _q_dedup_clusters_star,
         "dedupe_near": _q_dedupe_near,
+        "leakage_split": _q_leakage_split,
         "embedding_topk": _q_embedding_topk,
         "embedding_topk_ivf": _q_embedding_topk_ivf,
         "embedding_topk_ivfk": _q_embedding_topk_ivfk,
@@ -1228,6 +1248,7 @@ def oracle_sql() -> dict[str, str]:
         bm25_sql,
         components_sql,
         dedupe_near_sql,
+        leakage_safe_split_sql,
         curation_pipeline_sql,
         decontaminate_sql,
         epoch_mixture_sql,
@@ -1511,6 +1532,11 @@ FROM documents GROUP BY 1
             )
         ),
         "dedupe_near": dedupe_near_sql(
+            minhash_pairs_sql(
+                shingle_n=3, num_hashes=8, bands=4, threshold=0.2, max_bucket=500
+            )
+        ),
+        "leakage_split": leakage_safe_split_sql(
             minhash_pairs_sql(
                 shingle_n=3, num_hashes=8, bands=4, threshold=0.2, max_bucket=500
             )

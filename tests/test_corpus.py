@@ -231,3 +231,51 @@ def test_vocab_stats_exact_values(spark):
     b = rows["b"]
     assert (b.n_tokens, b.vocab_size) == (4, 4)
     assert b.type_token_ratio == 1.0 and b.top_token_share == 0.25
+
+
+def test_leakage_safe_split_groups_near_dups(spark):
+    from transmog_spark.operators.corpus import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # two clusters: {3,4,5} (chain) and {10, 150}; rest unclustered
+    pairs = spark.createDataFrame(
+        [(3, 4), (4, 5), (10, 150)], "id_a long, id_b long"
+    )
+    rows = {r["doc_id"]: r for r in leakage_safe_split(docs, pairs).collect()}
+    assert len(rows) == 200
+    # cluster members share the representative key AND the split
+    assert rows[3]["split_key"] == rows[4]["split_key"] == rows[5]["split_key"] == 3
+    assert rows[3]["split"] == rows[4]["split"] == rows[5]["split"]
+    assert rows[10]["split_key"] == rows[150]["split_key"] == 10
+    assert rows[10]["split"] == rows[150]["split"]
+    # unclustered docs key on themselves
+    assert rows[7]["split_key"] == 7
+    # both splits are populated at this size and the fraction is sane
+    n_val = sum(1 for r in rows.values() if r["split"] == "val")
+    assert 0 < n_val < 60  # ~10% of 200, generous bounds
+
+
+def test_leakage_safe_split_deterministic_and_fraction(spark):
+    from transmog_spark.operators.corpus import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    a = sorted(
+        map(tuple, leakage_safe_split(docs.repartition(1), empty).collect())
+    )
+    b = sorted(
+        map(tuple, leakage_safe_split(docs.repartition(16), empty).collect())
+    )
+    assert a == b
+    n_val = sum(1 for r in a if r[2] == "val")
+    assert abs(n_val / 2000 - 0.1) < 0.03  # hash-uniform ~10%
+    # changing the seed reshuffles membership
+    c = sorted(
+        map(
+            tuple,
+            leakage_safe_split(docs, empty, seed="other").collect(),
+        )
+    )
+    assert c != a

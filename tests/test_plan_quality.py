@@ -295,6 +295,17 @@ def test_pq_zero_corpus_shuffle_broadcast_queries(spark, sf_dir):
     assert _exchanges(plan) <= 1
 
 
+def test_curation_pipeline_pins_stage_boundaries(spark, sf_dir):
+    # the composed flagship re-executes multiply-consumed subtrees unless
+    # the stage boundaries (keep/ded/nded) are persisted: ReuseExchange
+    # never fires across differing projections (measured: 224 scans / 129
+    # exchanges and 9-15x the wall at sf0.01 without persists). Pin the
+    # persist points and the absence of cartesian products.
+    plan = _plan(spark, sf_dir, "curation_pipeline")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 3
+
+
 def test_ivfpq_zero_corpus_shuffle_broadcast_probes(spark, sf_dir):
     # coarse centroids AND PQ codebooks are plan-time literals: assignment,
     # residual, encoding and ADC are one narrow corpus pass; the probe side

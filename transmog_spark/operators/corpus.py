@@ -450,3 +450,54 @@ def shard_manifest(
     if ntok_col is not None:
         aggs.insert(1, F.sum("n_tok").cast("long").alias("tok_total"))
     return ordered.groupBy("shard").agg(*aggs)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    val_fraction: float = 0.1,
+    seed: str = "split",
+    buckets: int = 10_000,
+    max_iterations: int = 25,
+    algorithm: str = "label",
+) -> DataFrame:
+    """Near-dup-aware train/validation split: hash the duplicate-CLUSTER
+    representative, not the document, so near-duplicates always land in
+    the same split and validation never scores memorized training text
+    (the contamination mode Lee et al. 2022 §6 measure — eval near-dups of
+    train members inflate scores).
+
+    ``pairs`` is a duplicate edge list (minhash_lsh_pairs / simhash_pairs
+    / embedding_neardup output); unclustered documents key on their own
+    id. Returns (``id_col``, split_key, split) with split ∈
+    {'train', 'val'} — a verdict table, so callers filter with one
+    semi-join and the assignment stays auditable. Deterministic across
+    runs, engines, partitionings and cluster sizes (the ``hash_sample``
+    hash on the cluster key).
+
+    Scale shape: components are the bounded ``duplicate_components``
+    machinery (only clustered docs appear in the frame — tiny vs the
+    corpus), the key join is one left join (broadcast-eligible whenever
+    the dup set fits), and the split decision is a stateless per-row
+    expression. No shuffle beyond the component rounds.
+    """
+    from transmog_spark.operators.dedup import duplicate_components
+
+    comps = duplicate_components(
+        pairs, max_iterations=max_iterations, algorithm=algorithm
+    ).withColumnsRenamed({"doc_id": "__cid_doc", "cluster_id": "__cluster"})
+    keyed = df.select(F.col(id_col)).join(
+        comps, F.col(id_col) == F.col("__cid_doc"), "left"
+    )
+    split_key = F.coalesce(F.col("__cluster"), F.col(id_col).cast("long"))
+    h = md5_long(F.concat(F.lit(f"{seed}#"), split_key.cast("string")))
+    threshold = int(val_fraction * buckets)
+    return keyed.select(
+        F.col(id_col),
+        split_key.alias("split_key"),
+        F.when(h % buckets < threshold, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -747,6 +747,32 @@ WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.drop_id = t.{id_col})
 """
 
 
+def leakage_safe_split_sql(
+    pairs_sql: str,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    val_fraction: float = 0.1,
+    seed: str = "split",
+    buckets: int = 10_000,
+) -> str:
+    """Near-dup-aware split mirror (operators/corpus.py:leakage_safe_split):
+    connected components over the pair query, split decided by the seeded
+    60-bit md5 of the cluster representative (own id when unclustered)."""
+    comp = components_sql(pairs_sql)
+    h = duck_md5_long(f"'{seed}#' || CAST(split_key AS VARCHAR)")
+    return f"""
+WITH comps AS ({comp}),
+keyed AS (
+  SELECT t.{id_col}, coalesce(c.cluster_id, t.{id_col}) AS split_key
+  FROM {table} t LEFT JOIN comps c ON c.doc_id = t.{id_col})
+SELECT {id_col}, CAST(split_key AS BIGINT) AS split_key,
+       CASE WHEN {h} % {buckets} < {int(val_fraction * buckets)}
+            THEN 'val' ELSE 'train' END AS split
+FROM keyed
+"""
+
+
 def token_pipeline_sql(
     *,
     n_docs: int = 2000,
