@@ -114,6 +114,57 @@ def _q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(purchases, clicks, on="user_id", value_cols=["click_value"])
 
 
+def _q_asof_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table point-in-time join (operators/asof.py:asof_join_multi —
+    the feature-store lookup shape): each purchase row attaches the latest
+    click AND the latest view features independently, zero temporal
+    leakage per table. Oracle: chained DuckDB ASOF LEFT JOINs."""
+    from transmog_spark.operators.asof import asof_join_multi
+
+    e = _t(spark, sf_dir, "events")
+
+    def feat(t: str) -> DataFrame:
+        return (
+            e.where(F.col("event_type") == t)
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("value"))
+        )
+
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join_multi(
+        purchases,
+        [("click", feat("click")), ("view", feat("view"))],
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+    )
+
+
+def _q_asof_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user zero-temporal-leakage audit (operators/asof.py:asof_audit)
+    of the click as-of join: n_violations is 0 BY CONSTRUCTION of the
+    union-sentinel sort — this query turns the guarantee into an
+    oracle-checked frame (n_rows, n_matched, n_violations, max lag)."""
+    from transmog_spark.operators.asof import asof_audit, asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", value_cols=["click_value"],
+        matched_ts_col="matched_ts",
+    )
+    return asof_audit(joined, "user_id", "ts", "matched_ts")
+
+
 def _q_asof_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transmog_spark.operators.asof import asof_join
 
@@ -1171,6 +1222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_clicks": _q_asof_clicks,
         "asof_strict": _q_asof_strict,
         "asof_tolerance": _q_asof_tolerance,
+        "asof_multi": _q_asof_multi,
+        "asof_audit": _q_asof_audit,
         "sessionize": _q_sessionize,
         "lag_lead": _q_lag_lead,
         "ffill_bfill": _q_ffill,
@@ -1330,6 +1383,37 @@ FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
 """,
         "asof_clicks": asof_common.format(op=">="),
         "asof_strict": asof_common.format(op=">"),
+        "asof_multi": """
+WITH clicks AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+views AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+j1 AS (
+  SELECT p.event_id, p.user_id, p.ts, c.value AS click_value
+  FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts)
+SELECT j1.event_id, j1.user_id, j1.ts, j1.click_value, v.value AS view_value
+FROM j1 ASOF LEFT JOIN views v ON j1.user_id = v.user_id AND j1.ts >= v.ts
+""",
+        "asof_audit": """
+WITH clicks AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT p.user_id, p.ts, c.ts AS matched_ts
+  FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts)
+SELECT user_id,
+       count(*) AS n_rows,
+       count(matched_ts) AS n_matched,
+       CAST(sum(CASE WHEN matched_ts IS NOT NULL AND matched_ts > ts
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       max(CASE WHEN matched_ts IS NOT NULL
+                THEN epoch_us(ts) - epoch_us(matched_ts) END) AS max_lag_us
+FROM j GROUP BY 1
+""",
         "asof_tolerance": """
 WITH clicks AS (
   SELECT user_id, ts, max(value) AS click_value

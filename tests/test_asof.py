@@ -122,3 +122,62 @@ def test_asof_multi_key(spark):
     out = asof_join(left, right, on=["k1", "k2"], value_cols=["v"]).collect()
     got = {(r.k1, r.k2): r.v for r in out}
     assert got == {("a", 1): 1.0, ("a", 2): 2.0, ("b", 1): None}
+
+
+def test_asof_join_multi_independent_tables(spark):
+    from transmog_spark.operators.asof import asof_audit, asof_join_multi
+
+    left = spark.createDataFrame(
+        [("u1", 10.0), ("u1", 20.0), ("u2", 5.0)], "user string, ts double"
+    )
+    clicks = spark.createDataFrame(
+        [("u1", 9.0, 1.0), ("u1", 15.0, 2.0)], "user string, ts double, v double"
+    )
+    views = spark.createDataFrame(
+        [("u1", 19.5, 7.0), ("u2", 1.0, 8.0)], "user string, ts double, v double"
+    )
+    out = asof_join_multi(
+        left, [("click", clicks), ("view", views)], on="user",
+        left_ts="ts", right_ts="ts", matched_ts=True,
+    )
+    rows = {(r["user"], r["ts"]): r for r in out.collect()}
+    assert rows[("u1", 10.0)]["click_v"] == 1.0
+    assert rows[("u1", 10.0)]["view_v"] is None  # view at 19.5 is the future
+    assert rows[("u1", 20.0)]["click_v"] == 2.0
+    assert rows[("u1", 20.0)]["view_v"] == 7.0
+    assert rows[("u2", 5.0)]["click_v"] is None
+    assert rows[("u2", 5.0)]["view_v"] == 8.0
+    # matched timestamps never exceed the query timestamp (zero leakage)
+    for r in rows.values():
+        for c in ("click_matched_ts", "view_matched_ts"):
+            assert r[c] is None or r[c] <= r["ts"]
+
+
+def test_asof_audit_counts_and_flags(spark):
+    from pyspark.sql import functions as F
+
+    from transmog_spark.operators.asof import asof_audit, asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 10.0), ("u1", 20.0), ("u2", 5.0)], "user string, ts double"
+    )
+    right = spark.createDataFrame(
+        [("u1", 9.0, 1.0)], "user string, ts double, v double"
+    )
+    joined = asof_join(
+        left, right, on="user", value_cols=["v"], matched_ts_col="mts"
+    )
+    audit = {
+        r["user"]: r
+        for r in asof_audit(joined, "user", "ts", "mts").collect()
+    }
+    assert audit["u1"]["n_rows"] == 2 and audit["u1"]["n_matched"] == 2
+    assert audit["u1"]["n_violations"] == 0
+    assert audit["u2"]["n_rows"] == 1 and audit["u2"]["n_matched"] == 0
+    assert audit["u2"]["n_violations"] == 0
+    # a hand-built leaky frame IS flagged (the audit is not a tautology)
+    leaky = spark.createDataFrame(
+        [("u3", 10.0, 11.0)], "user string, ts double, mts double"
+    )
+    bad = asof_audit(leaky, "user", "ts", "mts").collect()[0]
+    assert bad["n_violations"] == 1

@@ -197,3 +197,100 @@ def leakage_violations(
     """Count rows whose matched feature timestamp leaks future data (must be 0)."""
     cmp = F.col(matched_ts_col) >= F.col(ts_col) if strict else F.col(matched_ts_col) > F.col(ts_col)
     return joined.where(F.col(matched_ts_col).isNotNull() & cmp).count()
+
+
+def asof_join_multi(
+    left: DataFrame,
+    rights: "list[tuple[str, DataFrame]]",
+    on: str | list[str] = "doc_id",
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    strict: bool = False,
+    tolerance_seconds: float | None = None,
+    salt_buckets: int = 0,
+    matched_ts: bool = False,
+) -> DataFrame:
+    """Point-in-time join against SEVERAL feature tables — the feature-store
+    lookup shape: for each left row, the latest row of EACH named feature
+    table with ts <= (or <) the left ts, independently per table.
+
+    ``rights`` is ``[(name, frame), ...]``; each frame's non-key, non-ts
+    columns join the output prefixed ``{name}_`` (so homonymous feature
+    columns from different tables never collide), plus ``{name}_matched_ts``
+    when ``matched_ts`` is set — feed those to ``asof_audit`` for the
+    per-table zero-leakage proof.
+
+    Physical shape: a left fold of ``asof_join`` — table k adds one union +
+    one window sort partitioned on the same keys. The shuffles don't fuse
+    across tables (each union resets the partitioning), so cost is K
+    sort-merge passes — the same work K independent as-of joins would do,
+    with no cross-table state. At 100 TB prefer fewer, wider feature
+    tables; per-table ``salt_buckets`` replication applies to every table
+    (skewed sources stay balanced in each pass).
+    """
+    keys = {on} if isinstance(on, str) else set(on)
+    out = left
+    for name, right in rights:
+        vcols = [c for c in right.columns if c not in keys | {right_ts}]
+        renamed = right.select(
+            *[F.col(k) for k in sorted(keys)],
+            F.col(right_ts).alias("__rts"),
+            *[F.col(c).alias(f"{name}_{c}") for c in vcols],
+        )
+        out = asof_join(
+            out,
+            renamed,
+            on,
+            left_ts=left_ts,
+            right_ts="__rts",
+            value_cols=[f"{name}_{c}" for c in vcols],
+            strict=strict,
+            tolerance_seconds=tolerance_seconds,
+            salt_buckets=salt_buckets,
+            matched_ts_col=f"{name}_matched_ts" if matched_ts else None,
+        )
+    return out
+
+
+def asof_audit(
+    joined: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    matched_ts_col: str,
+    *,
+    strict: bool = False,
+) -> DataFrame:
+    """Distributed zero-temporal-leakage audit of an as-of join result:
+    per key, (n_rows, n_matched, n_violations, max_lag_seconds). A
+    violation is a matched feature timestamp in the query row's future —
+    ``asof_join`` produces none BY CONSTRUCTION (the sort order encodes the
+    predicate), and this audit turns that guarantee into a queryable,
+    oracle-checkable frame instead of an assertion (north rule: "zero
+    temporal leakage ... per-partition lineage + metrics").
+
+    One map-side-combined aggregation; no joins, no windows. The lag is
+    reported in exact integer MICROSECONDS (``max_lag_us``) — a
+    seconds-as-double column would need a cross-engine float round, and
+    round-to-4 flips on values like x.10295 (Spark rounds the shortest
+    decimal repr, DuckDB the binary product); integers never disagree.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    viol = (
+        F.col(matched_ts_col) >= F.col(ts_col)
+        if strict
+        else F.col(matched_ts_col) > F.col(ts_col)
+    )
+    lag_us = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
+        F.col(matched_ts_col).cast("timestamp")
+    )
+    return joined.groupBy(*key_list).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.col(matched_ts_col)).alias("n_matched"),
+        F.sum(
+            F.when(F.col(matched_ts_col).isNotNull() & viol, 1).otherwise(0)
+        ).alias("n_violations"),
+        F.max(F.when(F.col(matched_ts_col).isNotNull(), lag_us)).alias(
+            "max_lag_us"
+        ),
+    )
