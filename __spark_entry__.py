@@ -655,6 +655,19 @@ def _q_dedupe_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupe_near(d, _minhash_pairs_cached(spark, sf_dir))
 
 
+def _q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental exact dedup (operators/bloom.py — Bloom
+    1970): the even-id half of the corpus is the 'historical' set; every
+    doc probes the broadcast filter. maybe_seen=0 is definitive-new (no
+    false negatives); positives go to the exact verification join. All
+    integer/bit arithmetic — verdicts bit-identical in the DuckDB mirror."""
+    from transmog_spark.operators.bloom import bloom_build, bloom_probe
+
+    d = _t(spark, sf_dir, "documents")
+    bloom = bloom_build(d.where(F.col("doc_id") % 2 == 0), "text")
+    return bloom_probe(d, bloom, "text", id_col="doc_id")
+
+
 def _q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup-aware train/val split (operators/corpus.py:
     leakage_safe_split): the split hash keys on the duplicate-cluster
@@ -1260,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": _q_dedup_clusters_star,
         "dedupe_near": _q_dedupe_near,
         "leakage_split": _q_leakage_split,
+        "bloom_dedup": _q_bloom_dedup,
         "embedding_topk": _q_embedding_topk,
         "embedding_topk_ivf": _q_embedding_topk_ivf,
         "embedding_topk_ivfk": _q_embedding_topk_ivfk,
@@ -1301,6 +1315,7 @@ def oracle_sql() -> dict[str, str]:
         bm25_sql,
         components_sql,
         dedupe_near_sql,
+        bloom_dedup_sql,
         leakage_safe_split_sql,
         curation_pipeline_sql,
         decontaminate_sql,
@@ -1620,6 +1635,7 @@ FROM documents GROUP BY 1
                 shingle_n=3, num_hashes=8, bands=4, threshold=0.2, max_bucket=500
             )
         ),
+        "bloom_dedup": bloom_dedup_sql(),
         "leakage_split": leakage_safe_split_sql(
             minhash_pairs_sql(
                 shingle_n=3, num_hashes=8, bands=4, threshold=0.2, max_bucket=500

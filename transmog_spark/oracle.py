@@ -747,6 +747,49 @@ WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.drop_id = t.{id_col})
 """
 
 
+def bloom_dedup_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    col: str = "text",
+    history_filter: str = "doc_id % 2 = 0",
+    n_longs: int = 1024,
+    k: int = 4,
+    seed: str = "bf",
+) -> str:
+    """Mirror of operators.bloom: build the filter words from the history
+    slice with the same seeded md5-60 positions and bit_or, probe every
+    row with the same k bit-tests — all integer/bit arithmetic, so the
+    verdicts are bit-identical."""
+    m = 63 * n_longs  # 63 usable bits/word: 1<<63 overflows DuckDB's checked shift
+
+    def pos(j: int, src: str) -> str:
+        h = duck_md5_long(f"'{seed}{j}#' || CAST({src} AS VARCHAR)")
+        return f"{h} % {m}"
+
+    hist_pos = " UNION ALL ".join(
+        f"SELECT {pos(j, col)} AS p FROM {table} WHERE {history_filter}"
+        for j in range(k)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT {id_col}, {pos(j, col)} AS p FROM {table}" for j in range(k)
+    )
+    return f"""
+WITH hp AS ({hist_pos}),
+bloom AS (
+  SELECT CAST(p // 63 AS INTEGER) AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)) AS bits
+  FROM hp GROUP BY 1),
+pp AS ({probe_pos}),
+probed AS (
+  SELECT pp.{id_col},
+         coalesce((b.bits >> CAST(pp.p % 63 AS INTEGER)) & CAST(1 AS BIGINT), 0) AS bit_set
+  FROM pp LEFT JOIN bloom b ON b.word_idx = CAST(pp.p // 63 AS INTEGER))
+SELECT {id_col}, CAST(min(bit_set) AS INTEGER) AS maybe_seen
+FROM probed GROUP BY 1
+"""
+
+
 def leakage_safe_split_sql(
     pairs_sql: str,
     *,
