@@ -213,29 +213,56 @@ def sweep(spark, corpus, queries, label, rows):
         )
 
 
+CORPORA = ("sf", "uniform", "clustered")
+
+
 def main():
+    # `--only sf|uniform|clustered` runs ONE corpus and caches its rows as
+    # BENCH/ann_<name>.rows.json; a later full/`--render` invocation merges
+    # the caches — so the ~15 variants x 3 runs per corpus fit inside a
+    # bounded wall each, and a killed sweep never loses finished corpora.
+    import json
+
+    only = None
+    args = sys.argv[1:]
+    if "--only" in args:
+        only = args[args.index("--only") + 1]
+        assert only in CORPORA, only
+    render_only = "--render" in args
+
+    bench_dir = os.path.join(os.path.dirname(__file__), "..", "BENCH")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "16"))
     rows = []
+    if not render_only:
+        spark = get_spark("local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "16"))
 
-    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    sweep(spark, e, e.where(F.col("vec_id") < N_QUERIES), "sf0.1 (2k x 64)", rows)
+        def run(name, label, make):
+            if only and name != only:
+                return
+            part = []
+            corpus = make()
+            sweep(spark, corpus, corpus.where(F.col("vec_id") < N_QUERIES), label, part)
+            with open(os.path.join(bench_dir, f"ann_{name}.rows.json"), "w") as fh:
+                json.dump(part, fh)
 
-    c = synth_corpus(spark, 100_000)
-    sweep(
-        spark, c, c.where(F.col("vec_id") < N_QUERIES), "uniform (100k x 64)", rows
-    )
+        run("sf", "sf0.1 (2k x 64)",
+            lambda: spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")))
+        run("uniform", "uniform (100k x 64)", lambda: synth_corpus(spark, 100_000))
+        run("clustered", "clustered (100k x 64, 32 centers)",
+            lambda: synth_clustered(spark, 100_000))
 
-    cl = synth_clustered(spark, 100_000)
-    sweep(
-        spark,
-        cl,
-        cl.where(F.col("vec_id") < N_QUERIES),
-        "clustered (100k x 64, 32 centers)",
-        rows,
-    )
+    for name in CORPORA:
+        p = os.path.join(bench_dir, f"ann_{name}.rows.json")
+        if os.path.exists(p):
+            with open(p) as fh:
+                rows.extend(tuple(r) for r in json.load(fh))
+    if only and not render_only:
+        print(f"cached rows for --only {only}; run with --render to write ann.md")
+        for r in rows:
+            print("%-18s %-40s recall=%.3f wall=%.2fs" % tuple(r))
+        return
 
-    out = os.path.join(os.path.dirname(__file__), "..", "BENCH", "ann.md")
+    out = os.path.join(bench_dir, "ann.md")
     with open(out, "w") as fh:
         fh.write("# ANN recall@5 / latency matrix\n\n")
         fh.write(
