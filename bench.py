@@ -55,7 +55,17 @@ HEADLINE = [
     "bpe_tokenize",
     "embedding_topk",
     "embedding_topk_ivf",
+    # residual-PQ composition: codebook training (bounded driver collects)
+    # happens at plan-build inside the timed fn — the realistic "train on
+    # first use" cost; steady-state encode+probe dominates at corpus scale
+    "embedding_topk_ivfpq",
+    "unigram_tokenize",
+    "bloom_dedup",
     "semdedup",
+    # stage boundaries persist on first execution (see the entry docstring);
+    # best-of-N then times the post-persist composed chain — the same
+    # warm-index semantics as bm25_topk_indexed
+    "curation_pipeline",
     "flagship_pipeline",
 ]
 

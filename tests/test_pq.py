@@ -81,6 +81,20 @@ def test_ivfpq_recovers_cluster_neighbors(spark):
         assert all(r["neighbor_id"] != qid for r in rows)
 
 
+def test_ivfpq_pretrained_model_reuse_identical(spark):
+    from transmog_spark.operators.similarity import ivfpq_train
+
+    c = _clustered(spark)
+    q = c.where(F.col("vec_id") < 2)
+    kw = dict(k=3, dim=DIM, nlist=4, nprobe=2, m=M, ksub=KSUB)
+    model = ivfpq_train(c, dim=DIM, nlist=4, m=M, ksub=KSUB)
+    inline = ivfpq_topk(c, q, **kw)
+    reused = ivfpq_topk(c, q, model=model, **kw)
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, reused.collect())
+    )
+
+
 def test_ivfpq_deterministic_across_partitionings(spark):
     c1 = _clustered(spark).repartition(1)
     c16 = _clustered(spark).repartition(16)

@@ -600,6 +600,42 @@ def pq_train(
     return books
 
 
+def ivfpq_train(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    nlist: int = 16,
+    m: int = 8,
+    ksub: int = 8,
+    coarse_refine_iterations: int = 0,
+    pq_refine_iterations: int = 1,
+) -> tuple[list[tuple[int, list[float]]], list[list[list[float]]]]:
+    """Train the IVFPQ model once → (coarse centroids, residual PQ
+    codebooks) — FAISS's train/add/search separation: train on a (sampled)
+    corpus, then encode/search any number of times without repeating the
+    bounded driver aggregations. Pass the tuple to ``ivfpq_topk(model=…)``."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    cents = _seed_centroids(c, "neighbor_id", nlist)
+    if coarse_refine_iterations > 0:
+        cents = kmeans_refine(c, cents, dim=dim, iterations=coarse_refine_iterations)
+    cents_arr = F.lit([cv for _, cv in cents])
+    sim_structs = _centroid_sim_structs(cents)
+    best = F.array_max(sim_structs(F.col("__cv")))
+    residual = F.zip_with(
+        F.col("__cv"),
+        F.element_at(cents_arr, ((-best["negidx"]) + 1).cast("int")),
+        lambda x, y: x.cast("double") - y,
+    )
+    res = c.select("neighbor_id", residual.alias("__rv"))
+    books = pq_train(
+        res, id_col="neighbor_id", vec_col="__rv", dim=dim, m=m, ksub=ksub,
+        refine_iterations=pq_refine_iterations,
+    )
+    return cents, books
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -616,6 +652,8 @@ def ivfpq_topk(
     coarse_refine_iterations: int = 0,
     pq_refine_iterations: int = 1,
     exclude_self: bool = True,
+    model: tuple[list[tuple[int, list[float]]], list[list[list[float]]]]
+    | None = None,
 ) -> DataFrame:
     """IVF + PQ composition (FAISS ``IndexIVFPQ``; Jégou et al. 2011 §V):
     a coarse ``nlist``-centroid quantizer routes each vector to an inverted
@@ -650,9 +688,13 @@ def ivfpq_topk(
     qid = query_id_col or id_col
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-    cents = _seed_centroids(c, "neighbor_id", nlist)
-    if coarse_refine_iterations > 0:
-        cents = kmeans_refine(c, cents, dim=dim, iterations=coarse_refine_iterations)
+    if model is None:
+        model = ivfpq_train(
+            corpus, id_col=id_col, vec_col=vec_col, dim=dim, nlist=nlist,
+            m=m, ksub=ksub, coarse_refine_iterations=coarse_refine_iterations,
+            pq_refine_iterations=pq_refine_iterations,
+        )
+    cents, books = model
     cents_arr = F.lit([cv for _, cv in cents])  # idx order == cents order
     sim_structs = _centroid_sim_structs(cents)
 
@@ -671,12 +713,8 @@ def ivfpq_topk(
         "neighbor_id", best["cid"].alias("__cid"), residual.alias("__rv")
     )
 
-    # PQ codebooks over the pooled residuals (FAISS trains PQ on residuals
-    # across all lists, not per-list — ksub·m cells total, not nlist·ksub·m)
-    books = pq_train(
-        res, id_col="neighbor_id", vec_col="__rv", dim=dim, m=m, ksub=ksub,
-        refine_iterations=pq_refine_iterations,
-    )
+    # PQ codebooks come from the pooled residuals (FAISS trains PQ on
+    # residuals across all lists, not per-list — ksub·m cells total)
     subs = [_sub_dist_structs(books[s], s * d0, d0) for s in range(m)]
     codes = F.array(*[F.array_min(subs[s](F.col("__rv")))["j"] for s in range(m)])
     encoded = res.select("neighbor_id", "__cid", codes.alias("__codes"))
