@@ -82,7 +82,7 @@ def test_ivfpq_recovers_cluster_neighbors(spark):
 
 
 def test_ivfpq_pretrained_model_reuse_identical(spark):
-    from transmog_spark.operators.similarity import ivfpq_train
+    from transmog_spark.operators.similarity import ivfpq_encode, ivfpq_train
 
     c = _clustered(spark)
     q = c.where(F.col("vec_id") < 2)
@@ -90,9 +90,11 @@ def test_ivfpq_pretrained_model_reuse_identical(spark):
     model = ivfpq_train(c, dim=DIM, nlist=4, m=M, ksub=KSUB)
     inline = ivfpq_topk(c, q, **kw)
     reused = ivfpq_topk(c, q, model=model, **kw)
-    assert sorted(map(tuple, inline.collect())) == sorted(
-        map(tuple, reused.collect())
-    )
+    enc = ivfpq_encode(c, model, dim=DIM)
+    from_index = ivfpq_topk(c, q, model=model, encoded=enc, **kw)
+    a = sorted(map(tuple, inline.collect()))
+    assert a == sorted(map(tuple, reused.collect()))
+    assert a == sorted(map(tuple, from_index.collect()))
 
 
 def test_ivfpq_deterministic_across_partitionings(spark):
