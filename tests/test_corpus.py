@@ -279,3 +279,100 @@ def test_leakage_safe_split_deterministic_and_fraction(spark):
         )
     )
     assert c != a
+
+
+def test_leakage_safe_split_string_ids(spark):
+    """String doc ids (the pack_* contract): unclustered docs hash their own
+    id — both splits populated, never a silent all-train starvation."""
+    from transmog_spark.operators.corpus import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i:04d}",) for i in range(500)], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        [("doc-0003", "doc-0004"), ("doc-0010", "doc-0150")],
+        "id_a string, id_b string",
+    )
+    rows = {r["doc_id"]: r for r in leakage_safe_split(docs, pairs).collect()}
+    assert len(rows) == 500
+    assert rows["doc-0003"]["split"] == rows["doc-0004"]["split"]
+    assert rows["doc-0003"]["split_key"] == rows["doc-0004"]["split_key"] == "doc-0003"
+    n_val = sum(1 for r in rows.values() if r["split"] == "val")
+    assert 0 < n_val < 150, f"val starved or bloated: {n_val}"
+    # deterministic across partitionings
+    again = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(docs.repartition(16), pairs).collect()
+    }
+    assert again == {k: r["split"] for k, r in rows.items()}
+
+
+def test_bm25_index_incremental_equals_rebuild(spark, sf_dir, tmp_path):
+    """The factored index (postings + termdf + exact counters, score at
+    read time) makes an index built in increments BIT-IDENTICAL to a full
+    rebuild — BM25's global idf/avgdl terms are recomputed per query from
+    counters that add exactly."""
+    from transmog_spark.operators.corpus import (
+        bm25_index,
+        bm25_index_update,
+        bm25_topk,
+        bm25_topk_indexed,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 400)
+    )
+    half1 = docs.where(F.col("doc_id") % 2 == 0)
+    half2 = docs.where(F.col("doc_id") % 2 == 1)
+    q = ["the", "data", "model", "learning"]
+
+    full = str(tmp_path / "full")
+    bm25_index(docs, full, term_buckets=16)
+    inc = str(tmp_path / "inc")
+    bm25_index(half1, inc, term_buckets=16)
+    bm25_index_update(spark, half2, inc)
+
+    key = lambda r: (r["doc_id"], r["score"], r["terms_matched"], r["rank"])
+    a = sorted(map(key, bm25_topk_indexed(spark, full, q, k=10).collect()))
+    b = sorted(map(key, bm25_topk_indexed(spark, inc, q, k=10).collect()))
+    assert a == b and len(a) == 10
+    # and both equal the direct (index-free) computation
+    c = sorted(map(key, bm25_topk(docs, q, k=10).collect()))
+    assert a == c
+
+
+def test_bm25_index_update_two_deltas(spark, tmp_path):
+    """Repeated increments stay exact, including terms whose df spans all
+    three generations and meta counters accumulating."""
+    import json
+    import os
+
+    from transmog_spark.operators.corpus import (
+        bm25_index,
+        bm25_index_update,
+        bm25_topk_indexed,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    g1 = mk([(1, "apple banana apple"), (2, "banana cherry")])
+    g2 = mk([(3, "apple date"), (4, "cherry cherry date")])
+    g3 = mk([(5, "apple banana cherry date elderberry")])
+    allg = g1.unionByName(g2).unionByName(g3)
+
+    inc = str(tmp_path / "inc3")
+    bm25_index(g1, inc, term_buckets=8)
+    bm25_index_update(spark, g2, inc)
+    bm25_index_update(spark, g3, inc)
+    full = str(tmp_path / "full3")
+    bm25_index(allg, full, term_buckets=8)
+
+    q = ["apple", "cherry", "elderberry"]
+    key = lambda r: tuple(r)
+    assert sorted(map(key, bm25_topk_indexed(spark, inc, q, k=5).collect())) == \
+        sorted(map(key, bm25_topk_indexed(spark, full, q, k=5).collect()))
+    with open(os.path.join(inc, "_bm25_index_meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["n_docs"] == 5 and meta["n_texts"] == 5
+    assert meta["sum_dl"] == 3 + 2 + 2 + 3 + 5

@@ -41,3 +41,19 @@ def test_oracle_keys_subset_of_queries():
     assert orc <= qs
     # every oracle string is non-trivial SQL
     assert all(len(s.strip()) > 20 for s in entrymod.oracle_sql().values())
+
+
+def test_release_session_caches(spark, sf_dir):
+    """One teardown call releases every session-scoped memoized artifact:
+    semdedup assignment, IVFPQ model, minhash pairs, bm25 index dirs, and
+    the curation flagship's persisted stage boundaries."""
+    entrymod.queries()["semdedup"](spark, sf_dir).count()
+    entrymod.queries()["rerank_topk"](spark, sf_dir).count()
+    assert entrymod._SEMDEDUP_ASSIGN_CACHE
+    assert entrymod._IVFPQ_MODEL_CACHE
+    entrymod.release_session_caches()
+    assert not entrymod._SEMDEDUP_ASSIGN_CACHE
+    assert not entrymod._IVFPQ_MODEL_CACHE
+    assert not entrymod._PAIRS_CACHE
+    assert not entrymod._BM25_INDEX_CACHE
+    assert not entrymod._CURATION_PERSISTS

@@ -180,3 +180,22 @@ def test_lm_score_ppl_orders_quality(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["ppl"] for r in lm_score(df, train_pct=90).collect()}
     assert got[0] < got[100]
+
+
+def test_lm_score_degenerate_model_stays_finite(spark):
+    """Empty/degenerate train split (vocab_size = 0): the denominator is
+    clamped so scoring degrades to the uniform add-k model — finite avg_logp
+    and ppl, never an Inf that silently overflows the scaled-integer sum."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "beta gamma alpha beta")],
+        "doc_id long, text string",
+    )
+    empty = df.where(F.lit(False))
+    from transmog_spark.operators.lm import ngram_lm_counts
+
+    model = ngram_lm_counts(empty, train_pct=100)
+    rows = lm_score(df, model=model).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert math.isfinite(r["avg_logp"]) and math.isfinite(r["ppl"])
+        assert r["n_oov"] == r["n_bigrams"]  # everything OOV under no model

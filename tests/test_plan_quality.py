@@ -190,16 +190,18 @@ def test_repetition_profile_two_exchanges_no_joins(spark, sf_dir):
 
 def test_bm25_indexed_prunes_partitions_and_pushes_terms(spark, sf_dir):
     # the materialized-index query must touch only the query terms' buckets
-    # (partition pruning on term_bucket) and push term IN (...) to the scan
+    # (partition pruning on term_bucket) and push term IN (...) to BOTH
+    # index scans (postings + the vocabulary-sized termdf slice)
     plan = _plan(spark, sf_dir, "bm25_topk_indexed")
-    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert m and "term_bucket" in m.group(1), plan[:2000]
+    parts = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert parts and all("term_bucket" in p for p in parts), plan[:2000]
     assert re.search(r"PushedFilters: \[[^\]]*In\(term", plan), plan[:2000]
-    # no corpus-stats recompute: a single scan (the index), no joins
-    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
-    # exactly one file source (the index) — node names repeat in the detail
-    # section, so count scan *locations*, not name occurrences
-    assert plan.count("Location: InMemoryFileIndex") == 1
+    # no corpus-stats recompute: the tiny pruned termdf slice broadcasts;
+    # never a shuffle join
+    assert "SortMergeJoin" not in plan
+    # exactly two file sources (postings + termdf) — node names repeat in
+    # the detail section, so count scan *locations*, not name occurrences
+    assert plan.count("Location: InMemoryFileIndex") == 2
     assert "TakeOrderedAndProject" in plan  # global top-k, not a full sort
 
 
@@ -256,12 +258,44 @@ def test_importance_no_cartesian_bounded_exchanges(spark, sf_dir):
 
 
 def test_quality_gate_no_cartesian(spark, sf_dir):
-    # four per-doc signal aggregations joined on the id key; join strategy
-    # is size-based (broadcast here, SMJ at scale) — pin only the absence
-    # of crosses and a bounded exchange count
+    # fused: one tagged-gram explode feeding text/repetition/LM aggregates
+    # + one raw-text pass; join strategy is size-based (broadcast here,
+    # SMJ at scale) — pin the absence of crosses and the exchange bound
     plan = _plan(spark, sf_dir, "quality_gate")
     assert "CartesianProduct" not in plan
     assert _exchanges(plan) <= 12
+
+
+def test_quality_gate_two_corpus_scans(spark, sf_dir):
+    # the verdict table costs exactly TWO passes over the corpus when the
+    # LM model is pre-trained (the production / streaming shape): the
+    # tagged-gram token pass and the chars/punct/PII raw-text pass.
+    # Self-training adds only the two bounded ngram_lm_counts passes.
+    from transmog_spark.operators.lm import ngram_lm_counts
+    from transmog_spark.operators.quality import quality_gate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = ngram_lm_counts(
+        spark.createDataFrame(
+            [(1, "the cat sat on the mat of the house")],
+            "doc_id long, text string",
+        ),
+        train_pct=100,
+    )
+    df = quality_gate(docs, lm_model=model)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan[:2000]
+    assert "CartesianProduct" not in plan
+    # self-trained form: 2 scoring + 3 training scans (ngram_lm_counts's
+    # bigram frame feeds both the count join and the context derivation),
+    # down from the unfused composition's 11
+    df2 = quality_gate(docs)
+    plan2 = spark._jvm.PythonSQLUtils.explainString(
+        df2._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan2)) <= 5
 
 
 def test_semdedup_cluster_local_no_cartesian(spark, sf_dir):

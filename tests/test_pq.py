@@ -129,3 +129,66 @@ def test_pq_rejects_indivisible_dim(spark):
 
     with pytest.raises(ValueError):
         pq_topk(c, c.limit(1), k=1, dim=DIM, m=3)
+
+
+def test_rerank_recovers_brute_force_exact(spark):
+    """rerank over ANY candidate superset of the true top-k returns exactly
+    the brute-force result (same neighbors, same ranks, same schema)."""
+    from transmog_spark.operators.similarity import brute_force_topk, rerank_topk
+
+    c = _clustered(spark)
+    q = c.where(F.col("vec_id") < 4)
+    exact = brute_force_topk(c, q, k=5)
+    cand = brute_force_topk(c, q, k=30)
+    got = rerank_topk(c, q, cand, k=5)
+    assert got.columns == exact.columns
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, exact.collect()))
+
+
+def test_rerank_lifts_ivfpq_recall(spark):
+    """The FAISS IndexRefineFlat posture: ivfpq(top-R) -> exact rerank
+    recovers brute-force top-5 that raw ADC ranking misses."""
+    from transmog_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+        rerank_topk,
+    )
+
+    c = _clustered(spark)
+    q = c.where(F.col("vec_id") < 4)
+    kw = dict(dim=DIM, nlist=4, nprobe=2, m=M, ksub=KSUB)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(c, q, k=5).collect()
+    }
+    cand = ivfpq_topk(c, q, k=30, **kw)
+    rer = {
+        (r["query_id"], r["neighbor_id"])
+        for r in rerank_topk(c, q, cand, k=5).collect()
+    }
+    raw = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(c, q, k=5, **kw).collect()
+    }
+    assert len(rer & exact) >= len(raw & exact)
+    assert len(rer & exact) / len(exact) >= 0.9
+
+
+def test_rerank_l2_metric_matches_exact_l2(spark):
+    """metric='l2' reranks in the PQ tiers' own metric: candidates from any
+    superset recover the exact L2 top-k (dist2 ascending)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from ann_bench import brute_force_l2
+
+    from transmog_spark.operators.similarity import brute_force_topk, rerank_topk
+
+    c = _clustered(spark)
+    q = c.where(F.col("vec_id") < 3)
+    exact = brute_force_l2(c, q, k=4)
+    cand = brute_force_topk(c, q, k=30)  # any superset candidate source
+    got = rerank_topk(c, q, cand, k=4, metric="l2")
+    assert got.columns == ["query_id", "neighbor_id", "dist2", "rank"]
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, exact.collect()))

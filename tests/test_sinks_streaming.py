@@ -231,3 +231,47 @@ def test_structured_streaming_foreach_batch(spark, tmp_path):
     items = spark.read.parquet(os.path.join(out_dir, "ent_items"))
     assert main.count() == 2
     assert sorted(r.v for r in items.collect()) == [1, 2, 3]
+
+
+def test_avro_overwrite_manifest_hides_stale_generation(spark, tmp_path):
+    """Directory-level crash consistency: the _MANIFEST.json flip is the
+    commit point — a directory holding parts from two generations (as a
+    crash between the rename loop and the GC loop would leave) reads as
+    exactly the manifested generation, never a mix."""
+    import json
+    import shutil
+
+    from transmog_spark.sinks_avro import read_avro_fallback, write_avro_fallback
+
+    p = str(tmp_path / "man")
+    write_avro_fallback(spark.range(5).coalesce(1), p)
+    gen1 = [f for f in os.listdir(p) if f.endswith(".avro")]
+    stash = tmp_path / "stash"
+    stash.mkdir()
+    for f in gen1:
+        shutil.copy(os.path.join(p, f), stash / f)
+    write_avro_fallback(spark.range(100, 103).coalesce(1), p, mode="overwrite")
+    # simulate the crash window: stale gen-1 parts reappear unmanifested
+    for f in gen1:
+        shutil.copy(stash / f, os.path.join(p, f))
+    back = read_avro_fallback(spark, p)
+    assert sorted(r["id"] for r in back.collect()) == [100, 101, 102]
+    with open(os.path.join(p, "_MANIFEST.json")) as fh:
+        manifest = set(json.load(fh)["parts"])
+    on_disk = {f for f in os.listdir(p) if f.endswith(".avro")}
+    assert manifest == on_disk - set(gen1)
+
+
+def test_avro_append_keeps_all_generations_manifested(spark, tmp_path):
+    import json
+
+    from transmog_spark.sinks_avro import read_avro_fallback, write_avro_fallback
+
+    p = str(tmp_path / "manap")
+    write_avro_fallback(spark.range(3).coalesce(1), p)
+    write_avro_fallback(spark.range(10, 12).coalesce(1), p, mode="append")
+    back = read_avro_fallback(spark, p)
+    assert sorted(r["id"] for r in back.collect()) == [0, 1, 2, 10, 11]
+    with open(os.path.join(p, "_MANIFEST.json")) as fh:
+        manifest = set(json.load(fh)["parts"])
+    assert manifest == {f for f in os.listdir(p) if f.endswith(".avro")}

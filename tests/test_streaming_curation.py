@@ -92,3 +92,30 @@ def test_multi_batch_stream_equals_per_file_batch_chain(spark, sf_dir, tmp_path)
     )
     assert got == expected
     assert len(got) > 0
+
+
+def test_short_docs_survive_when_gate_keeps_them(spark):
+    """A doc with fewer than decontaminate_n tokens emits zero n-grams and
+    is absent from the decontaminate frame — it must PASS the contamination
+    filter (left join + coalesce 0), not silently vanish (reachable when
+    gate_thresholds set min_tokens below decontaminate_n)."""
+    from transmog_spark.streaming.quality import train_reference_model
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the of and", "web"),  # 3 tokens < decontaminate_n=5
+            (2, "the cat and the dog sat on the mat of the house in it", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    model = train_reference_model(docs)
+    bench = spark.createDataFrame([(999, "zzz yyy xxx www vvv uuu")],
+                                  "doc_id long, text string")
+    kept = curate_batch(
+        docs, lm_model=model, benchmark=bench, decontaminate_n=5,
+        min_tokens=2, min_stopword_ratio=0.0, max_punct_ratio=1.0,
+        max_ppl=1e9, max_top2gram=1.0,
+    )
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 1 in ids, "gram-less short doc was silently dropped"
+    assert 2 in ids

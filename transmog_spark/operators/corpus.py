@@ -118,6 +118,41 @@ def _term_bucket_py(term: str, term_buckets: int) -> int:
     return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % term_buckets
 
 
+def _bm25_postings(
+    df: DataFrame, id_col: str, text_col: str, term_buckets: int
+) -> DataFrame:
+    """(doc_id, dl, term, tf, term_bucket) — the per-document facts of the
+    index. tf and dl never change when OTHER documents arrive, which is
+    what makes the index incrementally updatable."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"), ws_tokens(F.col(text_col)).alias("__t")
+    )
+    exploded = base.select(
+        "doc_id", F.size("__t").alias("dl"), F.explode("__t").alias("term")
+    )
+    return (
+        exploded.groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "term_bucket", (md5_long(F.col("term")) % term_buckets).cast("int")
+        )
+    )
+
+
+def _bm25_delta_stats(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[int, int, int]:
+    """(n_docs, sum_dl, n_texts) of a frame — exact integers. n_docs counts
+    every row (``bm25_scores``' count(1)); avg(size) skips NULL-text rows,
+    so the avgdl denominator is the separate non-null count n_texts."""
+    row = df.select(ws_tokens(F.col(text_col)).alias("__t")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("__t")).alias("s"),
+        F.count("__t").alias("nt"),
+    ).collect()[0]
+    return int(row["n"]), int(row["s"] or 0), int(row["nt"])
+
+
 def bm25_index(
     df: DataFrame,
     path: str,
@@ -127,36 +162,138 @@ def bm25_index(
     k1: float = BM25_K1,
     b: float = BM25_B,
     term_buckets: int = 64,
-    mode: str = "overwrite",
 ) -> str:
-    """Materialize the per-(term, doc) BM25 score table as a persistent,
-    term-partitioned retrieval index.
+    """Materialize a persistent, term-partitioned, INCREMENTALLY UPDATABLE
+    BM25 retrieval index.
 
     ``bm25_topk`` recomputes tf/df/avgdl from raw text on every query; a
     production retrieval surface pays that corpus scan ONCE and answers
-    queries from the index. Layout: parquet partitioned by ``term_bucket =
-    md5_long(term) % term_buckets`` — partitioning by raw term would create
-    one directory per vocabulary term (millions at corpus scale), while
-    hash buckets keep the directory count fixed and each query prunes to at
-    most |query terms| buckets. The bucket hash is the engine's 60-bit md5
-    (not xxhash64) so the QUERY side can compute bucket ids driver-side in
-    pure Python (``_term_bucket_py``) with zero Spark work.
+    queries from the index. Layout (v2):
 
-    Writes ``_bm25_index_meta.json`` next to the data so readers don't need
-    to re-specify ``term_buckets``/``k1``/``b``.
+    * ``<path>/postings/`` — (doc_id, dl, term, tf) partitioned by
+      ``term_bucket = md5_long(term) % term_buckets``. Per-DOCUMENT facts:
+      immutable once written, so a corpus delta only APPENDS files.
+    * ``<path>/termdf/`` — (term, df) under the same bucket partitioning:
+      the per-term document frequencies, rewritten per touched bucket on
+      update (``overwrite_partitions``) — vocabulary-sized, never
+      corpus-sized.
+    * ``<path>/_bm25_index_meta.json`` — term_buckets/k1/b plus the two
+      exact global counters (n_docs, sum_dl).
+
+    Scores are computed AT READ TIME from (tf, dl, df, n_docs, sum_dl) —
+    all exact integers — which is why an index built in increments is
+    bit-identical to a full rebuild: BM25's global terms (idf, avgdl)
+    depend on every document, so a materialized per-row score would go
+    stale corpus-wide on ANY delta, while the factored form stays exact
+    and the per-query math is a handful of Column ops over the pruned
+    partitions. (Hash buckets rather than raw-term partitions keep the
+    directory count fixed; the bucket hash is the engine's 60-bit md5 so
+    the query side computes bucket ids driver-side in pure Python,
+    ``_term_bucket_py``, with zero Spark work.)
     """
     import json
     import os
 
-    scores = bm25_scores(df, id_col, text_col, k1=k1, b=b)
-    out = scores.withColumn(
-        "term_bucket", (md5_long(F.col("term")) % term_buckets).cast("int")
+    postings = _bm25_postings(df, id_col, text_col, term_buckets)
+    postings.write.partitionBy("term_bucket").mode("overwrite").parquet(
+        os.path.join(path, "postings")
     )
-    out.write.partitionBy("term_bucket").mode(mode).parquet(path)
-    meta = {"term_buckets": term_buckets, "k1": k1, "b": b}
+    termdf = postings.groupBy("term_bucket", "term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    termdf.write.partitionBy("term_bucket").mode("overwrite").parquet(
+        os.path.join(path, "termdf")
+    )
+    n_docs, sum_dl, n_texts = _bm25_delta_stats(df, id_col, text_col)
+    meta = {
+        "version": 2,
+        "term_buckets": term_buckets,
+        "k1": k1,
+        "b": b,
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "n_texts": n_texts,
+    }
     with open(os.path.join(path, "_bm25_index_meta.json"), "w") as fh:
         json.dump(meta, fh)
     return path
+
+
+def bm25_index_update(
+    spark,
+    delta: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Fold a document DELTA into an existing index at cost ∝ |delta|, not
+    |corpus|: append the delta's postings files into their term_buckets,
+    rewrite ONLY the touched buckets of the (vocabulary-sized) termdf
+    table via dynamic partition overwrite, and bump the two meta counters.
+    The result is bit-identical to rebuilding from scratch on the union
+    corpus (pinned by tests/test_corpus.py) because scoring happens at
+    read time from the exact integer counters.
+
+    Contract: delta doc_ids must be NEW documents (append-only corpus) —
+    re-submitting an already-indexed doc double-counts it, exactly as it
+    would in a full rebuild over a duplicated input.
+    """
+    import json
+    import os
+
+    from transmog_spark.sources.tables import write_table
+
+    meta_path = os.path.join(index_path, "_bm25_index_meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    if meta.get("version") != 2:
+        raise ValueError(f"not a v2 incremental index: {index_path}")
+    term_buckets = meta["term_buckets"]
+
+    postings = _bm25_postings(delta, id_col, text_col, term_buckets)
+    postings.write.partitionBy("term_bucket").mode("append").parquet(
+        os.path.join(index_path, "postings")
+    )
+    delta_df = postings.groupBy("term_bucket", "term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    touched = sorted(
+        r["term_bucket"]
+        for r in delta_df.select("term_bucket").distinct().collect()
+    )
+    old = (
+        spark.read.parquet(os.path.join(index_path, "termdf"))
+        .where(F.col("term_bucket").isin(touched))
+        .select("term", F.col("df").alias("__df_old"))
+    )
+    merged = (
+        delta_df.select("term", F.col("df").alias("__df_new"))
+        .join(old, "term", "full_outer")
+        .select(
+            "term",
+            (
+                F.coalesce("__df_old", F.lit(0)) + F.coalesce("__df_new", F.lit(0))
+            ).alias("df"),
+            (md5_long(F.col("term")) % term_buckets).cast("int").alias(
+                "term_bucket"
+            ),
+        )
+    )
+    write_table(
+        merged,
+        os.path.join(index_path, "termdf"),
+        mode="overwrite_partitions",
+        partition_by=["term_bucket"],
+    )
+    dn, dsum, dnt = _bm25_delta_stats(delta, id_col, text_col)
+    meta["n_docs"] += dn
+    meta["sum_dl"] += dsum
+    meta["n_texts"] += dnt
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)
+    return index_path
 
 
 def bm25_topk_indexed(
@@ -167,24 +304,39 @@ def bm25_topk_indexed(
     k: int = 10,
 ) -> DataFrame:
     """Top-k retrieval served FROM the materialized index: scans only the
-    query terms' partitions (partition pruning on ``term_bucket`` + pushed
-    ``term IN (...)`` filter at the parquet scan — plan-pinned), so query
-    latency is decoupled from corpus-stats recompute entirely.
+    query terms' partitions of postings and termdf (partition pruning on
+    ``term_bucket`` + pushed ``term IN (...)`` filter at both parquet
+    scans — plan-pinned), broadcast-joins the (tiny) pruned df slice, and
+    evaluates the exact ``bm25_scores`` formula per row — query latency is
+    decoupled from corpus-stats recompute entirely, and the scores reflect
+    every increment folded in so far.
 
     Identical output contract (and oracle) as ``bm25_topk`` over the same
-    corpus — the index stores the exact ``bm25_scores`` values.
+    corpus.
     """
     import json
     import os
 
     with open(os.path.join(index_path, "_bm25_index_meta.json")) as fh:
         meta = json.load(fh)
+    k1, b = meta["k1"], meta["b"]
     terms = sorted({t.lower() for t in query_terms})
     buckets = sorted({_term_bucket_py(t, meta["term_buckets"]) for t in terms})
-    idx = spark.read.parquet(index_path)
-    hits = idx.where(
+    prune = lambda df: df.where(
         F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
     )
+    post = prune(spark.read.parquet(os.path.join(index_path, "postings")))
+    tdf = prune(spark.read.parquet(os.path.join(index_path, "termdf")))
+    joined = post.join(F.broadcast(tdf.select("term", "df")), "term")
+    # EXACT bm25_scores mirror: same expression shape on the same types
+    # (n_docs/df long, avgdl the same IEEE double a Spark avg() computes —
+    # the integer sum is exact below 2^53, so sum/count here ≡ avg there)
+    n_docs = F.lit(meta["n_docs"]).cast("long")
+    avgdl = F.lit(meta["sum_dl"] / meta["n_texts"])
+    idf = F.log((n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+    score = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    hits = joined.select("doc_id", "term", F.round(score, 4).alias("bm25"))
     return _topk_from_hits(hits, k)
 
 
@@ -491,8 +643,23 @@ def leakage_safe_split(
     keyed = df.select(F.col(id_col)).join(
         comps, F.col(id_col) == F.col("__cid_doc"), "left"
     )
-    split_key = F.coalesce(F.col("__cluster"), F.col(id_col).cast("long"))
-    h = md5_long(F.concat(F.lit(f"{seed}#"), split_key.cast("string")))
+    # Hash the STRING form of the key: a long cast here would NULL out
+    # non-numeric string ids (a contract pack_* explicitly supports) and
+    # silently send every unclustered doc to 'train'. String-casting a
+    # numeric id yields the identical hash input, so numeric behavior is
+    # unchanged.
+    key_str = F.coalesce(
+        F.col("__cluster").cast("string"), F.col(id_col).cast("string")
+    )
+    from pyspark.sql import types as T
+
+    id_numeric = isinstance(df.schema[id_col].dataType, T.NumericType)
+    split_key = (
+        F.coalesce(F.col("__cluster"), F.col(id_col).cast("long"))
+        if id_numeric
+        else key_str
+    )
+    h = md5_long(F.concat(F.lit(f"{seed}#"), key_str))
     threshold = int(val_fraction * buckets)
     return keyed.select(
         F.col(id_col),

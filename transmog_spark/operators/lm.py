@@ -131,6 +131,11 @@ def lm_score(
     Output: (id, n_bigrams, n_oov, avg_logp, ppl) — avg_logp is the mean
     add-k-smoothed ln P(w2|w1), n_oov counts bigrams never seen in
     training. Docs with < 2 tokens have no bigrams and are absent.
+
+    Minimum-corpus requirement: the train split must contain at least one
+    bigram (vocab_size >= 1). A degenerate/empty split is clamped to
+    vocab_size = 1 so scoring degrades to the uniform add-k model instead
+    of ln(x/0) = ±Inf overflowing the scaled-integer sum silently.
     """
     bigram_counts, context_counts, vocab = model or ngram_lm_counts(
         df, id_col, text_col, train_pct=train_pct
@@ -151,7 +156,8 @@ def lm_score(
         )
     )
     logp = F.log(
-        (F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("vocab_size"))
+        (F.col("c2") + F.lit(k))
+        / (F.col("c1") + F.lit(k) * F.greatest(F.col("vocab_size"), F.lit(1)))
     )
     # scaled-integer sum of per-gram round(logp,4): order-independent and
     # bit-identical in the DuckDB mirror

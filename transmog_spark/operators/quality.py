@@ -1,22 +1,41 @@
 """Composite document quality gate — the Gopher-rules verdict table.
 
 One operator that answers the question every curation pipeline asks
-first: *keep this document or drop it, and why?* Combines the
-already-gated signal operators — text_profile (length/stopword/punct
-shape), repetition_profile (Gopher repetition rules), lm_score (CCNet
-perplexity), pii_profile (PII density) — into a single per-doc verdict
+first: *keep this document or drop it, and why?* Combines the signal
+formulas of text_profile (length/stopword/punct shape),
+repetition_profile (Gopher repetition rules), lm_score (CCNet
+perplexity) and pii_counts (PII density) into a single per-doc verdict
 with a fixed rule-precedence CASE, so the drop reason is deterministic
 and auditable (Rae et al. 2021 Gopher §A.1.1; Wenzek et al. 2019 CCNet).
 
-Scale shape: four independent per-doc aggregations, each already
-scale-shaped (explode-once + map-side partials), joined on the id key —
-co-partitioned after the first shuffle, no new scale hazards. The
-verdict CASE is a pure Column expression.
+Scale shape (fused): exactly TWO passes over the corpus —
+
+* **token pass** — 1-grams and 2-grams are built per row as one tagged
+  array (the same zip_with gram expressions the standalone operators
+  use) and exploded ONCE; gram-level counts groupBy (id, n, md5-hash)
+  with map-side combine; the bigram-LM count tables LEFT-join onto that
+  same frame (non-bigram rows carry a synthetic trailing-space key that
+  can never equal a model bigram or context token, so they pass through
+  unmatched without a null-key hotspot); then ONE per-doc groupBy
+  computes every token metric AND the scaled-integer logp sums.
+* **raw-text pass** — chars / punctuation / PII as pure Column exprs.
+
+The previous composition (text_profile + repetition_profile + lm_score
++ pii joined on the id spine) scanned the corpus 5 times for one
+verdict column; this is the same verdict table from 2 scans
+(plan-pinned by tests/test_plan_quality.py::
+test_quality_gate_two_corpus_scans). Self-training the LM adds the two
+bounded ngram_lm_counts passes over the train split — production passes
+``lm_model`` and pays none.
 
 Cross-engine determinism: every metric compared is one the per-operator
 oracles already hash bit-identically (ppl's scaled-integer grid, the
 ratio doubles), so rule comparisons resolve identically in the DuckDB
-mirror (``oracle.quality_gate_sql``).
+mirror (``oracle.quality_gate_sql``). Gram counts group on the shared
+60-bit md5 — the repetition oracle's own equivalence class — so the LM
+term scores a hash-merged gram once; this diverges from per-string
+grouping only on an in-document 60-bit collision (~2^-40 per corpus at
+any testable scale).
 """
 
 from __future__ import annotations
@@ -24,9 +43,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from transmog_spark.operators.lm import lm_score
+from transmog_spark.functions.hashing import md5_long
+from transmog_spark.operators.lm import LM_K, _avg_e4, ngram_lm_counts
 from transmog_spark.operators.pii import pii_counts
-from transmog_spark.operators.text import repetition_profile, text_profile
+from transmog_spark.operators.text import EN_STOPWORDS, word_ngrams, ws_tokens
 
 # Rule precedence — first failing rule names the verdict.
 RULES = (
@@ -62,49 +82,149 @@ def quality_gate(
     reaches (e.g. ppl of a 1-token doc) are 0-coalesced, never null.
     ``lm_model`` (an ``ngram_lm_counts`` triple) scores perplexity against
     a pre-trained reference model instead of self-training — the streaming
-    / train-once shape."""
-    tp = text_profile(df, id_col, text_col).select(
-        id_col, "n_tokens_ws", "stopword_ratio", "punct_ratio", "mean_word_len"
-    )
-    rp = repetition_profile(df, id_col, text_col).select(id_col, "top_2gram_frac")
-    lm = lm_score(
-        df, id_col, text_col, train_pct=lm_train_pct, model=lm_model
-    ).select(id_col, "ppl")
-    counts = pii_counts(F.col(text_col))
-    n_pii = None
-    for c in counts.values():
-        n_pii = c if n_pii is None else n_pii + c
-    pii = df.select(F.col(id_col), n_pii.alias("n_pii"))
+    / train-once shape.
 
-    j = (
-        df.select(id_col)
-        .join(tp, id_col)
-        .join(rp, id_col, "left")
-        .join(lm, id_col, "left")
-        .join(pii, id_col)
+    Formula parity: the metric expressions below are EXACT mirrors of
+    text_profile / repetition_profile / lm_score (same op order on the
+    same types) — keep them in lockstep with those operators and with
+    ``oracle.quality_gate_sql``.
+    """
+    bigram_counts, context_counts, vocab = lm_model or ngram_lm_counts(
+        df, id_col, text_col, train_pct=lm_train_pct
     )
-    top2 = F.coalesce(F.col("top_2gram_frac"), F.lit(0.0))
-    ppl = F.coalesce(F.col("ppl"), F.lit(0.0))
+    k = LM_K
+    t = F.col(text_col)
+    toks = ws_tokens(t)
+
+    # ---- token pass: one explode of tagged 1/2-grams -------------------
+    def _tagged(gram_n: int):
+        return F.transform(
+            word_ngrams(toks, gram_n),
+            lambda g: F.struct(F.lit(gram_n).alias("gn"), g.alias("g")),
+        )
+
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.concat(_tagged(1), _tagged(2))).alias("x"),
+    ).select(id_col, F.col("x.gn").alias("gn"), F.col("x.g").alias("g"))
+    grams = exploded.groupBy(
+        id_col, "gn", md5_long(F.col("g")).alias("gh")
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.max("g").alias("rep"),
+    )
+
+    # LM count-table joins, folded in BEFORE the per-doc rollup so 1-gram
+    # rows ride along instead of forcing a second corpus branch. Non-bigram
+    # rows get a synthetic '<gh> ' key: it ends with a space, and model
+    # bigrams ("w1 w2") / context tokens ("w1") never do (ws_tokens yields
+    # non-empty space-free tokens) — unmatched by construction, and the
+    # gh-derived key spreads them across partitions (no null-key hotspot).
+    is2 = F.col("gn") == 2
+    synth = F.concat(F.col("gh").cast("string"), F.lit(" "))
+    keyed = grams.select(
+        "*",
+        F.when(is2, F.col("rep")).otherwise(synth).alias("__jk"),
+        F.when(is2, F.substring_index("rep", " ", 1))
+        .otherwise(synth)
+        .alias("__w1k"),
+    )
+    joined = (
+        keyed.join(
+            bigram_counts.select(F.col("gram").alias("__jk"), "c2"),
+            "__jk",
+            "left",
+        )
+        .join(
+            context_counts.select(F.col("w1").alias("__w1k"), "c1"),
+            "__w1k",
+            "left",
+        )
+        .crossJoin(F.broadcast(vocab))
+    )
+    # EXACT lm_score mirror: per-distinct-gram round(logp,4) scaled-integer
+    # terms, weighted by multiplicity
+    logp = F.log(
+        (F.coalesce("c2", F.lit(0)) + F.lit(k))
+        / (
+            F.coalesce("c1", F.lit(0))
+            + F.lit(k) * F.greatest(F.col("vocab_size"), F.lit(1))
+        )
+    )
+    is1 = F.col("gn") == 1
+    c = F.col("c")
+    roll = joined.groupBy(id_col).agg(
+        F.sum(F.when(is1, c)).alias("__n_words"),
+        F.sum(F.when(is1, c * F.length("rep"))).alias("__sum_len"),
+        F.sum(
+            F.when(
+                is1,
+                F.when(F.col("rep").isin(EN_STOPWORDS), c).otherwise(F.lit(0)),
+            )
+        ).alias("__n_stop"),
+        F.max(F.when(is2, c)).alias("__t2_max"),
+        F.sum(F.when(is2, c)).cast("long").alias("__n_bigrams"),
+        F.sum(F.when(is2, F.round(logp * 10000).cast("long") * c)).alias(
+            "__slp"
+        ),
+    )
+    roll = roll.withColumn("__avg_e4", _avg_e4("__slp", "__n_bigrams"))
+
+    # ---- raw-text pass: chars / punct / PII as Column exprs -------------
+    counts = pii_counts(t)
+    n_pii = None
+    for pc in counts.values():
+        n_pii = pc if n_pii is None else n_pii + pc
+    passb = df.select(
+        F.col(id_col),
+        F.length(t).alias("__n_chars"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), F.lit(0))).alias(
+            "__n_punct"
+        ),
+        n_pii.alias("__n_pii"),
+    )
+
+    j = passb.join(roll, id_col, "left")
+    n = F.coalesce(F.col("__n_words"), F.lit(0))
+    stopword_ratio = F.when(
+        n > 0, F.coalesce(F.col("__n_stop"), F.lit(0)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+    mean_word_len = F.when(
+        n > 0, F.coalesce(F.col("__sum_len"), F.lit(0)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        F.col("__n_chars") > 0,
+        F.col("__n_punct").cast("double") / F.col("__n_chars"),
+    ).otherwise(F.lit(0.0))
+    top2 = F.round(
+        F.coalesce(
+            (F.col("__t2_max") * 2).cast("double") / F.col("__n_words"),
+            F.lit(0.0),
+        ),
+        4,
+    )
+    ppl = F.coalesce(
+        F.round(F.exp(-(F.col("__avg_e4") / F.lit(10000.0))), 2), F.lit(0.0)
+    )
     verdict = (
-        F.when(F.col("n_tokens_ws") < min_tokens, "too_short")
+        F.when(n.cast("int") < min_tokens, "too_short")
         .when(
-            (F.col("mean_word_len") < min_word_len)
-            | (F.col("mean_word_len") > max_word_len),
+            (mean_word_len < min_word_len) | (mean_word_len > max_word_len),
             "word_shape",
         )
-        .when(F.col("punct_ratio") > max_punct_ratio, "punct_heavy")
-        .when(F.col("stopword_ratio") < min_stopword_ratio, "low_stopword")
+        .when(punct_ratio > max_punct_ratio, "punct_heavy")
+        .when(stopword_ratio < min_stopword_ratio, "low_stopword")
         .when(top2 > max_top2gram, "repetitive")
         .when(ppl > max_ppl, "high_ppl")
-        .when(F.col("n_pii") > max_pii, "pii_heavy")
+        .when(F.col("__n_pii") > max_pii, "pii_heavy")
         .otherwise("keep")
     )
     return j.select(
         F.col(id_col),
-        "n_tokens_ws",
-        "stopword_ratio",
+        n.cast("int").alias("n_tokens_ws"),
+        stopword_ratio.alias("stopword_ratio"),
         top2.alias("top_2gram_frac"),
         ppl.alias("ppl"),
-        F.col("n_pii").cast("long").alias("n_pii"),
+        F.col("__n_pii").cast("long").alias("n_pii"),
         verdict.alias("verdict"),
     )

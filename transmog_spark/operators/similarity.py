@@ -54,6 +54,90 @@ def brute_force_topk(
     )
 
 
+def rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    k: int = 10,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact-rerank stage of a two-stage retrieval stack: take ANY
+    approximate tier's per-query top-R candidate set (``ivf_topk`` /
+    ``pq_topk`` / ``ivfpq_topk`` / ``lsh_topk`` output — only
+    (query_id, neighbor_id) is read), re-score those candidates with exact
+    full-precision similarity, and return the exact top-``k``.
+    ``metric='cosine'`` (default) matches ``brute_force_topk``;
+    ``metric='l2'`` reranks in the PQ tiers' own metric (output column
+    ``dist2``, ascending) — FAISS ``IndexRefineFlat`` reranks in the
+    index metric likewise.
+
+    This is the operator that makes the PQ/IVFPQ tiers usable: compressed
+    codes rank coarsely (recall@5 near the information-theoretic floor at
+    small code budgets) but rank WELL ENOUGH that the true neighbors sit
+    inside a modest top-R — so approx(top-R) → exact(top-k) recovers
+    brute-force quality while scoring only |Q|·R full vectors instead of
+    |Q|·|corpus| (the FAISS ``IndexRefineFlat`` / re-ranking posture,
+    Jégou et al. 2011 §V.D).
+
+    Scale shape: ``candidates`` is |Q|·R rows — broadcast into the corpus
+    scan, so only candidate corpus rows survive the (broadcast-hash) join
+    and the full-precision vectors of non-candidates never leave the scan;
+    queries broadcast likewise; one window top-k over |Q|·R rows. Zero
+    corpus shuffle.
+
+    Output matches ``brute_force_topk`` exactly: (query_id, neighbor_id,
+    cosine, rank) — so recall@k is a direct set compare.
+    """
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
+    qid = query_id_col or id_col
+    cand = candidates.select("query_id", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv"))
+    joined = c.join(F.broadcast(cand), "neighbor_id").join(
+        F.broadcast(q), "query_id"
+    )
+    if metric == "l2":
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("__qv"),
+                F.col("__cv"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        scored = joined.select("query_id", "neighbor_id", d2.alias("dist2"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist2").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "dist2", "rank")
+        )
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        cosine_sim(F.col("__qv"), F.col("__cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _fold_norm(cv: list[float]) -> float:
     # EXACT mirror of cosine_sim's left fold (same IEEE op order) so the
     # plan-time constant equals what the engine would compute in-row
@@ -574,7 +658,7 @@ def pq_train(
     vec_col: str = "embedding",
     dim: int,
     m: int = 8,
-    ksub: int = 8,
+    ksub: int = 256,
     refine_iterations: int = 1,
     scale: int = 1_000_000,
 ) -> list[list[list[float]]]:
@@ -637,7 +721,7 @@ def ivfpq_train(
     dim: int,
     nlist: int = 16,
     m: int = 8,
-    ksub: int = 8,
+    ksub: int = 256,
     coarse_refine_iterations: int = 0,
     pq_refine_iterations: int = 1,
 ) -> tuple[list[tuple[int, list[float]]], list[list[list[float]]]]:
@@ -710,7 +794,7 @@ def ivfpq_topk(
     nlist: int = 16,
     nprobe: int = 4,
     m: int = 8,
-    ksub: int = 8,
+    ksub: int = 256,
     coarse_refine_iterations: int = 0,
     pq_refine_iterations: int = 1,
     exclude_self: bool = True,
@@ -828,7 +912,7 @@ def pq_topk(
     k: int = 10,
     dim: int,
     m: int = 8,
-    ksub: int = 8,
+    ksub: int = 256,
     refine_iterations: int = 1,
     exclude_self: bool = True,
     books: list[list[list[float]]] | None = None,

@@ -547,6 +547,39 @@ WHERE rank <= {k}
 """
 
 
+def rerank_topk_sql(
+    candidates_sql: str,
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str = "vec_id < 10",
+    k: int = 5,
+) -> str:
+    """Mirror of operators.similarity.rerank_topk: exact cosine re-scoring
+    of an approximate tier's top-R candidate set.  ``candidates_sql`` is any
+    full topk oracle query (pq_topk_sql / ivfpq_topk_sql / ivf_topk_sql …)
+    returning (query_id, neighbor_id, …); it nests as a MATERIALIZED CTE —
+    its candidate set is bit-identical to the engine's (exact BIGINT ADC
+    keys), so the rerank compares identical sets on both sides."""
+    return f"""
+WITH cand AS MATERIALIZED ({candidates_sql}),
+e AS (SELECT {id_col} AS nid, {vec_col}::DOUBLE[] AS v FROM {table}),
+q AS (SELECT {id_col} AS qid, {vec_col}::DOUBLE[] AS qv
+      FROM {table} WHERE {query_filter}),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_cosine_similarity(c.v, p.qv) AS cos
+  FROM cand
+  JOIN e c ON c.nid = cand.neighbor_id
+  JOIN q p ON p.qid = cand.query_id)
+SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= {k}
+"""
+
+
 def lsh_topk_sql(
     *,
     table: str = "embeddings",
@@ -1628,7 +1661,7 @@ per_doc AS (
   SELECT {id_col},
          CAST(sum(m) AS BIGINT) AS n_bigrams,
          CAST(sum(CASE WHEN c2 = 0 THEN m ELSE 0 END) AS BIGINT) AS n_oov,
-         CAST(sum(CAST(round(ln((c2 + {k}) / (c1 + {k} * v)) * 10000) AS BIGINT) * m)
+         CAST(sum(CAST(round(ln((c2 + {k}) / (c1 + {k} * greatest(v, 1))) * 10000) AS BIGINT) * m)
               AS BIGINT) AS slp
   FROM scored GROUP BY 1
 ),

@@ -414,11 +414,16 @@ def write_avro_fallback(
     exact typed values (no NaN-for-null surprises). ``mode='append'`` adds
     uniquely-named files (epoch-free: name derives from existing count).
 
-    Commit protocol (mirrors Hadoop's commit-by-rename): tasks write into a
-    staging subdirectory; only after the whole action succeeds does the
-    driver atomically rename the staged parts into ``path`` (``os.replace``
-    overwrites same-named old parts) and then delete leftover old files —
-    a failure at any point leaves each part either fully-old or fully-new.
+    Commit protocol (mirrors Hadoop's commit-by-rename, plus a manifest for
+    directory-level atomicity): tasks write into a staging subdirectory
+    under generation-unique part names; after the whole action succeeds the
+    driver renames the staged parts into ``path``, then atomically flips
+    ``_MANIFEST.json`` (``os.replace``) to list exactly the new
+    generation's parts, and only then deletes unmanifested old parts.  The
+    manifest flip is the commit point: a crash at ANY step leaves a
+    manifest that references one complete generation (every listed part was
+    renamed in before the flip), so manifest-aware readers
+    (``read_avro_fallback``) never observe a mixed-generation directory.
     Stale ``_staging-*`` dirs from prior crashed runs are pruned on entry
     (callers must not write to the same ``path`` concurrently).
     Requires driver and executors to share ``path``'s filesystem (local mode
@@ -437,10 +442,17 @@ def write_avro_fallback(
     for f in os.listdir(path):
         if f.startswith("_staging-"):
             shutil.rmtree(os.path.join(path, f), ignore_errors=True)
+        elif f.startswith("_MANIFEST.json.tmp-"):
+            os.remove(os.path.join(path, f))
+    gen = uuid.uuid4().hex[:8]
     if mode == "overwrite":
-        suffix = ""
+        # generation-unique names: new parts never collide with old ones, so
+        # the pre-flip directory holds both generations intact and the
+        # manifest alone decides which one readers see
+        suffix = f"-{gen}"
     elif mode == "append":
-        suffix = f"-{len([f for f in os.listdir(path) if f.endswith('.avro')]):05d}"
+        n_existing = len([f for f in os.listdir(path) if f.endswith(".avro")])
+        suffix = f"-{n_existing:05d}-{gen}"
     else:
         raise ValueError(f"Unsupported mode {mode!r}")
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex[:12]}")
@@ -468,15 +480,23 @@ def write_avro_fallback(
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    # the action succeeded: commit. os.replace is atomic, so renaming the
-    # staged parts FIRST (overwriting same-named old parts) and deleting
-    # leftover old files only afterwards means a crash at any point leaves
-    # each part either fully-old or fully-new — no window where data from
-    # both generations is missing.
+    # the action succeeded: commit.  Rename staged parts in (names are
+    # generation-unique so nothing is overwritten), then atomically flip the
+    # manifest to the new generation, then garbage-collect unmanifested
+    # parts.  The manifest flip is the single commit point — see docstring.
     committed = set()
     for f in sorted(os.listdir(staging)):
         os.replace(os.path.join(staging, f), os.path.join(path, f))
         committed.add(f)
+    manifest_path = os.path.join(path, "_MANIFEST.json")
+    if mode == "append":
+        # keep every pre-existing part live (manifested or not — the dir may
+        # predate the manifest protocol); GC only applies to overwrite
+        committed |= {f for f in os.listdir(path) if f.endswith(".avro")}
+    tmp = manifest_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump({"parts": sorted(committed)}, fh)
+    os.replace(tmp, manifest_path)
     if mode == "overwrite":
         for f in os.listdir(path):
             if f.endswith(".avro") and f not in committed:
@@ -487,10 +507,22 @@ def write_avro_fallback(
 
 def read_avro_fallback(spark: SparkSession, path: str) -> DataFrame:
     """Driver-side OCF reader for verification/tests (production reads use
-    the spark-avro jar). Globs ``*.avro`` under ``path``."""
-    files = sorted(
-        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".avro")
-    )
+    the spark-avro jar). Filters to ``_MANIFEST.json``-listed parts when the
+    manifest exists (snapshot isolation vs a crashed overwrite — see
+    ``write_avro_fallback``); globs ``*.avro`` otherwise."""
+    manifest_path = os.path.join(path, "_MANIFEST.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            names = json.load(fh)["parts"]
+        files = sorted(
+            os.path.join(path, f)
+            for f in names
+            if os.path.exists(os.path.join(path, f))
+        )
+    else:
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".avro")
+        )
     if not files:
         raise FileNotFoundError(f"no .avro files under {path}")
     schema_json, all_records = None, []

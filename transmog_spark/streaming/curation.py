@@ -55,6 +55,7 @@ def curate_batch(
     span_n: int = 8,
     span_min_count: int = 2,
     persisted: list[DataFrame] | None = None,
+    keep_text: bool = False,
     **gate_thresholds,
 ) -> DataFrame:
     """One bounded batch through the full curation chain → the pack-ready
@@ -62,6 +63,11 @@ def curate_batch(
     counts. Every stage is an already-oracle-gated batch operator; the
     model/benchmark frames are static inputs (persist them — every batch
     joins against them).
+
+    ``keep_text=True`` additionally carries the raw text column through —
+    the CURATED-STORE shape: the periodic cross-batch compaction job
+    (``jobs/compact_curated.py``) re-runs global dedup + span strip over
+    the accumulated store, which requires the original text.
 
     ``persisted``: pass a list to persist the multiply-consumed stage
     boundaries (keep/ded/nded — each feeds 2+ branches and ReuseExchange
@@ -92,10 +98,15 @@ def curate_batch(
         persisted.append(frame.persist())
         return frame
 
+    # LEFT join + coalesce(contamination, 0): a doc with fewer than
+    # ``decontaminate_n`` tokens emits zero n-grams and is absent from the
+    # decontaminate frame — it carries no benchmark overlap by construction,
+    # so it must pass the contamination filter, not silently vanish
+    # (reachable when gate_thresholds set min_tokens < decontaminate_n).
     keep = pin(
         df.join(qg, id_col)
-        .join(dec, id_col)
-        .where(F.col("contamination") <= contamination_max)
+        .join(dec, id_col, "left")
+        .where(F.coalesce(F.col("contamination"), F.lit(0.0)) <= contamination_max)
         .select(id_col, source_col, text_col)
     )
     ded = pin(dedupe_exact(keep, id_col, text_col))
@@ -107,12 +118,12 @@ def curate_batch(
     stripped = strip_duplicate_spans(
         nded, id_col, text_col, n=span_n, min_count=span_min_count
     )
+    carried = [id_col, source_col] + ([text_col] if keep_text else [])
     return (
-        nded.select(id_col, source_col)
+        nded.select(*carried)
         .join(stripped, id_col)
         .select(
-            id_col,
-            source_col,
+            *carried,
             (F.col("n_tok") - F.col("n_removed")).alias("n_tok"),
         )
     )
