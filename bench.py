@@ -59,6 +59,8 @@ HEADLINE = [
     # happens at plan-build inside the timed fn — the realistic "train on
     # first use" cost; steady-state encode+probe dominates at corpus scale
     "embedding_topk_ivfpq",
+    # the two-stage retrieval stack: ivfpq top-40 -> exact cosine rerank
+    "rerank_topk",
     "unigram_tokenize",
     "bloom_dedup",
     "semdedup",

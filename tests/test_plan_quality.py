@@ -349,3 +349,13 @@ def test_ivfpq_zero_corpus_shuffle_broadcast_probes(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
     assert _exchanges(plan) == 1
     assert "CartesianProduct" not in plan
+
+
+def test_rerank_broadcasts_candidates_zero_corpus_shuffle(spark, sf_dir):
+    # candidates (|Q|·R rows) and queries broadcast into the corpus scan:
+    # non-candidate vectors never leave the scan, and the only exchange is
+    # the per-query top-k window's
+    plan = _plan(spark, sf_dir, "rerank_topk")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) >= 2
+    assert "SortMergeJoin" not in plan
