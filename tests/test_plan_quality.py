@@ -359,3 +359,35 @@ def test_rerank_broadcasts_candidates_zero_corpus_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_ann_indexed_prunes_cells_broadcasts_probes(spark, sf_dir):
+    # persisted IVF index: the vectors scan prunes to the probed cells'
+    # partitions, the (|Q|·nprobe)-row probe frame broadcasts — the corpus
+    # slice never shuffles (mirror of the bm25_topk_indexed pin)
+    plan = _plan(spark, sf_dir, "embedding_topk_indexed")
+    parts = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert parts and all("cell" in p for p in parts), plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) >= 1
+    # one exchange only: the per-query top-k window's
+    assert _exchanges(plan) <= 1
+
+
+def test_winnow_pairs_no_cartesian_hash_only_exchanges(spark, sf_dir):
+    # the fingerprint stream ships (id, pos, 8-byte hash) longs; pair
+    # generation is a hash bucket join — never a cartesian product, and no
+    # gram strings cross an exchange
+    plan = _plan(spark, sf_dir, "winnow_pairs")
+    assert "CartesianProduct" not in plan
+    for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "__g" not in frag  # hashes only, not gram strings
+
+
+def test_cms_bounded_grid_broadcasts(spark, sf_dir):
+    # the depth×width grid (bounded state) broadcasts into the vocab probe;
+    # the corpus is scanned once into a map-side-combined term rollup
+    plan = _plan(spark, sf_dir, "cms_heavy_hitters")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) >= 1

@@ -1,0 +1,93 @@
+"""Winnowing fingerprints (guarantee + density) and CMS heavy hitters
+(overestimate-only + exact recall)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_winnow_shared_run_guarantees_shared_fingerprint(spark):
+    """Schleimer et al. §3: any shared substring of >= k + w - 1 tokens
+    yields at least one SHARED fingerprint."""
+    from transmog_spark.operators.winnow import winnow_fingerprints
+
+    k, w = 3, 4
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = k + w - 1
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"seven eight {shared} nine ten eleven twelve"),
+        (3, "completely different words with no common run at all here"),
+    ]
+    fps = winnow_fingerprints(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        k=k, w=w,
+    )
+    by_doc = {
+        r["doc_id"]: set(x["fp_hash"] for x in r["fp"])
+        for r in fps.groupBy("doc_id")
+        .agg(F.collect_list(F.struct("fp_hash")).alias("fp"))
+        .collect()
+    }
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_winnow_density_and_short_docs(spark):
+    from transmog_spark.operators.winnow import winnow_fingerprints
+
+    k, w = 3, 4
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(100))),  # all-distinct grams
+        (2, "a b c"),       # exactly k tokens -> 1 gram -> 1 fingerprint
+        (3, "a b"),         # < k tokens -> no grams -> no fingerprints
+    ]
+    fps = winnow_fingerprints(
+        spark.createDataFrame(rows, "doc_id long, text string"), k=k, w=w
+    )
+    per = {r["doc_id"]: r["n"] for r in fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    n_grams = 100 - k + 1
+    # distinct random-ish hashes: expected density 2/(w+1); allow wide band
+    # but pin that selection actually thins the stream
+    assert n_grams * 0.1 <= per[1] <= n_grams * 0.75
+    assert per[2] == 1
+    assert 3 not in per
+
+
+def test_winnow_pairs_finds_planted_neardups(spark, sf_dir):
+    import os
+
+    from transmog_spark.operators.winnow import winnow_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pairs = winnow_pairs(docs, k=5, w=4, min_shared=2, max_bucket=500)
+    rows = pairs.collect()
+    assert len(rows) > 0
+    assert all(r["id_a"] < r["id_b"] and r["shared"] >= 2 for r in rows)
+
+
+def test_cms_overestimates_only_and_full_recall(spark, sf_dir):
+    import os
+
+    from transmog_spark.operators.sketch import cms_heavy_hitters, cms_sketch
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    depth, width, thr = 4, 32, 100
+    hh = cms_heavy_hitters(
+        docs, depth=depth, width=width, threshold=thr
+    ).collect()
+    assert len(hh) > 0
+    # the CMS invariant: estimates never undercount
+    assert all(r["overcount"] >= 0 for r in hh)
+    # exact recall: every truly-hot term must be reported (no false negatives)
+    from transmog_spark.operators.sketch import _term_counts
+
+    hot = {
+        r["term"]
+        for r in _term_counts(docs, "doc_id", "text")
+        .where(F.col("exact") >= thr)
+        .collect()
+    }
+    assert hot <= {r["term"] for r in hh}
+    # bounded state regardless of corpus size
+    assert cms_sketch(docs, depth=depth, width=width).count() <= depth * width

@@ -2016,3 +2016,111 @@ SELECT {id_col}, n_email, n_ssn, n_phone, n_ipv4,
        md5({red}) AS redacted_md5
 FROM cnt
 """
+
+
+def _winnow_ctes(
+    *, table: str, id_col: str, text_col: str, k: int, w: int
+) -> str:
+    """Shared CTE chain for the winnowing family (mirrors
+    operators/winnow.py): docs -> positioned k-gram hashes -> rightmost-
+    min-per-window fingerprint selection (struct min, full windows only,
+    whole-stream window for short docs). Ends with an ``fps`` CTE
+    (id, fp_pos, fp_hash); no opening WITH."""
+    grams = (
+        f"list_transform(range(1, len(t) - {k} + 2), "
+        f"i -> array_to_string(list_slice(t, i, i + {k} - 1), ' '))"
+    )
+    h = duck_md5_long("gram")
+    return f"""docs AS (SELECT {id_col} AS id, {duck_ws_tokens(text_col)} AS t FROM {table}),
+g AS (
+  SELECT id, p, {h} AS gh
+  FROM (SELECT id, unnest(gl) AS gram, generate_subscripts(gl, 1) - 1 AS p
+        FROM (SELECT id, {grams} AS gl FROM docs))),
+wins AS (
+  SELECT id, p,
+         max(p) OVER (PARTITION BY id) AS maxp,
+         min(struct_pack(h := gh, np := -p)) OVER (
+           PARTITION BY id ORDER BY p
+           ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS fp
+  FROM g),
+fps AS (
+  SELECT DISTINCT id, CAST(-fp.np AS INT) AS fp_pos, fp.h AS fp_hash
+  FROM wins WHERE p >= least({w - 1}, maxp))"""
+
+
+def winnow_fingerprints_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> str:
+    """Mirror of operators.winnow.winnow_fingerprints."""
+    ctes = _winnow_ctes(table=table, id_col=id_col, text_col=text_col, k=k, w=w)
+    return f"""
+WITH {ctes}
+SELECT id AS {id_col}, fp_pos, fp_hash FROM fps
+"""
+
+
+def winnow_pairs_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 1000,
+) -> str:
+    """Mirror of operators.winnow.winnow_pairs: distinct (id, fp_hash),
+    per-hash bucket cap by id order, self-join, shared-count filter."""
+    ctes = _winnow_ctes(table=table, id_col=id_col, text_col=text_col, k=k, w=w)
+    return f"""
+WITH {ctes},
+dfps AS (SELECT DISTINCT id, fp_hash FROM fps),
+capped AS (
+  SELECT id, fp_hash FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp_hash ORDER BY id) AS rn FROM dfps
+  ) WHERE rn <= {max_bucket})
+SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS INT) AS shared
+FROM capped a JOIN capped b ON a.fp_hash = b.fp_hash AND a.id < b.id
+GROUP BY a.id, b.id
+HAVING count(*) >= {min_shared}
+"""
+
+
+def cms_heavy_hitters_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 256,
+    threshold: int = 100,
+) -> str:
+    """Mirror of operators.sketch.cms_heavy_hitters: same md5-60 row
+    hashes over '{d}#' || term, same grid-from-rollup construction, same
+    min-over-rows estimate and sketch-side threshold."""
+    probe_rows = " UNION ALL ".join(
+        f"SELECT term, exact, {d} AS d, "
+        + duck_md5_long(f"'{d}#' || term")
+        + f" % {width} AS bucket FROM counts"
+        for d in range(depth)
+    )
+    return f"""
+WITH docs AS (SELECT {id_col} AS id, {duck_ws_tokens(text_col)} AS t FROM {table}),
+counts AS (
+  SELECT term, count(*) AS exact
+  FROM (SELECT unnest(t) AS term FROM docs) GROUP BY term),
+probes AS ({probe_rows}),
+grid AS (SELECT d, bucket, CAST(sum(exact) AS BIGINT) AS cnt
+         FROM probes GROUP BY d, bucket),
+est AS (
+  SELECT p.term, p.exact, CAST(min(g.cnt) AS BIGINT) AS cms_est
+  FROM probes p JOIN grid g ON p.d = g.d AND p.bucket = g.bucket
+  GROUP BY p.term, p.exact)
+SELECT term, cms_est, exact, cms_est - exact AS overcount
+FROM est WHERE cms_est >= {threshold}
+"""
