@@ -1007,6 +1007,41 @@ def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token cardinality (operators/sketch.py): a
+    2^p-register table — bounded state regardless of corpus size — with
+    the exact countDistinct riding along so the estimation error is
+    visible. The harmonic denominator is exact-integer scaled, so the
+    estimate is bit-identical in the DuckDB oracle."""
+    from transmog_spark.operators.sketch import hll_distinct
+
+    return hll_distinct(_t(spark, sf_dir, "documents"), "doc_id", "text", p=12)
+
+
+def _q_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (Weinberger et al. 2009, operators/hashfeat.py):
+    fixed-width signed-tf vectors from arbitrary vocabulary in one
+    map-side-combined pass — the model-free text→vector bridge; exact
+    integer weights, bit-identical in DuckDB."""
+    from transmog_spark.operators.hashfeat import hash_features
+
+    return hash_features(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", dim=64, seed=1
+    )
+
+
+def _q_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k nearest documents by hashed-feature cosine for a
+    bounded query set: broadcast query side, one corpus scoring pass,
+    round-4-then-rank so DuckDB ranks identically."""
+    from transmog_spark.operators.hashfeat import hashed_cosine_topk
+
+    return hashed_cosine_topk(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        dim=64, seed=1, query_filter="doc_id < 5", k=5,
+    )
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine pairs on a bounded slice (oracle-checkable)."""
     from transmog_spark.operators.dedup import cosine_sim
@@ -1429,6 +1464,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fps": _q_winnow_fps,
         "winnow_pairs": _q_winnow_pairs,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "hll_distinct": _q_hll_distinct,
+        "hash_features": _q_hash_features,
+        "hash_embed_topk": _q_hash_embed_topk,
         # -- round-4 surface (outside the r4 driver window) ------------
         "curation_pipeline": _q_curation_pipeline,
         "semdedup": _q_semdedup,
@@ -1562,6 +1600,9 @@ def oracle_sql() -> dict[str, str]:
         winnow_fingerprints_sql,
         winnow_pairs_sql,
         cms_heavy_hitters_sql,
+        hll_distinct_sql,
+        hash_features_sql,
+        hashed_cosine_topk_sql,
         token_positions_sql,
         tokenize_docs_sql,
     )
@@ -1776,6 +1817,11 @@ SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM (
         ),
         "cms_heavy_hitters": cms_heavy_hitters_sql(
             depth=4, width=32, threshold=100
+        ),
+        "hll_distinct": hll_distinct_sql(p=12),
+        "hash_features": hash_features_sql(dim=64, seed=1),
+        "hash_embed_topk": hashed_cosine_topk_sql(
+            dim=64, seed=1, query_filter="doc_id < 5", k=5
         ),
         "embedding_topk_ivfk": ivf_topk_sql(
             query_filter="vec_id < 10", k=5, nlist=16, nprobe=4,

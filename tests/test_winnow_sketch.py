@@ -66,6 +66,39 @@ def test_winnow_pairs_finds_planted_neardups(spark, sf_dir):
     assert all(r["id_a"] < r["id_b"] and r["shared"] >= 2 for r in rows)
 
 
+def test_hll_distinct_accuracy_and_bounded_state(spark, sf_dir):
+    """HLL standard error is 1.04/sqrt(m) ≈ 1.6% at p=12; pin a 6%
+    band (≈4σ) on the corpus vocabulary, and pin that the register table
+    is bounded by m regardless of corpus size."""
+    import os
+
+    from transmog_spark.operators.sketch import hll_distinct, hll_registers
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    row = hll_distinct(docs, p=12).collect()[0]
+    assert row["m"] == 4096
+    assert row["exact_distinct"] > 0
+    assert abs(row["rel_err_pct"]) < 6.0
+    assert abs(row["hll_est"] - row["exact_distinct"]) <= 0.06 * row["exact_distinct"]
+    regs = hll_registers(docs, p=12)
+    assert regs.count() == row["n_present"] <= 4096
+    # registers are rho values: 1..(60-p)+1
+    bad = regs.where((F.col("reg") < 1) | (F.col("reg") > 49)).count()
+    assert bad == 0
+
+
+def test_hll_small_range_linear_counting(spark):
+    """A tiny vocabulary lands in the linear-counting branch and the
+    estimate is near-exact (few occupied registers, no collisions)."""
+    from transmog_spark.operators.sketch import hll_distinct
+
+    rows = [(i, f"w{i % 17} filler common") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    row = hll_distinct(df, p=12).collect()[0]
+    assert row["exact_distinct"] == 19
+    assert abs(row["hll_est"] - 19.0) < 0.5
+
+
 def test_cms_overestimates_only_and_full_recall(spark, sf_dir):
     import os
 

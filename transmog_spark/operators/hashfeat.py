@@ -1,0 +1,122 @@
+"""Feature hashing ("the hashing trick", Weinberger, Dasgupta, Langford,
+Smola & Attenberg 2009, "Feature Hashing for Large Scale Multitask
+Learning"): map each token to one of ``dim`` buckets by hash and
+accumulate a signed term frequency per bucket — a fixed-width embedding
+of arbitrary vocabulary with NO trained model, no vocabulary table and
+no driver state. The signed second hash makes the inner product an
+unbiased estimator of the true (unhashed) inner product (paper §3), so
+hashed-cosine ranking approximates true token-overlap cosine.
+
+This is the model-free bridge from the text corpus to the ANN/similarity
+stack: documents become comparable vectors in one pass, with exact
+integer weights the DuckDB oracle reproduces bit-for-bit.
+
+Scale shape: the feature build is one token-explode pass with a
+map-side-combined (id, bucket) rollup — at most ``dim`` rows per
+document on the wire, exact longs. ``hashed_cosine_topk`` broadcasts the
+(tiny, filter-bounded) query side and its norms; the corpus side is
+scored via one broadcast-hash join + rollup, never shuffled. Exact
+search over everything it touches — at retrieval scale, feed these
+vectors to the IVF/PQ tiers (operators/similarity.py) instead and keep
+this as the ground-truth scorer.
+
+No reference analog (the reference is a flattening library); the
+operator exists for the training-data tier (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from transmog_spark.functions.hashing import md5_long, seeded
+from transmog_spark.operators.text import ws_tokens
+
+
+def hash_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    dim: int = 256,
+    seed: int = 1,
+) -> DataFrame:
+    """Sparse hashed feature vectors: (id, bucket, w) with
+    w = Σ_occurrences sign(term), sign ∈ {+1, -1} from an independent
+    hash. Buckets whose signed sum cancels to 0 are dropped (they
+    contribute nothing to any inner product) — mirrored in the oracle.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(ws_tokens(F.col(text_col))).alias("term"),
+    )
+    bucket = F.pmod(md5_long(seeded(F.col("term"), f"b{seed}")), dim)
+    sign = F.when(
+        F.pmod(md5_long(seeded(F.col("term"), f"s{seed}")), 2) == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        toks.select("id", bucket.alias("bucket"), sign.alias("__sign"))
+        .groupBy("id", "bucket")
+        .agg(F.sum("__sign").cast("long").alias("w"))
+        .where(F.col("w") != 0)
+    )
+
+
+def hashed_cosine_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    dim: int = 256,
+    seed: int = 1,
+    query_filter: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k nearest documents by hashed-feature cosine for each
+    query document (``query_filter`` bounds the query set — the broadcast
+    side). Returns (query_id, id, dot, cos, rank); ``dot`` is the exact
+    integer inner product, ``cos`` is round(dot / sqrt(|a||b|), 4), and
+    rank orders by (cos DESC, id) AFTER rounding so the DuckDB oracle
+    ranks identically (CLAUDE.md double-math rule). Self-matches are
+    excluded.
+    """
+    feats = hash_features(df, id_col, text_col, dim=dim, seed=seed)
+    norms = feats.groupBy("id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("sumsq")
+    )
+    q_ids = df.where(query_filter).select(F.col(id_col).alias("id"))
+    qf = (
+        feats.join(F.broadcast(q_ids), "id")
+        .withColumnsRenamed({"id": "query_id", "w": "qw"})
+    )
+    qn = norms.join(F.broadcast(q_ids), "id").withColumnsRenamed(
+        {"id": "query_id", "sumsq": "q_sumsq"}
+    )
+    dots = (
+        feats.join(F.broadcast(qf), "bucket")
+        .where(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", "id")
+        .agg(F.sum(F.col("w") * F.col("qw")).cast("long").alias("dot"))
+    )
+    scored = (
+        dots.join(norms, "id")
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            "id",
+            "dot",
+            F.round(
+                F.col("dot")
+                / F.sqrt((F.col("sumsq") * F.col("q_sumsq")).cast("double")),
+                4,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "id", "dot", "cos", "rank")
+    )

@@ -1,6 +1,9 @@
-"""Count-Min-Sketch token counting and heavy-hitter detection (Cormode &
-Muthukrishnan 2005, "An improved data stream summary: the count-min
-sketch and its applications").
+"""Bounded-state sketches: Count-Min token counting / heavy-hitter
+detection (Cormode & Muthukrishnan 2005, "An improved data stream
+summary: the count-min sketch and its applications") and HyperLogLog
+distinct-token cardinality (Flajolet, Fusy, Gandouet & Meunier 2007,
+"HyperLogLog: the analysis of a near-optimal cardinality estimation
+algorithm").
 
 The sketch is a ``depth × width`` counter grid: every token occurrence
 increments, for each row ``d``, the cell ``hash_d(term) mod width``; the
@@ -29,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from transmog_spark.functions.hashing import md5_long
+from transmog_spark.functions.hashing import MD5_LONG_BITS, md5_long
 from transmog_spark.operators.text import ws_tokens
 
 
@@ -67,6 +70,97 @@ def cms_sketch(
         counts.select(F.explode(rows).alias("__r"), "exact")
         .groupBy(F.col("__r.d").alias("d"), F.col("__r.bucket").alias("bucket"))
         .agg(F.sum("exact").alias("cnt"))
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    p: int = 12,
+) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007): bucket = top
+    ``p`` bits of the 60-bit md5 term hash, register = max over the
+    bucket's terms of rho (1 + leading-zero count of the remaining
+    ``60 - p`` bits). At most ``m = 2**p`` rows regardless of corpus
+    size — like the CMS grid, bounded state is the point: distinct-token
+    cardinality over 100 TB costs one map-side-combined pass and an
+    m-row aggregate, where exact countDistinct shuffles the vocabulary.
+
+    rho is computed from ``length(bin(rest))`` — the binary string drops
+    leading zeros in both engines, so ``floor(log2)`` never touches
+    doubles and the register is bit-identical in the DuckDB oracle.
+    """
+    rest_bits = MD5_LONG_BITS - p
+    h = md5_long(F.col("term"))
+    rest = h.bitwiseAND(F.lit((1 << rest_bits) - 1))
+    rho = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits) - F.length(F.bin(rest)) + 1
+    )
+    return (
+        df.select(F.explode(ws_tokens(F.col(text_col))).alias("term"))
+        .select(
+            F.shiftright(h, rest_bits).alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    p: int = 12,
+) -> DataFrame:
+    """One-row HLL cardinality estimate next to the exact count:
+    (m, n_present, hll_est, exact_distinct, rel_err_pct).
+
+    The harmonic-mean denominator sums ``2^(-reg)`` — a float whose
+    addition order differs across engines/partitionings — so it is kept
+    EXACT: each register contributes the integer ``2^(S - reg)`` (S = 49
+    covers the max register ``60 - p + 1``) and absent buckets contribute
+    ``2^S``; the long sum is order-independent and bit-identical in
+    DuckDB, and the single final division is the only float op. Small-
+    range linear counting (est = m * ln(m / zeros) when raw <= 2.5m and
+    zeros > 0) follows the paper; round(…, 4) on both engines absorbs
+    libm-vs-StrictMath ulp drift in ln.
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # bias correction, m >= 128
+    scale = 49  # 2^(49 - reg) stays integral for reg <= 49 = 60-11+1
+    regs = hll_registers(df, id_col, text_col, p=p)
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr(f"shiftleft(1L, {scale} - reg)")).alias("__cells"),
+    )
+    exact = df.select(
+        F.explode(ws_tokens(F.col(text_col))).alias("term")
+    ).agg(F.countDistinct("term").alias("exact_distinct"))
+    zeros = F.lit(m) - F.col("n_present")
+    denom_scaled = F.col("__cells") + zeros * F.lit(1 << scale)
+    raw = F.lit(alpha * m * m * float(1 << scale)) / denom_scaled
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return (
+        agg.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(m).alias("m"),
+            F.col("n_present").cast("long").alias("n_present"),
+            F.round(est, 4).alias("hll_est"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.round(
+                (est - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                * 100.0,
+                4,
+            ).alias("rel_err_pct"),
+        )
     )
 
 

@@ -16,6 +16,11 @@ def duck_md5_long(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS UBIGINT)::BIGINT"
 
 
+def duck_seeded(expr: str, seed: int | str) -> str:
+    """Seed-namespaced hash input, mirror of functions.hashing.seeded."""
+    return f"('{seed}#' || {expr})"
+
+
 def duck_ws_tokens(text_expr: str) -> str:
     return f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), x -> x <> '')"
 
@@ -2091,6 +2096,59 @@ HAVING count(*) >= {min_shared}
 """
 
 
+def hll_distinct_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    p: int = 12,
+) -> str:
+    """Mirror of operators.sketch.hll_distinct: same md5-60 term hash,
+    same top-p-bit bucket / length(bin(rest)) rho, same exact-integer
+    scaled harmonic denominator and linear-counting branch."""
+    m = 1 << p
+    rest_bits = 60 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    scale = 49
+    h = duck_md5_long("term")
+    return f"""
+WITH toks AS (
+  SELECT unnest({duck_ws_tokens(text_col)}) AS term FROM {table}),
+hashed AS (
+  SELECT {h} >> {rest_bits} AS bucket,
+         {h} & {(1 << rest_bits) - 1} AS rest
+  FROM toks),
+regs AS (
+  SELECT bucket,
+         max(CASE WHEN rest = 0 THEN {rest_bits + 1}
+                  ELSE {rest_bits} - length(bin(rest)) + 1 END) AS reg
+  FROM hashed GROUP BY bucket),
+agg AS (
+  SELECT count(*) AS n_present,
+         CAST(sum(1::BIGINT << ({scale} - reg)) AS BIGINT) AS cells
+  FROM regs),
+exact AS (SELECT count(DISTINCT term) AS exact_distinct FROM toks),
+est AS (
+  SELECT n_present, exact_distinct,
+         CASE WHEN {alpha!r} * {float(m * m * (1 << scale))!r}
+                   / (cells + ({m} - n_present) * {1 << scale}::BIGINT)
+                   <= {2.5 * m!r}
+               AND ({m} - n_present) > 0
+              THEN {float(m)!r} * ln({float(m)!r} / ({m} - n_present))
+              ELSE {alpha!r} * {float(m * m * (1 << scale))!r}
+                   / (cells + ({m} - n_present) * {1 << scale}::BIGINT)
+         END AS raw_est
+  FROM agg, exact)
+SELECT {m} AS m,
+       CAST(n_present AS BIGINT) AS n_present,
+       round(raw_est, 4) AS hll_est,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       round((raw_est - exact_distinct) / exact_distinct * 100.0, 4)
+         AS rel_err_pct
+FROM est
+"""
+
+
 def cms_heavy_hitters_sql(
     *,
     table: str = "documents",
@@ -2123,4 +2181,69 @@ est AS (
   GROUP BY p.term, p.exact)
 SELECT term, cms_est, exact, cms_est - exact AS overcount
 FROM est WHERE cms_est >= {threshold}
+"""
+
+
+def hash_features_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 256,
+    seed: int = 1,
+) -> str:
+    """Mirror of operators.hashfeat.hash_features: same md5-60 bucket
+    and sign hashes, same signed-tf rollup, same zero-weight drop."""
+    b = duck_md5_long(duck_seeded("term", f"b{seed}"))
+    s = duck_md5_long(duck_seeded("term", f"s{seed}"))
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id, unnest({duck_ws_tokens(text_col)}) AS term
+  FROM {table})
+SELECT id, {b} % {dim} AS bucket,
+       CAST(sum(CASE WHEN {s} % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS w
+FROM toks GROUP BY id, bucket
+HAVING sum(CASE WHEN {s} % 2 = 0 THEN 1 ELSE -1 END) <> 0
+"""
+
+
+def hashed_cosine_topk_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 256,
+    seed: int = 1,
+    query_filter: str = "doc_id < 5",
+    k: int = 5,
+) -> str:
+    """Mirror of operators.hashfeat.hashed_cosine_topk: exact integer
+    dots, round-4 cosine BEFORE ranking, (cos DESC, id) tie-break."""
+    feats = hash_features_sql(
+        table=table, id_col=id_col, text_col=text_col, dim=dim, seed=seed
+    ).strip()
+    return f"""
+WITH feats AS ({feats}),
+norms AS (SELECT id, CAST(sum(w * w) AS BIGINT) AS sumsq FROM feats GROUP BY id),
+q AS (SELECT {id_col} AS id FROM {table} WHERE {query_filter}),
+qf AS (SELECT f.id AS query_id, f.bucket, f.w AS qw
+       FROM feats f JOIN q ON f.id = q.id),
+qn AS (SELECT n.id AS query_id, n.sumsq AS q_sumsq
+       FROM norms n JOIN q ON n.id = q.id),
+dots AS (
+  SELECT qf.query_id, f.id, CAST(sum(f.w * qf.qw) AS BIGINT) AS dot
+  FROM feats f JOIN qf ON f.bucket = qf.bucket
+  WHERE f.id <> qf.query_id
+  GROUP BY qf.query_id, f.id),
+scored AS (
+  SELECT d.query_id, d.id, d.dot,
+         round(d.dot / sqrt(CAST(n.sumsq * qn.q_sumsq AS DOUBLE)), 4) AS cos
+  FROM dots d
+  JOIN norms n ON d.id = n.id
+  JOIN qn ON d.query_id = qn.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, id) AS rank
+  FROM scored)
+SELECT query_id, id, dot, cos, rank FROM ranked WHERE rank <= {k}
 """
