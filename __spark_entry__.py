@@ -521,6 +521,32 @@ def _q_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_weights(d, "doc_id", "text", target=F.col("lang") == "en")
 
 
+def _q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) domain routing over hashed features
+    (operators/hashfeat.py): centroids trained on the even-id half,
+    every doc assigned its highest-cosine domain — the tag-unlabeled-
+    ingest / audit-labels primitive. Integer centroid sums, round-then-
+    argmax cross-engine."""
+    from transmog_spark.operators.hashfeat import centroid_classify
+
+    return centroid_classify(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "source",
+        dim=64, seed=1, labeled_filter="doc_id % 2 = 0",
+    )
+
+
+def _q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resampling half of DSIR (operators/lm.py:importance_resample):
+    Efraimidis-Spirakis weighted sampling without replacement over the
+    importance log-ratios — deterministic seeded-hash keys, no RNG state,
+    same sample on any cluster size or engine."""
+    from transmog_spark.operators.lm import importance_resample, importance_weights
+
+    d = _t(spark, sf_dir, "documents")
+    iw = importance_weights(d, "doc_id", "text", target=F.col("lang") == "en")
+    return importance_resample(iw, "doc_id", n=50, seed=0, temperature=1.0)
+
+
 def _q_doc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("source").agg(
@@ -1467,6 +1493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "hash_features": _q_hash_features,
         "hash_embed_topk": _q_hash_embed_topk,
+        "dsir_resample": _q_dsir_resample,
+        "centroid_classify": _q_centroid_classify,
         # -- round-4 surface (outside the r4 driver window) ------------
         "curation_pipeline": _q_curation_pipeline,
         "semdedup": _q_semdedup,
@@ -1603,6 +1631,8 @@ def oracle_sql() -> dict[str, str]:
         hll_distinct_sql,
         hash_features_sql,
         hashed_cosine_topk_sql,
+        importance_resample_sql,
+        centroid_classify_sql,
         token_positions_sql,
         tokenize_docs_sql,
     )
@@ -1822,6 +1852,10 @@ SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM (
         "hash_features": hash_features_sql(dim=64, seed=1),
         "hash_embed_topk": hashed_cosine_topk_sql(
             dim=64, seed=1, query_filter="doc_id < 5", k=5
+        ),
+        "dsir_resample": importance_resample_sql(n=50, seed=0, temperature=1.0),
+        "centroid_classify": centroid_classify_sql(
+            dim=64, seed=1, labeled_filter="doc_id % 2 = 0"
         ),
         "embedding_topk_ivfk": ivf_topk_sql(
             query_filter="vec_id < 10", k=5, nlist=16, nprobe=4,

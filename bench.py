@@ -61,9 +61,16 @@ HEADLINE = [
     "embedding_topk_ivfpq",
     # the two-stage retrieval stack: ivfpq top-40 -> exact cosine rerank
     "rerank_topk",
+    # persisted incremental IVF index: first run builds + memoizes, best-of-N
+    # times the partition-pruned indexed query path
+    "embedding_topk_indexed",
     "unigram_tokenize",
     "bloom_dedup",
     "semdedup",
+    "winnow_pairs",
+    "cms_heavy_hitters",
+    "hll_distinct",
+    "hash_embed_topk",
     # stage boundaries persist on first execution (see the entry docstring);
     # best-of-N then times the post-persist composed chain — the same
     # warm-index semantics as bm25_topk_indexed

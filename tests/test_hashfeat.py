@@ -66,3 +66,27 @@ def test_hashed_topk_plan_broadcasts_query_side(spark, sf_dir):
     )
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_centroid_classify_recovers_domains(spark):
+    """Two domains with disjoint vocabulary: every doc — including ones
+    outside the training half — lands on its own domain's centroid."""
+    from transmog_spark.operators.hashfeat import centroid_classify
+
+    sports = "goal match team score win league player season".split()
+    cooking = "recipe bake flour oven simmer garlic butter salt".split()
+    rows = []
+    for i in range(20):
+        words = [sports[(i + j) % 8] for j in range(6)]
+        rows.append((i, " ".join(words), "sports"))
+    for i in range(20, 40):
+        words = [cooking[(i + j) % 8] for j in range(6)]
+        rows.append((i, " ".join(words), "cooking"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = centroid_classify(
+        df, dim=64, seed=1, labeled_filter="doc_id % 2 = 0"
+    ).collect()
+    assert len(got) == 40
+    acc = sum(1 for r in got if r["label"] == r["true_label"]) / 40
+    assert acc == 1.0
+    assert all(r["cos"] > 0 for r in got)

@@ -199,3 +199,26 @@ def test_lm_score_degenerate_model_stays_finite(spark):
     for r in rows:
         assert math.isfinite(r["avg_logp"]) and math.isfinite(r["ppl"])
         assert r["n_oov"] == r["n_bigrams"]  # everything OOV under no model
+
+
+def test_importance_resample_weighted_and_deterministic(spark):
+    """Efraimidis-Spirakis keys: huge-ratio docs are always drawn, the
+    sample is without replacement, exact-n, and replays identically."""
+    from transmog_spark.operators.lm import importance_resample
+
+    rows = [(i, 0.0) for i in range(200)] + [(1000 + i, 8.0) for i in range(5)]
+    w = spark.createDataFrame(rows, "doc_id long, log_ratio double")
+    got = importance_resample(w, "doc_id", n=20, seed=3).collect()
+    assert len(got) == 20
+    ids = [r["doc_id"] for r in got]
+    assert len(set(ids)) == 20  # without replacement
+    # weight exp(8) ~ 3000x: all five hot docs must be in a 20-draw
+    assert {1000, 1001, 1002, 1003, 1004} <= set(ids)
+    # ranks are 1..n ordered by key desc
+    ranks = sorted(r["rank"] for r in got)
+    assert ranks == list(range(1, 21))
+    again = [r["doc_id"] for r in importance_resample(w, "doc_id", n=20, seed=3).collect()]
+    assert set(again) == set(ids)
+    # a different seed draws a different cold-doc subset
+    other = {r["doc_id"] for r in importance_resample(w, "doc_id", n=20, seed=4).collect()}
+    assert other != set(ids)

@@ -120,3 +120,80 @@ def hashed_cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "id", "dot", "cos", "rank")
     )
+
+
+def centroid_classify(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "source",
+    *,
+    dim: int = 256,
+    seed: int = 1,
+    labeled_filter: str | None = None,
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification over hashed features:
+    per-label centroids from the ``labeled_filter`` subset (default: all
+    rows), then every document is assigned the label whose centroid has
+    the highest cosine. The domain-routing primitive for curation: tag
+    unlabeled ingest with the nearest existing domain, or audit labels by
+    flagging docs whose text sits closer to another domain's centroid.
+
+    Exactness: cosine is scale-invariant, so the centroid is kept as the
+    UNSCALED integer sum vector (label, bucket, sw = Σw) — identical
+    ranking to the mean vector with no division anywhere before the final
+    cosine, whose dot and sumsq terms are exact longs rounded to 4
+    decimals BEFORE the argmax with a label tie-break, mirrored in
+    ``oracle.centroid_classify_sql``.
+
+    Output: (id, label, cos, true_label) — one row per (doc, best label).
+
+    Scale shape: the centroid table is (labels × dim) rows — broadcast;
+    scoring is one broadcast join on bucket + per-doc rollup; the argmax
+    is a per-doc window over ≤ n_labels rows. The corpus never shuffles
+    on anything but its own id rollups.
+    """
+    feats = hash_features(df, id_col, text_col, dim=dim, seed=seed)
+    labels = df.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("true_label")
+    )
+    train_ids = (
+        df.where(labeled_filter) if labeled_filter is not None else df
+    ).select(F.col(id_col).alias("id"))
+    cents = (
+        feats.join(train_ids, "id")
+        .join(labels, "id")
+        .groupBy(F.col("true_label").alias("label"), "bucket")
+        .agg(F.sum("w").cast("long").alias("sw"))
+    )
+    cent_stats = cents.groupBy("label").agg(
+        F.sum(F.col("sw") * F.col("sw")).cast("long").alias("c_sumsq")
+    )
+    doc_norms = feats.groupBy("id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("d_sumsq")
+    )
+    dots = (
+        feats.join(F.broadcast(cents), "bucket")
+        .groupBy("id", "label")
+        .agg(F.sum(F.col("w") * F.col("sw")).cast("long").alias("dot"))
+    )
+    scored = (
+        dots.join(F.broadcast(cent_stats), "label")
+        .join(doc_norms, "id")
+        .select(
+            "id",
+            "label",
+            F.round(
+                F.col("dot")
+                / F.sqrt((F.col("d_sumsq") * F.col("c_sumsq")).cast("double")),
+                4,
+            ).alias("cos"),
+        )
+    )
+    win = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("label").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") == 1)
+        .join(labels, "id")
+        .select("id", "label", "cos", "true_label")
+    )

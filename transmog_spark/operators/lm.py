@@ -29,7 +29,7 @@ longs), so the 1e-4 rounding grid absorbs any last-ulp libm divergence.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from transmog_spark.functions.hashing import md5_long
@@ -242,6 +242,54 @@ def importance_weights(
         (F.col("__t_e4") / F.lit(10000.0)).alias("avg_logp_target"),
         (F.col("__r_e4") / F.lit(10000.0)).alias("avg_logp_raw"),
         ((F.col("__t_e4") - F.col("__r_e4")) / F.lit(10000.0)).alias("log_ratio"),
+    )
+
+
+def importance_resample(
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    n: int,
+    seed: int | str = 0,
+    temperature: float = 1.0,
+    ratio_col: str = "log_ratio",
+) -> DataFrame:
+    """The RESAMPLING half of DSIR (Xie et al. 2023 §3): draw ``n``
+    documents without replacement with probability ∝ exp(log_ratio / T),
+    deterministically — the Efraimidis–Spirakis (2006) weighted
+    reservoir: each doc gets ``log_key = ln(u) * exp(-log_ratio / T)``
+    with ``u = md5(seed#id) / 2^60`` ∈ (0,1), and the top-n by key ARE a
+    weighted sample without replacement. No RNG state, no partition-order
+    dependence: same seed replays the identical sample on any cluster
+    size or engine.
+
+    ``weights`` is ``importance_weights`` output (or any (id, log_ratio)
+    frame). Keys are rounded to 1e-6 BEFORE ranking with an id tie-break,
+    so the DuckDB mirror (``oracle.importance_resample_sql``) ranks
+    identically despite libm-vs-StrictMath ulp drift in ln/exp.
+
+    Output: (id, log_ratio, w, key, rank), rank 1..n by key descending.
+
+    Scale shape: one stateless expression pass + a global top-n
+    (TakeOrdered — no full sort materialization); the weights frame is
+    doc-count-sized, tiny next to the corpus it summarizes.
+    """
+    u = md5_long(F.concat(F.lit(f"{seed}#"), F.col(id_col).cast("string")))
+    u_frac = (u.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))  # (0,1]
+    log_key = F.log(u_frac) * F.exp(-F.col(ratio_col) / F.lit(temperature))
+    scored = weights.select(
+        F.col(id_col),
+        F.col(ratio_col),
+        F.round(F.exp(F.col(ratio_col) / F.lit(temperature)), 4).alias("w"),
+        F.round(log_key, 6).alias("key"),
+    )
+    # orderBy + limit plans as TakeOrderedAndProject (per-partition top-n
+    # + driver merge, no global sort shuffle); the rank window then runs
+    # over <= n rows only
+    top = scored.orderBy(F.col("key").desc(), F.col(id_col).asc()).limit(n)
+    win = Window.orderBy(F.col("key").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(win)).select(
+        id_col, ratio_col, "w", "key", "rank"
     )
 
 

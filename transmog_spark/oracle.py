@@ -2247,3 +2247,81 @@ ranked AS (
   FROM scored)
 SELECT query_id, id, dot, cos, rank FROM ranked WHERE rank <= {k}
 """
+
+
+def importance_resample_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_pred: str = "lang = 'en'",
+    k: float = 0.5,
+    n: int = 50,
+    seed: int | str = 0,
+    temperature: float = 1.0,
+) -> str:
+    """Mirror of operators.lm.importance_resample: same Efraimidis-
+    Spirakis log-keys over the DSIR log-ratio, round(.,6) BEFORE ranking,
+    id tie-break."""
+    imp = importance_sql(
+        table=table, id_col=id_col, text_col=text_col,
+        target_pred=target_pred, k=k,
+    ).strip()
+    u = duck_md5_long(duck_seeded(f"CAST({id_col} AS VARCHAR)", seed))
+    return f"""
+WITH imp AS ({imp}),
+keys AS (
+  SELECT {id_col}, log_ratio,
+         round(exp(log_ratio / {temperature!r}), 4) AS w,
+         round(ln(({u} + 1.0) / {float(1 << 60)!r})
+               * exp(-log_ratio / {temperature!r}), 6) AS key
+  FROM imp),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY key DESC, {id_col}) AS rank
+  FROM keys)
+SELECT {id_col}, log_ratio, w, key, rank FROM ranked WHERE rank <= {n}
+"""
+
+
+def centroid_classify_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "source",
+    dim: int = 256,
+    seed: int = 1,
+    labeled_filter: str = "TRUE",
+) -> str:
+    """Mirror of operators.hashfeat.centroid_classify: unscaled integer
+    centroid sums, exact dot/sumsq, round-4-then-argmax, label tie-break."""
+    feats = hash_features_sql(
+        table=table, id_col=id_col, text_col=text_col, dim=dim, seed=seed
+    ).strip()
+    return f"""
+WITH feats AS ({feats}),
+labels AS (SELECT {id_col} AS id, {label_col} AS true_label FROM {table}),
+train AS (SELECT {id_col} AS id FROM {table} WHERE {labeled_filter}),
+cents AS (
+  SELECT l.true_label AS label, f.bucket, CAST(sum(f.w) AS BIGINT) AS sw
+  FROM feats f JOIN train t ON f.id = t.id JOIN labels l ON f.id = l.id
+  GROUP BY 1, 2),
+cstats AS (
+  SELECT label, CAST(sum(sw * sw) AS BIGINT) AS c_sumsq FROM cents GROUP BY 1),
+dnorm AS (
+  SELECT id, CAST(sum(w * w) AS BIGINT) AS d_sumsq FROM feats GROUP BY 1),
+dots AS (
+  SELECT f.id, c.label, CAST(sum(f.w * c.sw) AS BIGINT) AS dot
+  FROM feats f JOIN cents c ON f.bucket = c.bucket GROUP BY 1, 2),
+scored AS (
+  SELECT d.id, d.label,
+         round(d.dot / sqrt(CAST(n.d_sumsq * s.c_sumsq AS DOUBLE)), 4) AS cos
+  FROM dots d
+  JOIN cstats s ON d.label = s.label
+  JOIN dnorm n ON d.id = n.id),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, label) AS rn
+  FROM scored)
+SELECT b.id, b.label, b.cos, l.true_label
+FROM best b JOIN labels l ON b.id = l.id WHERE rn = 1
+"""
