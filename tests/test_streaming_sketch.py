@@ -1,0 +1,77 @@
+"""Streaming CMS/HLL maintenance: merged store ≡ batch sketch on union."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+
+def _stage_batches(spark, tmp_path, batches, schema):
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copy(part, src / f"b{i}.parquet")
+    return str(src)
+
+
+def test_streamed_sketches_equal_batch_union(spark, tmp_path):
+    from transmog_spark.operators.sketch import (
+        cms_sketch,
+        hll_estimate,
+        hll_registers,
+    )
+    from transmog_spark.streaming.sketch import (
+        read_cms,
+        read_hll,
+        sketch_foreach_batch,
+    )
+
+    batches = [
+        [(1, "apple banana apple cherry"), (2, "banana cherry date")],
+        [(3, "apple date elderberry fig"), (4, "cherry cherry date grape")],
+        [(5, "apple banana cherry date elderberry fig grape")],
+    ]
+    schema = "doc_id long, text string"
+    src = _stage_batches(spark, tmp_path, batches, schema)
+    store = str(tmp_path / "sketches")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            sketch_foreach_batch(store, depth=4, width=32, p=12)
+        )
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+
+    union = spark.createDataFrame([r for b in batches for r in b], schema)
+    batch_cms = sorted(
+        map(tuple, cms_sketch(union, depth=4, width=32).collect())
+    )
+    batch_hll = sorted(map(tuple, hll_registers(union, p=12).collect()))
+    stream_cms = sorted(map(tuple, read_cms(spark, store).collect()))
+    stream_hll = sorted(map(tuple, read_hll(spark, store).collect()))
+    assert stream_cms == batch_cms and len(stream_cms) > 0
+    assert stream_hll == batch_hll and len(stream_hll) > 0
+
+    # the merged registers estimate the union's cardinality
+    est = hll_estimate(read_hll(spark, store), p=12).collect()[0]
+    assert abs(est["hll_est"] - 7) < 1.0  # 7 distinct tokens
+
+    # committed-batch replay is an exact no-op (CMS + is not idempotent)
+    handler = sketch_foreach_batch(store, depth=4, width=32, p=12)
+    handler(spark.createDataFrame(batches[2], schema), 2)
+    again = sorted(map(tuple, read_cms(spark, store).collect()))
+    assert again == batch_cms
+
+    # superseded generations are GC'd: exactly one cms/hll dir remains
+    assert len(glob.glob(os.path.join(store, "cms-g*"))) == 1
+    assert len(glob.glob(os.path.join(store, "hll-g*"))) == 1

@@ -124,3 +124,13 @@ def test_cms_overestimates_only_and_full_recall(spark, sf_dir):
     assert hot <= {r["term"] for r in hh}
     # bounded state regardless of corpus size
     assert cms_sketch(docs, depth=depth, width=width).count() <= depth * width
+
+
+def test_hll_empty_corpus_degrades_to_zero(spark):
+    from transmog_spark.operators.sketch import hll_distinct
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    row = hll_distinct(df, p=12).collect()[0]
+    assert row["exact_distinct"] == 0
+    assert row["hll_est"] == 0.0
+    assert row["rel_err_pct"] is None

@@ -109,6 +109,33 @@ def hll_registers(
     )
 
 
+def hll_estimate(regs: DataFrame, *, p: int = 12) -> DataFrame:
+    """One-row estimate (m, n_present, hll_est) from a register table —
+    the read side of a maintained/merged register store. Exact-integer
+    scaled harmonic denominator; see ``hll_distinct`` for the math."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    scale = 49
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(1L, {scale} - reg)")), F.lit(0)
+        ).alias("__cells"),
+    )
+    zeros = F.lit(m) - F.col("n_present")
+    denom_scaled = F.col("__cells") + zeros * F.lit(1 << scale)
+    raw = F.lit(alpha * m * m * float(1 << scale)) / denom_scaled
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).alias("m"),
+        F.col("n_present").cast("long").alias("n_present"),
+        F.round(est, 4).alias("hll_est"),
+    )
+
+
 def hll_distinct(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -129,38 +156,25 @@ def hll_distinct(
     zeros > 0) follows the paper; round(…, 4) on both engines absorbs
     libm-vs-StrictMath ulp drift in ln.
     """
-    m = 1 << p
-    alpha = 0.7213 / (1.0 + 1.079 / m)  # bias correction, m >= 128
-    scale = 49  # 2^(49 - reg) stays integral for reg <= 49 = 60-11+1
-    regs = hll_registers(df, id_col, text_col, p=p)
-    agg = regs.agg(
-        F.count(F.lit(1)).alias("n_present"),
-        F.sum(F.expr(f"shiftleft(1L, {scale} - reg)")).alias("__cells"),
-    )
+    est = hll_estimate(hll_registers(df, id_col, text_col, p=p), p=p)
     exact = df.select(
         F.explode(ws_tokens(F.col(text_col))).alias("term")
     ).agg(F.countDistinct("term").alias("exact_distinct"))
-    zeros = F.lit(m) - F.col("n_present")
-    denom_scaled = F.col("__cells") + zeros * F.lit(1 << scale)
-    raw = F.lit(alpha * m * m * float(1 << scale)) / denom_scaled
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (zeros > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
-    ).otherwise(raw)
-    return (
-        agg.crossJoin(F.broadcast(exact))
-        .select(
-            F.lit(m).alias("m"),
-            F.col("n_present").cast("long").alias("n_present"),
-            F.round(est, 4).alias("hll_est"),
-            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+    return est.crossJoin(F.broadcast(exact)).select(
+        "m",
+        "n_present",
+        "hll_est",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        F.when(F.col("exact_distinct") == 0, F.lit(None).cast("double"))
+        .otherwise(
             F.round(
-                (est - F.col("exact_distinct"))
+                (F.col("hll_est") - F.col("exact_distinct"))
                 / F.col("exact_distinct")
                 * 100.0,
                 4,
-            ).alias("rel_err_pct"),
+            )
         )
+        .alias("rel_err_pct"),
     )
 
 

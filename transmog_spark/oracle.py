@@ -2125,7 +2125,7 @@ regs AS (
   FROM hashed GROUP BY bucket),
 agg AS (
   SELECT count(*) AS n_present,
-         CAST(sum(1::BIGINT << ({scale} - reg)) AS BIGINT) AS cells
+         CAST(coalesce(sum(1::BIGINT << ({scale} - reg)), 0) AS BIGINT) AS cells
   FROM regs),
 exact AS (SELECT count(DISTINCT term) AS exact_distinct FROM toks),
 est AS (
@@ -2143,8 +2143,10 @@ SELECT {m} AS m,
        CAST(n_present AS BIGINT) AS n_present,
        round(raw_est, 4) AS hll_est,
        CAST(exact_distinct AS BIGINT) AS exact_distinct,
-       round((raw_est - exact_distinct) / exact_distinct * 100.0, 4)
-         AS rel_err_pct
+       CASE WHEN exact_distinct = 0 THEN NULL
+            ELSE round((round(raw_est, 4) - exact_distinct)
+                       / exact_distinct * 100.0, 4)
+       END AS rel_err_pct
 FROM est
 """
 

@@ -1,0 +1,141 @@
+"""Streaming maintenance of the bounded-state sketches (CMS + HLL).
+
+Both sketches are MERGEABLE — the algebraic property that makes them the
+right streaming state: two CMS grids over disjoint streams sum cell-wise
+into the grid of the union, and two HLL register tables max-merge into
+the registers of the union (Cormode & Muthukrishnan 2005 §4.1; Flajolet
+et al. 2007 — register max commutes with stream union). So the handler
+folds each micro-batch's sketch into a tiny persisted store (≤ depth ×
+width + 2^p rows) with NO raw-data state, and any point-in-time read
+answers "hot tokens so far" / "distinct tokens so far" over the whole
+history of the stream.
+
+Store layout: generation dirs (``cms-g{N}``, ``hll-g{N}``) with a
+``_sketch_meta.json`` pointer — the merged sketch is written to the NEXT
+generation and the meta flip is the commit point (a reader never sees a
+half-written grid; parquet can't overwrite a path it is reading from).
+Replay guard: ``last_batch_id`` in the meta, same at-least-once posture
+as ``streaming/bm25.py`` — a committed-batch replay after restart is an
+exact no-op, which matters doubly here because CMS addition is not
+idempotent (a re-applied batch would overcount exactly as a duplicated
+input would).
+
+Parity pinned by test: streamed store == batch-built sketch on the union
+input, cell-for-cell and register-for-register.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transmog_spark.operators.sketch import cms_sketch, hll_registers
+
+_META = "_sketch_meta.json"
+
+
+def _read_meta(store_path: str) -> dict | None:
+    path = os.path.join(store_path, _META)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _write_meta(store_path: str, meta: dict) -> None:
+    path = os.path.join(store_path, _META)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, path)
+
+
+def read_cms(spark: SparkSession, store_path: str) -> DataFrame:
+    """Current merged CMS grid (d, bucket, cnt)."""
+    meta = _read_meta(store_path)
+    if meta is None:
+        raise FileNotFoundError(f"no sketch store at {store_path}")
+    return spark.read.parquet(os.path.join(store_path, f"cms-g{meta['gen']}"))
+
+
+def read_hll(spark: SparkSession, store_path: str) -> DataFrame:
+    """Current merged HLL register table (bucket, reg)."""
+    meta = _read_meta(store_path)
+    if meta is None:
+        raise FileNotFoundError(f"no sketch store at {store_path}")
+    return spark.read.parquet(os.path.join(store_path, f"hll-g{meta['gen']}"))
+
+
+def sketch_foreach_batch(
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    depth: int = 4,
+    width: int = 256,
+    p: int = 12,
+) -> Callable[[DataFrame, int], None]:
+    """Build the ``foreachBatch`` handler. Attach with::
+
+        stream.writeStream.foreachBatch(
+            sketch_foreach_batch("/warehouse/sketches")
+        ).option("checkpointLocation", chk).start()
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        meta = _read_meta(store_path)
+        if meta is not None and meta.get("last_batch_id", -1) >= batch_id:
+            return  # committed-batch replay: exact no-op (CMS + is not idempotent)
+        new_cms = cms_sketch(batch_df, id_col, text_col, depth=depth, width=width)
+        new_hll = hll_registers(batch_df, id_col, text_col, p=p)
+        if meta is None:
+            gen = 1
+        else:
+            gen = meta["gen"] + 1
+            old_cms = spark.read.parquet(
+                os.path.join(store_path, f"cms-g{meta['gen']}")
+            )
+            old_hll = spark.read.parquet(
+                os.path.join(store_path, f"hll-g{meta['gen']}")
+            )
+            # cell-wise sum / register-wise max over the union of keys
+            new_cms = (
+                old_cms.unionByName(new_cms)
+                .groupBy("d", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+            new_hll = (
+                old_hll.unionByName(new_hll)
+                .groupBy("bucket")
+                .agg(F.max("reg").alias("reg"))
+            )
+        new_cms.write.mode("error").parquet(
+            os.path.join(store_path, f"cms-g{gen}")
+        )
+        new_hll.write.mode("error").parquet(
+            os.path.join(store_path, f"hll-g{gen}")
+        )
+        _write_meta(
+            store_path,
+            {
+                "gen": gen,
+                "last_batch_id": batch_id,
+                "depth": depth,
+                "width": width,
+                "p": p,
+            },
+        )
+        # GC superseded generations (meta already points past them)
+        for g in range(1, gen):
+            for prefix in ("cms-g", "hll-g"):
+                shutil.rmtree(
+                    os.path.join(store_path, f"{prefix}{g}"), ignore_errors=True
+                )
+
+    return handle
