@@ -391,3 +391,28 @@ def test_cms_bounded_grid_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) >= 1
+
+
+def test_dsir_resample_is_take_ordered(spark, sf_dir):
+    # weighted sampling is a stateless key expression + global top-n:
+    # TakeOrderedAndProject (per-partition top-n, driver merge), never a
+    # global sort materialization
+    plan = _plan(spark, sf_dir, "dsir_resample")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_centroid_classify_broadcasts_centroids(spark, sf_dir):
+    # the labels×dim centroid table broadcasts into the corpus feature
+    # pass; the argmax is a per-doc window — no sort-merge joins anywhere
+    plan = _plan(spark, sf_dir, "centroid_classify")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) >= 1
+
+
+def test_hll_single_corpus_pass_bounded_agg(spark, sf_dir):
+    # one token-explode pass into an m-row register rollup + one
+    # countDistinct pass; no joins of corpus-sized relations
+    plan = _plan(spark, sf_dir, "hll_distinct")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
