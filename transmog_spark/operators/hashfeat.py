@@ -84,14 +84,15 @@ def hashed_cosine_topk(
     norms = feats.groupBy("id").agg(
         F.sum(F.col("w") * F.col("w")).cast("long").alias("sumsq")
     )
-    q_ids = df.where(query_filter).select(F.col(id_col).alias("id"))
-    qf = (
-        feats.join(F.broadcast(q_ids), "id")
-        .withColumnsRenamed({"id": "query_id", "w": "qw"})
-    )
-    qn = norms.join(F.broadcast(q_ids), "id").withColumnsRenamed(
-        {"id": "query_id", "sumsq": "q_sumsq"}
-    )
+    # query-side features hash ONLY the filtered docs (a pure per-doc
+    # function, so identical to slicing the corpus-wide pass) — the
+    # broadcast side never rescans the corpus
+    q_docs = df.where(query_filter)
+    qf = hash_features(q_docs, id_col, text_col, dim=dim, seed=seed)
+    qn = qf.groupBy("id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("q_sumsq")
+    ).withColumnRenamed("id", "query_id")
+    qf = qf.withColumnsRenamed({"id": "query_id", "w": "qw"})
     dots = (
         feats.join(F.broadcast(qf), "bucket")
         .where(F.col("id") != F.col("query_id"))
