@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""End-to-end corpus curation job (spark-submit entry point): raw
+documents in, training-ready shards out.
+
+The batch flagship chain as a production job — quality gate (Gopher/
+CCNet composite, reference bigram LM trained on ``--model-filter``) →
+benchmark decontamination → exact dedup → MinHash near-dup dedup →
+duplicated-span strip (all via ``streaming.curation.curate_batch``, the
+same oracle-gated composition the `curation_pipeline` driver query
+checks) → deterministic training order + shard assignment with token
+offsets → per-shard manifests → CHECKPOINTED shard writes.
+
+Resume: every stage is deterministic (seeded hashes, min-id rules,
+md5 permutation keys), so a killed run recomputes identical verdicts;
+shards are written one at a time with a watermark committed after each
+(``checkpoint.py``) and a restart skips committed shards. The manifest
+table carries each shard's row count, token total and an order-sensitive
+id digest, so a written shard verifies without re-reading the corpus.
+
+Cluster usage:
+
+    spark-submit --master yarn --deploy-mode cluster \
+      --num-executors 500 --executor-cores 4 --executor-memory 16g \
+      --py-files transmog_spark.zip \
+      jobs/curate_corpus.py \
+      --docs /warehouse/raw_docs --output /warehouse/curated_shards \
+      --checkpoint /warehouse/ckpt/curate --n-shards 1024
+
+Local smoke:
+
+    python jobs/curate_corpus.py --docs /root/testdata/sf0.001/documents.parquet \
+      --output /tmp/shards --checkpoint /tmp/curate_ckpt --n-shards 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--docs", required=True, help="raw documents parquet")
+    p.add_argument("--output", required=True, help="shard output root")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--source-col", default="source")
+    p.add_argument(
+        "--benchmark-filter", default="doc_id % 97 = 0",
+        help="SQL predicate selecting the held-out benchmark slice",
+    )
+    p.add_argument(
+        "--model-filter", default=None,
+        help="SQL predicate for the LM reference subset (default: whole corpus)",
+    )
+    p.add_argument("--contamination-max", type=float, default=0.02)
+    p.add_argument("--near-threshold", type=float, default=0.5)
+    p.add_argument("--n-shards", type=int, default=4)
+    p.add_argument("--seed", default="")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    from transmog_spark.checkpoint import CheckpointStore
+    from transmog_spark.operators.corpus import shard_manifest, training_order
+    from transmog_spark.session import get_spark
+    from transmog_spark.sources.tables import write_table
+    from transmog_spark.streaming.curation import curate_batch
+    from transmog_spark.streaming.quality import train_reference_model
+
+    spark = get_spark(
+        app_name="transmog_curate", shuffle_partitions=args.shuffle_partitions
+    )
+    run_id = uuid.uuid4().hex[:12]
+    ckpt = CheckpointStore(spark, args.checkpoint)
+
+    docs = spark.read.parquet(args.docs)
+    bench = docs.where(args.benchmark_filter)
+    corpus = docs.where(f"NOT ({args.benchmark_filter})")
+    reference = (
+        corpus.where(args.model_filter) if args.model_filter else corpus
+    )
+    lm_model = train_reference_model(
+        reference, args.id_col, args.text_col, train_pct=80
+    )
+
+    persisted: list = []
+    kept = curate_batch(
+        corpus,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        source_col=args.source_col,
+        lm_model=lm_model,
+        benchmark=bench,
+        contamination_max=args.contamination_max,
+        near_threshold=args.near_threshold,
+        persisted=persisted,
+    )
+    order = training_order(
+        kept, args.id_col, n_shards=args.n_shards, seed=args.seed,
+        ntok_col="n_tok",
+    )
+    sharded = kept.join(
+        order.select(args.id_col, "shard", "shard_pos", "tok_offset"),
+        args.id_col,
+    ).persist()
+    persisted.append(sharded)
+
+    try:
+        manifest = shard_manifest(
+            kept, args.id_col, n_shards=args.n_shards, seed=args.seed,
+            ntok_col="n_tok",
+        )
+        write_table(
+            manifest, os.path.join(args.output, "manifests"), mode="overwrite"
+        )
+
+        done = ckpt.committed_keys()
+        todo = [s for s in range(args.n_shards) if str(s) not in done]
+        if len(todo) != args.n_shards:
+            print(
+                f"[curate {run_id}] skipping {args.n_shards - len(todo)} "
+                "committed shard(s)"
+            )
+        print(f"[curate {run_id}] {len(todo)} shard(s) to write")
+        for s in todo:
+            t0 = time.monotonic()
+            part = sharded.where(F.col("shard") == s)
+            write_table(
+                part, os.path.join(args.output, "data"),
+                mode="overwrite_partitions", partition_by=["shard"],
+            )
+            n = (
+                spark.read.parquet(os.path.join(args.output, "data"))
+                .where(F.col("shard") == s)
+                .count()
+            )
+            ckpt.commit(
+                str(s), None, rows_in=n, rows_out=n, run_id=run_id,
+                started_at=t0,
+            )
+            print(f"[curate {run_id}] committed shard {s}: rows={n}")
+    finally:
+        for frame in persisted:
+            frame.unpersist()
+        for frame in lm_model:
+            frame.unpersist()
+    print(f"[curate {run_id}] done")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

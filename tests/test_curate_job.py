@@ -1,0 +1,121 @@
+"""e2e for jobs/curate_corpus.py: raw docs -> curated, ordered shards,
+checkpointed resume, manifest verification."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from jobs.curate_corpus import main as curate_main
+
+
+def _run(spark, sf_dir, tmp_path, sub: str, extra: list[str] | None = None):
+    out = str(tmp_path / sub / "out")
+    ckpt = str(tmp_path / sub / "ckpt")
+    rc = curate_main(
+        [
+            "--docs", os.path.join(sf_dir, "documents.parquet"),
+            "--output", out,
+            "--checkpoint", ckpt,
+            "--n-shards", "4",
+            "--shuffle-partitions", "8",
+        ]
+        + (extra or [])
+    )
+    assert rc == 0
+    return out, ckpt
+
+
+def test_curate_job_end_to_end(spark, sf_dir, tmp_path):
+    from transmog_spark.operators.corpus import training_order
+    from transmog_spark.streaming.curation import curate_batch
+    from transmog_spark.streaming.quality import train_reference_model
+
+    out, ckpt = _run(spark, sf_dir, tmp_path, "a")
+
+    data = spark.read.parquet(os.path.join(out, "data"))
+    mani = spark.read.parquet(os.path.join(out, "manifests"))
+
+    # every configured shard written; ordering fields complete
+    assert {r["shard"] for r in data.select("shard").distinct().collect()} == {
+        0, 1, 2, 3
+    }
+    assert data.where(F.col("tok_offset").isNull()).count() == 0
+
+    # manifests agree with the written data, shard for shard
+    per = {
+        r["shard"]: (r["n"], r["tok"])
+        for r in data.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("tok"))
+        .collect()
+    }
+    for m in mani.collect():
+        assert per[m["shard"]] == (m["n_rows"], m["tok_total"])
+
+    # the job's output EQUALS the library chain run directly
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    bench = docs.where("doc_id % 97 = 0")
+    corpus = docs.where("NOT (doc_id % 97 = 0)")
+    model = train_reference_model(corpus, train_pct=80)
+    kept = curate_batch(corpus, lm_model=model, benchmark=bench)
+    order = training_order(kept, n_shards=4, ntok_col="n_tok")
+    expected = sorted(
+        map(
+            tuple,
+            kept.join(
+                order.select("doc_id", "shard", "shard_pos", "tok_offset"),
+                "doc_id",
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, data.select(*kept.columns, "shard", "shard_pos", "tok_offset").collect())
+    )
+    assert got == expected and len(got) > 0
+    for frame in model:
+        frame.unpersist()
+
+
+def test_curate_job_resume_skips_committed_shards(spark, sf_dir, tmp_path):
+    import uuid
+
+    from transmog_spark.checkpoint import CheckpointStore
+
+    # pre-commit shard 0 in a fresh checkpoint: the job must skip it
+    ckpt_dir = str(tmp_path / "b" / "ckpt")
+    store = CheckpointStore(spark, ckpt_dir)
+    store.commit("0", None, rows_in=0, rows_out=0, run_id=uuid.uuid4().hex[:12])
+
+    out = str(tmp_path / "b" / "out")
+    rc = curate_main(
+        [
+            "--docs", os.path.join(sf_dir, "documents.parquet"),
+            "--output", out,
+            "--checkpoint", ckpt_dir,
+            "--n-shards", "4",
+            "--shuffle-partitions", "8",
+        ]
+    )
+    assert rc == 0
+    data = spark.read.parquet(os.path.join(out, "data"))
+    shards = {r["shard"] for r in data.select("shard").distinct().collect()}
+    assert shards == {1, 2, 3}  # 0 skipped as already-committed
+
+    # second full run over the completed checkpoint is a no-op on data
+    before = data.count()
+    rc = curate_main(
+        [
+            "--docs", os.path.join(sf_dir, "documents.parquet"),
+            "--output", out,
+            "--checkpoint", ckpt_dir,
+            "--n-shards", "4",
+            "--shuffle-partitions", "8",
+        ]
+    )
+    assert rc == 0
+    after = spark.read.parquet(os.path.join(out, "data")).count()
+    assert after == before
