@@ -75,3 +75,36 @@ def test_streamed_sketches_equal_batch_union(spark, tmp_path):
     # superseded generations are GC'd: exactly one cms/hll dir remains
     assert len(glob.glob(os.path.join(store, "cms-g*"))) == 1
     assert len(glob.glob(os.path.join(store, "hll-g*"))) == 1
+
+
+def test_crash_orphan_generation_is_replaced_on_retry(spark, tmp_path):
+    """A crash after the gen-dir writes but before the meta flip leaves
+    orphan dirs; the batch retry must replace them, not error out."""
+    import json
+
+    from transmog_spark.operators.sketch import cms_sketch
+    from transmog_spark.streaming.sketch import read_cms, sketch_foreach_batch
+
+    schema = "doc_id long, text string"
+    store = str(tmp_path / "s")
+    handler = sketch_foreach_batch(store, depth=4, width=32, p=12)
+    b0 = spark.createDataFrame([(1, "apple banana")], schema)
+    handler(b0, 0)
+
+    # simulate the crash window: write the NEXT generation dirs, no meta flip
+    spark.createDataFrame([(0, 0, 999)], "d int, bucket int, cnt long") \
+        .write.parquet(os.path.join(store, "cms-g2"))
+    spark.createDataFrame([(0, 1)], "bucket long, reg int") \
+        .write.parquet(os.path.join(store, "hll-g2"))
+
+    b1 = spark.createDataFrame([(2, "cherry date")], schema)
+    handler(b1, 1)  # retry path: must overwrite the orphans, not raise
+
+    union = spark.createDataFrame(
+        [(1, "apple banana"), (2, "cherry date")], schema
+    )
+    got = sorted(map(tuple, read_cms(spark, store).collect()))
+    want = sorted(map(tuple, cms_sketch(union, depth=4, width=32).collect()))
+    assert got == want  # the bogus 999 cell is gone
+    with open(os.path.join(store, "_sketch_meta.json")) as fh:
+        assert json.load(fh)["gen"] == 2

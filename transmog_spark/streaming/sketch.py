@@ -115,6 +115,14 @@ def sketch_foreach_batch(
                 .groupBy("bucket")
                 .agg(F.max("reg").alias("reg"))
             )
+        # a crash between these writes and the meta flip leaves gen dirs no
+        # meta references; the RETRY of that batch recomputes the same gen —
+        # clear the orphans first (they are uncommitted by definition: meta
+        # still points below gen) so the retry succeeds instead of erroring
+        for prefix in ("cms-g", "hll-g"):
+            shutil.rmtree(
+                os.path.join(store_path, f"{prefix}{gen}"), ignore_errors=True
+            )
         new_cms.write.mode("error").parquet(
             os.path.join(store_path, f"cms-g{gen}")
         )
