@@ -827,6 +827,55 @@ def _q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_duplicate_spans(d, "doc_id", "text", n=8, min_count=2)
 
 
+# The synthetic corpus has no \n — ' the ' as the segment separator gives
+# the line stream real corpus-wide duplication (56 dup keys at sf0.001).
+_LINE_SEP = " the "
+
+
+def _q_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-line inventory (operators/lines.py — the
+    CCNet/RefinedWeb paragraph-hash boilerplate filter): 60-bit md5 of
+    each trimmed segment, counted corpus-wide, >=2x keys reported."""
+    from transmog_spark.operators.lines import duplicated_lines
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicated_lines(
+        d, "doc_id", "text", min_count=2, min_chars=4, sep=_LINE_SEP
+    )
+
+
+def _q_strip_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line dedup applied (operators/lines.py:strip_duplicated_lines):
+    per-doc line counts and md5 fingerprint of the text after dropping
+    every occurrence of a corpus-duplicated line."""
+    from transmog_spark.operators.lines import strip_duplicated_lines
+
+    d = _t(spark, sf_dir, "documents")
+    return strip_duplicated_lines(
+        d, "doc_id", "text", min_count=2, min_chars=4, sep=_LINE_SEP
+    )
+
+
+def _q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota (operators/corpus.py:cap_per_source — the
+    FineWeb/Dolma domain-cap step): deterministic seeded-hash rank inside
+    each source; kept = rank <= cap."""
+    from transmog_spark.operators.corpus import cap_per_source
+
+    d = _t(spark, sf_dir, "documents")
+    return cap_per_source(d, "doc_id", "source", cap=60, seed="r5")
+
+
+def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per document (operators/corpus.py:
+    tfidf_keywords — smooth-idf, scaled-integer rank grid, term
+    tie-break)."""
+    from transmog_spark.operators.corpus import tfidf_keywords
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_keywords(d, "doc_id", "text", k=5)
+
+
 def _q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training order (operators/corpus.py:training_order):
     md5(seed#id) permutation key -> shard + in-shard rank + exclusive
@@ -1485,6 +1534,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-stable basics (green since round 1-2) trail.  Rotate per round.
     return {
         # -- round-5 surface -------------------------------------------
+        "dup_lines": _q_dup_lines,
+        "strip_dup_lines": _q_strip_dup_lines,
+        "tfidf_keywords": _q_tfidf_keywords,
+        "cap_per_source": _q_cap_per_source,
         "rerank_topk": _q_rerank_topk,
         "embedding_topk_indexed": _q_embedding_topk_indexed,
         "winnow_fps": _q_winnow_fps,
@@ -1633,6 +1686,10 @@ def oracle_sql() -> dict[str, str]:
         hashed_cosine_topk_sql,
         importance_resample_sql,
         centroid_classify_sql,
+        duplicated_lines_sql,
+        strip_duplicated_lines_sql,
+        tfidf_keywords_sql,
+        cap_per_source_sql,
         token_positions_sql,
         tokenize_docs_sql,
     )
@@ -1841,6 +1898,14 @@ SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM (
         "embedding_topk_indexed": ivf_topk_sql(
             query_filter="vec_id < 10", k=5, nlist=16, nprobe=4
         ),
+        "dup_lines": duplicated_lines_sql(
+            min_count=2, min_chars=4, sep=_LINE_SEP
+        ),
+        "strip_dup_lines": strip_duplicated_lines_sql(
+            min_count=2, min_chars=4, sep=_LINE_SEP
+        ),
+        "tfidf_keywords": tfidf_keywords_sql(k=5),
+        "cap_per_source": cap_per_source_sql(cap=60, seed="r5"),
         "winnow_fps": winnow_fingerprints_sql(k=5, w=4),
         "winnow_pairs": winnow_pairs_sql(
             k=5, w=4, min_shared=2, max_bucket=500

@@ -52,6 +52,9 @@ HEADLINE = [
     "text_profile",
     "quality_gate",
     "dup_spans",
+    "strip_dup_lines",
+    "tfidf_keywords",
+    "cap_per_source",
     "bpe_tokenize",
     "embedding_topk",
     "embedding_topk_ivf",

@@ -376,3 +376,80 @@ def test_bm25_index_update_two_deltas(spark, tmp_path):
         meta = json.load(fh)
     assert meta["n_docs"] == 5 and meta["n_texts"] == 5
     assert meta["sum_dl"] == 3 + 2 + 2 + 3 + 5
+
+
+def test_tfidf_keywords_ranking(spark):
+    from transmog_spark.operators.corpus import tfidf_keywords
+
+    rows = [
+        (1, "apple apple apple banana common"),
+        (2, "banana banana cherry common"),
+        (3, "cherry date common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_keywords(df, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for v in by_doc.values():
+        v.sort(key=lambda r: r["rank"])
+    # every doc gets exactly k=2 ranked keywords
+    assert all(len(v) == 2 for v in by_doc.values())
+    assert [r["rank"] for r in by_doc[1]] == [1, 2]
+    # doc 1: 'apple' (tf=3, df=1) dominates; 'common' (df=3) never wins
+    assert by_doc[1][0]["term"] == "apple" and by_doc[1][0]["tf"] == 3
+    assert all(v[0]["term"] != "common" for v in by_doc.values())
+    # smooth-idf value check: score(apple,d1) = 3 * (ln(4/2)+1)
+    import math
+
+    expected = round(3 * (math.log(4 / 2) + 1) * 10000) / 10000
+    assert abs(by_doc[1][0]["score"] - expected) < 1e-9
+
+
+def test_tfidf_keywords_tie_break_on_term(spark):
+    from transmog_spark.operators.corpus import tfidf_keywords
+
+    # both terms have identical tf and df -> identical score; the rank
+    # must break ties on ascending term, deterministically
+    df = spark.createDataFrame(
+        [(1, "zebra alpha"), (2, "zebra alpha")], "doc_id long, text string"
+    )
+    out = {
+        (r["doc_id"], r["rank"]): r["term"]
+        for r in tfidf_keywords(df, "doc_id", "text", k=2).collect()
+    }
+    assert out[(1, 1)] == "alpha" and out[(1, 2)] == "zebra"
+    assert out[(2, 1)] == "alpha" and out[(2, 2)] == "zebra"
+
+
+def test_cap_per_source_quota_and_determinism(spark):
+    from transmog_spark.operators.corpus import cap_per_source
+
+    rows = [(i, f"text {i}", "big" if i < 20 else "small") for i in range(26)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = cap_per_source(df, "doc_id", "source", cap=5, seed="s").collect()
+    kept = {r["source"]: 0 for r in out}
+    for r in out:
+        kept[r["source"]] += int(r["kept"])
+    # big (20 docs) capped to 5; small (6 docs) capped to 5
+    assert kept == {"big": 5, "small": 5}
+    # ranks are a 1..n permutation inside each source
+    ranks = sorted(r["src_rank"] for r in out if r["source"] == "big")
+    assert ranks == list(range(1, 21))
+    # same seed replays identically; a different seed picks a
+    # different (but equally sized) survivor set for the big source
+    again = cap_per_source(df, "doc_id", "source", cap=5, seed="s").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = cap_per_source(df, "doc_id", "source", cap=5, seed="t").collect()
+    surv = lambda rs: {r["doc_id"] for r in rs if r["kept"] and r["source"] == "big"}
+    assert len(surv(other)) == 5 and surv(other) != surv(out)
+
+
+def test_cap_per_source_under_cap_keeps_all(spark):
+    from transmog_spark.operators.corpus import cap_per_source
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string"
+    )
+    out = cap_per_source(df, "doc_id", "source", cap=10).collect()
+    assert all(r["kept"] for r in out)

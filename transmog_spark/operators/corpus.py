@@ -668,3 +668,108 @@ def leakage_safe_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def cap_per_source(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    *,
+    cap: int,
+    seed: str = "cap",
+) -> DataFrame:
+    """Per-source document quota (the FineWeb/Dolma domain-cap step):
+    keep at most ``cap`` documents per source, chosen by a deterministic
+    seeded-hash rank so the SAME documents survive on any cluster size,
+    partitioning, or engine.
+
+    Web-scale corpora are dominated by a few giant domains; capping
+    per-domain document counts before mixing is a standard curation step
+    (RefinedWeb §3.4 caps URL-duplicate mass; Dolma's dedupe/mixer config
+    exposes per-source quotas). ``DataFrame.sample`` cannot express it
+    (non-deterministic, no per-key bound); this is the reproducible form.
+
+    Returns the full inventory (``id_col``, ``source_col``, src_rank,
+    kept) — 1-based rank inside the source by md5(seed#id), kept =
+    rank <= cap — so the audit (how much each domain lost) is one
+    aggregation and the apply is one ``.where(F.col('kept'))``.
+
+    Scale shape: one hash shuffle on source + a per-source sort — the
+    same window cost profile as ``training_order``; 8-byte rank keys. A
+    pathologically hot source makes a hot partition; at 100 TB pre-split
+    such sources upstream or raise ``cap`` granularity (e.g. cap per
+    (source, month)). No driver actions.
+    """
+    from pyspark.sql import Window
+
+    key = md5_long(F.concat(F.lit(f"{seed}#"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(source_col).orderBy(key.asc(), F.col(id_col).asc())
+    return df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.row_number().over(w).alias("src_rank"),
+        (F.row_number().over(w) <= cap).alias("kept"),
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document (smooth-idf, sklearn form).
+
+    score = tf * (ln((1 + N) / (1 + df)) + 1)
+
+    Returns (doc_id, term, tf, score, rank) with rank 1..k per document;
+    ties at the round(score*1e4) grid break on ascending term, so the
+    ranking is deterministic and engine-independent (the lm.py
+    scaled-integer idiom — both engines rank the same longs, never raw
+    doubles). Oracle: ``oracle.tfidf_keywords_sql``.
+
+    Scale shape: one token explode feeds a map-side-combined (doc, term)
+    count; document frequency is a second aggregation over the already-
+    reduced pairs (at most one row per (doc, term), never one per
+    occurrence); N is a broadcast one-row aggregate (the bm25_scores
+    pattern); the per-document top-k window's state is bounded by
+    distinct-terms-per-document. No global sort, no driver actions.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"), ws_tokens(F.col(text_col)).alias("__t")
+    )
+    tf = (
+        base.select("doc_id", F.explode("__t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * idf * 10000).cast("long").alias("__s"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("__s").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (F.col("__s").cast("double") / 10000.0).alias("score"),
+            "rank",
+        )
+    )

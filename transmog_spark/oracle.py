@@ -2327,3 +2327,138 @@ best AS (
 SELECT b.id, b.label, b.cos, l.true_label
 FROM best b JOIN labels l ON b.id = l.id WHERE rn = 1
 """
+
+
+def _duck_str(s: str) -> str:
+    """A Python string as a DuckDB single-quoted literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _line_cand_ctes(
+    *, table: str, id_col: str, text_expr: str, min_chars: int, sep: str
+) -> str:
+    """Shared CTEs: per-line position/hash stream for line-level dedup."""
+    lh = duck_md5_long("trim(line)")
+    return f"""
+lx AS (
+  SELECT {id_col}, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS line
+  FROM (SELECT {id_col}, string_split({text_expr}, {_duck_str(sep)}) AS l
+        FROM {table})),
+cand AS (
+  SELECT {id_col}, pos, {lh} AS lh
+  FROM lx WHERE length(trim(line)) >= {min_chars})"""
+
+
+def duplicated_lines_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    min_count: int = 2,
+    min_chars: int = 1,
+    sep: str = "\n",
+) -> str:
+    """Mirror of operators.lines.duplicated_lines."""
+    ctes = _line_cand_ctes(
+        table=table, id_col=id_col, text_expr=text_expr,
+        min_chars=min_chars, sep=sep,
+    )
+    return f"""
+WITH {ctes},
+per_doc AS (SELECT lh, {id_col}, count(*) AS c FROM cand GROUP BY 1, 2)
+SELECT lh AS line_md5,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(c) AS BIGINT) AS n_occurrences
+FROM per_doc GROUP BY 1
+HAVING sum(c) >= {min_count}
+"""
+
+
+def strip_duplicated_lines_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    min_count: int = 2,
+    min_chars: int = 1,
+    sep: str = "\n",
+) -> str:
+    """Mirror of operators.lines.strip_duplicated_lines."""
+    ctes = _line_cand_ctes(
+        table=table, id_col=id_col, text_expr=text_expr,
+        min_chars=min_chars, sep=sep,
+    )
+    s = _duck_str(sep)
+    return f"""
+WITH {ctes},
+dup AS (SELECT lh FROM cand GROUP BY lh HAVING count(*) >= {min_count}),
+rem AS (SELECT cand.{id_col}, cand.pos FROM cand JOIN dup USING (lh)),
+kept AS (
+  SELECT lx.{id_col}, lx.pos, lx.line
+  FROM lx LEFT JOIN rem ON lx.{id_col} = rem.{id_col} AND lx.pos = rem.pos
+  WHERE rem.pos IS NULL)
+SELECT d.{id_col},
+       CAST(len(string_split({text_expr}, {s})) AS INT) AS n_lines,
+       CAST(len(string_split({text_expr}, {s})) - coalesce(kc.nk, 0) AS INT)
+         AS n_removed,
+       md5(coalesce(kc.joined, '')) AS clean_md5
+FROM {table} d
+LEFT JOIN (
+  SELECT {id_col}, count(*) AS nk,
+         string_agg(line, {s} ORDER BY pos) AS joined
+  FROM kept GROUP BY {id_col}) kc
+ON d.{id_col} = kc.{id_col}
+"""
+
+
+def cap_per_source_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    cap: int,
+    seed: str = "cap",
+) -> str:
+    """Mirror of operators.corpus.cap_per_source."""
+    key = duck_md5_long(f"concat('{seed}', '#', CAST({id_col} AS VARCHAR))")
+    return f"""
+WITH k AS (SELECT {id_col}, {source_col}, {key} AS key FROM {table}),
+r AS (
+  SELECT {id_col}, {source_col},
+         row_number() OVER (PARTITION BY {source_col}
+           ORDER BY key, {id_col}) AS src_rank
+  FROM k)
+SELECT {id_col}, {source_col}, CAST(src_rank AS INT) AS src_rank,
+       src_rank <= {cap} AS kept
+FROM r
+"""
+
+
+def tfidf_keywords_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> str:
+    """Mirror of operators.corpus.tfidf_keywords (smooth-idf, scaled-
+    integer rank grid, term tie-break)."""
+    return f"""
+WITH docs AS (SELECT {id_col} AS doc_id, {duck_ws_tokens(text_col)} AS t FROM {table}),
+ex AS (SELECT doc_id, unnest(t) AS term FROM docs),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM docs),
+sc AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         CAST(round(tf.tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0) * 10000)
+              AS BIGINT) AS s
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+rk AS (
+  SELECT doc_id, term, tf, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term ASC)
+           AS rank
+  FROM sc)
+SELECT doc_id, term, tf, CAST(s AS DOUBLE) / 10000.0 AS score, rank
+FROM rk WHERE rank <= {k}
+"""
