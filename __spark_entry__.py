@@ -694,6 +694,9 @@ def release_session_caches() -> None:
     for path in _ANN_INDEX_CACHE.values():
         shutil.rmtree(path, ignore_errors=True)
     _ANN_INDEX_CACHE.clear()
+    for path in _MINHASH_INDEX_CACHE.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _MINHASH_INDEX_CACHE.clear()
     for df in _CURATION_PERSISTS:
         try:
             df.unpersist()
@@ -1026,6 +1029,46 @@ def _ann_index_cached(spark: SparkSession, sf_dir: str) -> str:
         ann_index(_t(spark, sf_dir, "embeddings"), path, nlist=16)
         _ANN_INDEX_CACHE[key] = path
     return _ANN_INDEX_CACHE[key]
+
+
+_MINHASH_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _minhash_index_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized MinHash-LSH band store over the EVEN-id half of the
+    corpus, built once per (session, sf_dir) in TWO increments (build +
+    update) so every driver-gate run also exercises the
+    increments-≡-rebuild path (operators/minhash_index.py)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MINHASH_INDEX_CACHE:
+        import tempfile
+
+        from transmog_spark.operators.minhash_index import (
+            minhash_index,
+            minhash_index_update,
+        )
+
+        d = _t(spark, sf_dir, "documents")
+        store = d.where(F.col("doc_id") % 2 == 0)
+        path = tempfile.mkdtemp(prefix="tmg_mhidx_")
+        minhash_index(store.where(F.col("doc_id") % 4 == 0), path)
+        minhash_index_update(spark, store.where(F.col("doc_id") % 4 == 2), path)
+        _MINHASH_INDEX_CACHE[key] = path
+    return _MINHASH_INDEX_CACHE[key]
+
+
+def _q_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-admission near-dup probe (operators/minhash_index.py):
+    the odd-id half of the corpus probed against the persisted band
+    store of the even-id half (itself folded in as two increments);
+    matches verified by the signature-agreement Jaccard estimate."""
+    from transmog_spark.operators.minhash_index import minhash_probe
+
+    d = _t(spark, sf_dir, "documents")
+    probe = d.where(F.col("doc_id") % 2 == 1)
+    return minhash_probe(
+        spark, _minhash_index_cached(spark, sf_dir), probe, threshold=0.5
+    )
 
 
 def _q_embedding_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1538,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_dup_lines": _q_strip_dup_lines,
         "tfidf_keywords": _q_tfidf_keywords,
         "cap_per_source": _q_cap_per_source,
+        "minhash_probe": _q_minhash_probe,
         "rerank_topk": _q_rerank_topk,
         "embedding_topk_indexed": _q_embedding_topk_indexed,
         "winnow_fps": _q_winnow_fps,
@@ -1690,6 +1734,7 @@ def oracle_sql() -> dict[str, str]:
         strip_duplicated_lines_sql,
         tfidf_keywords_sql,
         cap_per_source_sql,
+        minhash_probe_sql,
         token_positions_sql,
         tokenize_docs_sql,
     )
@@ -1906,6 +1951,11 @@ SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM (
         ),
         "tfidf_keywords": tfidf_keywords_sql(k=5),
         "cap_per_source": cap_per_source_sql(cap=60, seed="r5"),
+        "minhash_probe": minhash_probe_sql(
+            store_filter="doc_id % 2 = 0",
+            probe_filter="doc_id % 2 = 1",
+            threshold=0.5,
+        ),
         "winnow_fps": winnow_fingerprints_sql(k=5, w=4),
         "winnow_pairs": winnow_pairs_sql(
             k=5, w=4, min_shared=2, max_bucket=500

@@ -67,6 +67,8 @@ HEADLINE = [
     # persisted incremental IVF index: first run builds + memoizes, best-of-N
     # times the partition-pruned indexed query path
     "embedding_topk_indexed",
+    # streaming-admission near-dup probe against the memoized band store
+    "minhash_probe",
     "unigram_tokenize",
     "bloom_dedup",
     "semdedup",
@@ -140,7 +142,15 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
+    # SPARK_GRAFT_BENCH_ONLY=q1,q2 — targeted floor captures: run just
+    # those headline queries (skips the token/pack synthetics too)
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
+    }
+
     for name in HEADLINE:
+        if only and name not in only:
+            continue
         n_runs = max(runs, 4) if name in ANN_FAMILY else runs
         times[name] = timed(lambda name=name: qs[name](spark, sf_dir), n_runs)
 
@@ -148,8 +158,14 @@ def main() -> None:
     from transmog_spark.pipeline import token_features
 
     n_docs = max(int(TOKEN_DOCS_PER_SF * sf), 10_000)
-    tok_wall = timed(lambda: token_features(spark, n_docs, salt_buckets=0, partitions=cpus * 2), runs)
-    times["token_pipeline"] = tok_wall
+    if not only or "token_pipeline" in only:
+        tok_wall = timed(
+            lambda: token_features(
+                spark, n_docs, salt_buckets=0, partitions=cpus * 2
+            ),
+            runs,
+        )
+        times["token_pipeline"] = tok_wall
 
     # Sequence packing at matched synthetic scale (two-level prefix-sum over
     # the skewed-source table; budget = a 2k context window)
@@ -168,25 +184,25 @@ def main() -> None:
             seqs, budget=2048, hash_blocks=max(n_docs // 8192, 16)
         )
 
-    pack_wall = timed(_packed, runs)
-    times["pack_concat_synth"] = pack_wall
+    if not only or "pack_concat_synth" in only:
+        pack_wall = timed(_packed, runs)
+        times["pack_concat_synth"] = pack_wall
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "cpus": cpus,
-                "token_docs": n_docs,
-                "token_seq_per_sec": round(n_docs / tok_wall, 1),
-                "pack_docs_per_sec": round(n_docs / pack_wall, 1),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": cpus,
+        "token_docs": n_docs,
+    }
+    if "token_pipeline" in times:
+        out["token_seq_per_sec"] = round(n_docs / times["token_pipeline"], 1)
+    if "pack_concat_synth" in times:
+        out["pack_docs_per_sec"] = round(n_docs / times["pack_concat_synth"], 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

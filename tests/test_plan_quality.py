@@ -416,3 +416,38 @@ def test_hll_single_corpus_pass_bounded_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "hll_distinct")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_minhash_probe_prunes_buckets_never_shuffles_store_rows(spark, sf_dir):
+    # persisted band store: the scan prunes to the probed kb partitions,
+    # the probe frame and the hot-bucket census broadcast — full store
+    # rows (signatures) never cross an exchange; the only hash exchanges
+    # carry (kb, band, bkey) census keys or final match pairs, never sig
+    plan = _plan(spark, sf_dir, "minhash_probe")
+    parts = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert parts and all("kb" in p for p in parts), plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) >= 2
+    for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "sig" not in frag
+
+
+def test_dup_lines_ships_hashes_not_line_text(spark, sf_dir):
+    # the duplicated-line census shuffles (hash, doc) longs with map-side
+    # partial counts — line strings never cross an exchange
+    plan = _plan(spark, sf_dir, "dup_lines")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "__l" not in frag  # 8-byte hashes, not line text
+
+
+def test_strip_dup_lines_no_udf_no_cartesian(spark, sf_dir):
+    # removal is pure Column work: candidate stream ships (id, pos, hash)
+    # longs; reassembly is one id join + a higher-order filter — no Python
+    # execution nodes anywhere
+    plan = _plan(spark, sf_dir, "strip_dup_lines")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

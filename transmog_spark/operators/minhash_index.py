@@ -1,0 +1,277 @@
+"""Persistent, incrementally updatable MinHash-LSH near-dup store.
+
+``minhash_near_duplicates`` (operators/dedup.py) recomputes signatures
+and re-buckets the WHOLE corpus per call; a streaming admission path —
+"is this new document a near-duplicate of anything already curated?" —
+must not re-pay that corpus scan per micro-batch. This store is the
+MinHash twin of the BM25 v2 and IVF indexes (operators/corpus.py:
+bm25_index, operators/ann_index.py): per-DOCUMENT facts only, so
+increments are bit-identical to rebuilds. The reference library has no
+retrieval/dedup surface at all (its scope is per-record flattening —
+src/transmog/core/flattening.py); this is engine-tier training-data
+surface (the GPT-3/RefinedWeb fuzzy-dedup admission shape).
+
+Layout:
+
+* ``<path>/bands/`` — one row per (document, band): the band's LSH key,
+  the document id, and the FULL minhash signature (``num_hashes`` longs
+  ride along so a probe match scores WITHOUT a second join back to a
+  signatures table). Partitioned by ``kb = md5(band,bkey) mod
+  n_buckets`` — a fixed directory count independent of corpus size, the
+  bm25_index term-bucket idiom — so probes prune the scan to the
+  buckets their own keys hash into.
+* ``<path>/_minhash_index_meta.json`` — the signature/banding params
+  (frozen at build: mixing signatures of different shapes would make
+  band keys incomparable) + n_docs.
+
+A document's band keys and signature depend only on its text and the
+frozen params, never on other rows — the invariant that makes
+``minhash_index_update`` a pure file append with cost ∝ |delta|.
+
+Probe plan shape (``minhash_probe``): the batch's band frame is
+computed once (explode → k tiny md5 exprs → map-side-combined min — the
+``minhash_signatures`` scale idiom); its distinct bucket ids collect
+driver-side (≤ n_buckets ints — the same bounded-collect class as
+bm25's touched-bucket list); the store scan prunes to those partitions;
+the batch frame BROADCASTS into the bucket join, so the store never
+shuffles; verification is the unbiased signature-agreement Jaccard
+estimate (matching components / num_hashes) computed inline from the
+co-located signature arrays. Boilerplate-hot buckets (> ``max_bucket``
+members) are skipped via a broadcast anti-join on a column-pruned
+bucket census — full store rows never cross an exchange.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from transmog_spark.functions.hashing import md5_long
+from transmog_spark.operators.dedup import shingle_frame, minhash_signatures
+
+META_NAME = "_minhash_index_meta.json"
+
+
+def _read_meta(index_path: str) -> dict:
+    with open(os.path.join(index_path, META_NAME)) as fh:
+        meta = json.load(fh)
+    if meta.get("version") != 1:
+        raise ValueError(f"not a v1 minhash index: {index_path}")
+    return meta
+
+
+def _write_meta(index_path: str, meta: dict) -> None:
+    meta_path = os.path.join(index_path, META_NAME)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)
+
+
+def _band_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int,
+    num_hashes: int,
+    bands: int,
+    n_buckets: int,
+) -> DataFrame:
+    """(doc_id, band, bkey, kb, sig) — one row per (document, band).
+
+    sig is the full array<long> signature; bkey is the band's hash
+    columns joined with ','; kb is the fixed-width partition bucket.
+    Plan: one shingle projection → explode → num_hashes tiny md5 exprs →
+    map-side-combined min → per-row band split. Shuffles num_hashes
+    longs per doc, never shingle arrays.
+    """
+    rows = num_hashes // bands
+    sh = shingle_frame(df, id_col, text_col, shingle_n)
+    sig = minhash_signatures(sh, num_hashes)
+    banded = sig.select(
+        F.col("__id").alias("doc_id"),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{b * rows + j}").cast("string")
+                                for j in range(rows)
+                            ],
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    )
+    return banded.select(
+        "doc_id",
+        F.col("__b.band").alias("band"),
+        F.col("__b.bkey").alias("bkey"),
+        F.pmod(
+            md5_long(
+                F.concat(
+                    F.col("__b.band").cast("string"), F.lit("|"), F.col("__b.bkey")
+                )
+            ),
+            F.lit(n_buckets),
+        )
+        .cast("int")
+        .alias("kb"),
+        "sig",
+    )
+
+
+def minhash_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n_buckets: int = 64,
+) -> str:
+    """Materialize the band store; returns ``path``. Params freeze in the
+    meta file — updates and probes always use the stored ones."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    bf = _band_frame(
+        corpus, id_col, text_col,
+        shingle_n=shingle_n, num_hashes=num_hashes,
+        bands=bands, n_buckets=n_buckets,
+    )
+    bf.write.partitionBy("kb").mode("overwrite").parquet(
+        os.path.join(path, "bands")
+    )
+    n_docs = corpus.count()
+    _write_meta(
+        path,
+        {
+            "version": 1,
+            "shingle_n": shingle_n,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "n_buckets": n_buckets,
+            "n_docs": int(n_docs),
+        },
+    )
+    return path
+
+
+def minhash_index_update(
+    spark,
+    delta: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Fold a document DELTA into the store at cost ∝ |delta|: band rows
+    are per-document facts, so the append is bit-identical to a rebuild
+    over the union corpus (pinned by tests/test_minhash_index.py).
+
+    Contract: delta ids must be NEW documents (append-only corpus) —
+    re-submitting an indexed id stores it twice, exactly as a duplicated
+    input would in a full rebuild.
+    """
+    meta = _read_meta(index_path)
+    bf = _band_frame(
+        delta, id_col, text_col,
+        shingle_n=meta["shingle_n"], num_hashes=meta["num_hashes"],
+        bands=meta["bands"], n_buckets=meta["n_buckets"],
+    )
+    bf.write.partitionBy("kb").mode("append").parquet(
+        os.path.join(index_path, "bands")
+    )
+    meta["n_docs"] += int(delta.count())
+    _write_meta(index_path, meta)
+    return index_path
+
+
+def minhash_probe(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup matches of a (small) batch against the store.
+
+    Returns (probe_id, match_id, sig_sim): every store document sharing
+    at least one LSH band with a batch document, kept when the
+    signature-agreement Jaccard estimate (matching minhash components /
+    num_hashes — exact on the 1/num_hashes grid, engine-independent)
+    reaches ``threshold``. Admission is one anti-join on probe_id.
+
+    Self-matches (a store doc probed with its own id) are excluded, so a
+    store can safely probe a batch it already contains after a replay.
+
+    Fan-out bound: store buckets with MORE than ``max_bucket`` members
+    are skipped outright (each such key is pathological boilerplate
+    already represented ≥max_bucket times; pairing every new arrival
+    with all of them adds no admission information). The bucket census
+    is a column-pruned (kb, band, bkey) scan with a map-side-combined
+    count — the hot-key frame it yields is contract-small and broadcast
+    anti-joins into the store scan, so FULL store rows (signatures)
+    never cross an exchange. A row_number cap would instead shuffle
+    every matched store row — at micro-batch sizes the probed buckets
+    cover most of the store, making that a full-store shuffle.
+
+    The kb partition pruning pays off for SMALL probes (interactive
+    "is this document new?" lookups touch a handful of the fixed
+    ``n_buckets`` directories); a large micro-batch legitimately probes
+    them all and relies on the broadcast join shape instead.
+    """
+    meta = _read_meta(index_path)
+    k = meta["num_hashes"]
+    pf = _band_frame(
+        batch, id_col, text_col,
+        shingle_n=meta["shingle_n"], num_hashes=k,
+        bands=meta["bands"], n_buckets=meta["n_buckets"],
+    ).withColumnsRenamed(
+        {"doc_id": "probe_id", "sig": "__psig"}
+    )
+    kbs = sorted(r["kb"] for r in pf.select("kb").distinct().collect())
+    store = (
+        spark.read.parquet(os.path.join(index_path, "bands"))
+        .where(F.col("kb").isin(kbs))
+    )
+    hot = (
+        store.groupBy("kb", "band", "bkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_bucket)
+        .select("kb", "band", "bkey")
+    )
+    store = store.join(F.broadcast(hot), ["kb", "band", "bkey"], "left_anti")
+    joined = store.join(F.broadcast(pf), ["kb", "band", "bkey"]).where(
+        F.col("doc_id") != F.col("probe_id")
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("sig"), F.col("__psig"),
+            lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.select(
+        "probe_id",
+        F.col("doc_id").alias("match_id"),
+        (agree.cast("double") / F.lit(float(k))).alias("sig_sim"),
+    )
+    return scored.where(F.col("sig_sim") >= threshold).dropDuplicates(
+        ["probe_id", "match_id"]
+    )

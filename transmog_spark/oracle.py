@@ -2434,6 +2434,64 @@ FROM r
 """
 
 
+def minhash_probe_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    store_filter: str,
+    probe_filter: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> str:
+    """Mirror of operators.minhash_index.minhash_probe with the store
+    built over ``store_filter`` rows and probed with ``probe_filter``
+    rows (the partition-bucketed store layout is an IO detail — the
+    match set it serves is exactly this banded join)."""
+    rows = num_hashes // bands
+
+    def half(name: str, filt: str) -> str:
+        mins = ", ".join(
+            "list_min(list_transform(sh, s -> "
+            + duck_md5_long(f"'{i}#' || s")
+            + f")) AS h{i}"
+            for i in range(num_hashes)
+        )
+        band_selects = " UNION ALL ".join(
+            f"SELECT id, {', '.join(f'h{i}' for i in range(num_hashes))}, "
+            f"{b} AS band, concat_ws(',', "
+            + ", ".join(f"CAST(h{b * rows + j} AS VARCHAR)" for j in range(rows))
+            + f") AS bkey FROM {name}_sig"
+            for b in range(bands)
+        )
+        return f"""
+{name}_docs AS (SELECT {id_col} AS id, {duck_ws_tokens(text_col)} AS t
+  FROM {table} WHERE {filt}),
+{name}_base AS (SELECT id, {duck_shingles('t', shingle_n)} AS sh FROM {name}_docs),
+{name}_sig AS (SELECT id, {mins} FROM {name}_base),
+{name}_band AS ({band_selects})"""
+
+    agree = " + ".join(
+        f"CASE WHEN s.h{i} = p.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+WITH {half('s', store_filter)},
+{half('p', probe_filter)},
+s_cap AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bn
+    FROM s_band) WHERE bn <= {max_bucket})
+SELECT DISTINCT p.id AS probe_id, s.id AS match_id,
+       ({agree})::DOUBLE / {num_hashes} AS sig_sim
+FROM s_cap s JOIN p_band p
+  ON s.band = p.band AND s.bkey = p.bkey AND s.id <> p.id
+WHERE ({agree})::DOUBLE / {num_hashes} >= {threshold}
+"""
+
+
 def tfidf_keywords_sql(
     *,
     table: str = "documents",
