@@ -1066,8 +1066,12 @@ def _q_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     probe = d.where(F.col("doc_id") % 2 == 1)
+    # prune=False: this is the micro-batch admission regime — the probe
+    # half's band keys hit every kb bucket, so the pruning action buys
+    # nothing (the interactive point-lookup regime keeps prune=True)
     return minhash_probe(
-        spark, _minhash_index_cached(spark, sf_dir), probe, threshold=0.5
+        spark, _minhash_index_cached(spark, sf_dir), probe,
+        threshold=0.5, prune=False,
     )
 
 

@@ -418,19 +418,41 @@ def test_hll_single_corpus_pass_bounded_agg(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_minhash_probe_prunes_buckets_never_shuffles_store_rows(spark, sf_dir):
-    # persisted band store: the scan prunes to the probed kb partitions,
+def test_minhash_probe_never_shuffles_store_rows(spark, sf_dir):
+    # persisted band store, micro-batch admission regime (prune=False):
     # the probe frame and the hot-bucket census broadcast — full store
     # rows (signatures) never cross an exchange; the only hash exchanges
     # carry (kb, band, bkey) census keys or final match pairs, never sig
     plan = _plan(spark, sf_dir, "minhash_probe")
-    parts = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert parts and all("kb" in p for p in parts), plan[:2000]
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) >= 2
     for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "sig" not in frag
+
+
+def test_minhash_probe_point_lookup_prunes_partitions(spark, sf_dir, tmp_path):
+    # interactive point-lookup regime (prune=True, the default): a small
+    # probe's bucket ids collect driver-side and the store scan prunes to
+    # those kb partitions
+    from pyspark.sql import functions as F
+
+    from transmog_spark.operators.minhash_index import (
+        minhash_index,
+        minhash_probe,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "mh_plan_idx")
+    minhash_index(d.where(F.col("doc_id") % 2 == 0), path)
+    probe = d.where(F.col("doc_id") == 1)
+    out = minhash_probe(spark, path, probe, threshold=0.5)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    parts = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert parts and all("kb" in p for p in parts), plan[:2000]
+    assert "SortMergeJoin" not in plan
 
 
 def test_dup_lines_ships_hashes_not_line_text(spark, sf_dir):

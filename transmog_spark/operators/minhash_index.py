@@ -207,6 +207,7 @@ def minhash_probe(
     *,
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    prune: bool = True,
 ) -> DataFrame:
     """Near-dup matches of a (small) batch against the store.
 
@@ -230,10 +231,15 @@ def minhash_probe(
     every matched store row — at micro-batch sizes the probed buckets
     cover most of the store, making that a full-store shuffle.
 
-    The kb partition pruning pays off for SMALL probes (interactive
-    "is this document new?" lookups touch a handful of the fixed
-    ``n_buckets`` directories); a large micro-batch legitimately probes
-    them all and relies on the broadcast join shape instead.
+    ``prune`` trades an extra Spark action for a pruned store scan: the
+    probe's distinct bucket ids collect driver-side (≤ n_buckets ints)
+    and restrict the scan to those partitions — decisive for a SMALL
+    interactive probe against a huge store (read 4/64 of it, not all),
+    pure overhead for a micro-batch whose keys hit every bucket anyway
+    (measured: a 2.5k-doc probe covers all 64 buckets, and the extra
+    action's serial stage chain costs more than the un-pruned scan at
+    bench scale). Admission pipelines pass ``prune=False``; point
+    lookups keep the default.
     """
     meta = _read_meta(index_path)
     k = meta["num_hashes"]
@@ -244,11 +250,10 @@ def minhash_probe(
     ).withColumnsRenamed(
         {"doc_id": "probe_id", "sig": "__psig"}
     )
-    kbs = sorted(r["kb"] for r in pf.select("kb").distinct().collect())
-    store = (
-        spark.read.parquet(os.path.join(index_path, "bands"))
-        .where(F.col("kb").isin(kbs))
-    )
+    store = spark.read.parquet(os.path.join(index_path, "bands"))
+    if prune:
+        kbs = sorted(r["kb"] for r in pf.select("kb").distinct().collect())
+        store = store.where(F.col("kb").isin(kbs))
     hot = (
         store.groupBy("kb", "band", "bkey")
         .agg(F.count(F.lit(1)).alias("__n"))

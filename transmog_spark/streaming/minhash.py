@@ -80,9 +80,12 @@ def minhash_admission_foreach_batch(
                 meta = json.load(fh)
             if meta.get("last_batch_id", -1) >= batch_id:
                 return  # committed-batch replay after restart: exact skip
+            # prune=False: a micro-batch's band keys cover essentially
+            # every kb bucket, so the pruning action would cost a full
+            # extra serial stage chain and prune nothing
             matches = minhash_probe(
                 spark, index_path, batch_df, id_col, text_col,
-                threshold=threshold, max_bucket=max_bucket,
+                threshold=threshold, max_bucket=max_bucket, prune=False,
             )
             matches.withColumn("batch_id", F.lit(batch_id)).write.mode(
                 "append"
