@@ -859,6 +859,26 @@ def _q_strip_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup (operators/text.py:norm_text —
+    CCNet §4.1 case/punct/space canonicalization before hashing): the
+    corpus unioned with a reformatted copy of itself (uppercased, extra
+    punctuation/padding, shifted ids) so every document forms one
+    normalized dup group that byte-exact hashing misses entirely."""
+    from transmog_spark.operators.dedup import exact_duplicate_groups
+    from transmog_spark.operators.text import norm_text
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper(F.col("text")), F.lit(" !!")).alias(
+            "text"
+        ),
+    )
+    u = d.unionByName(v).select("doc_id", norm_text(F.col("text")).alias("text"))
+    return exact_duplicate_groups(u, "doc_id", "text")
+
+
 def _q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quota (operators/corpus.py:cap_per_source — the
     FineWeb/Dolma domain-cap step): deterministic seeded-hash rank inside
@@ -1586,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": _q_tfidf_keywords,
         "cap_per_source": _q_cap_per_source,
         "minhash_probe": _q_minhash_probe,
+        "dedup_exact_norm": _q_dedup_exact_norm,
         "rerank_topk": _q_rerank_topk,
         "embedding_topk_indexed": _q_embedding_topk_indexed,
         "winnow_fps": _q_winnow_fps,
@@ -1883,6 +1904,20 @@ FROM events GROUP BY 1
         "dedup_exact": """
 SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_id
 FROM documents GROUP BY 1 HAVING count(*) > 1
+""",
+        "dedup_exact_norm": r"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, '  ' || upper(text) || ' !!' FROM documents),
+n AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+           '\s+', ' ', 'g')) AS text
+  FROM u)
+SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_id
+FROM n GROUP BY 1 HAVING count(*) > 1
 """,
         "minhash_pairs": minhash_pairs_sql(
             shingle_n=3, num_hashes=8, bands=4, threshold=0.2, max_bucket=500

@@ -163,3 +163,21 @@ def test_punct_ratio_and_stopword_ratio(spark):
     assert r.punct_ratio == pytest.approx(3 / 10)
     assert r.stopword_ratio == pytest.approx(1 / 2)
     assert r.n_tokens_bpe == 5  # the, cat, !, !, !
+
+
+def test_norm_text_canonicalizes(spark):
+    from transmog_spark.operators.text import norm_text
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello,   World! 42"),
+            (2, "  hello world 42  "),
+            (3, "HELLO---WORLD...42"),
+            (4, "different entirely"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["n"] for r in df.select("id", norm_text(F.col("text")).alias("n")).collect()}
+    assert out[1] == out[2] == out[3] == "hello world 42"
+    assert out[4] == "different entirely"

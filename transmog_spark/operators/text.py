@@ -114,6 +114,21 @@ def quality_score(text: Column) -> Column:
     return (len_ok * 0.3 + stop_ok * 0.4 + punct_pen * 0.3).cast("double")
 
 
+def norm_text(text: Column) -> Column:
+    """CCNet-style dedup-key normalization (Wenzek et al. 2020 §4.1
+    normalizes case/punctuation before paragraph hashing): lowercase,
+    non-alphanumerics → space, whitespace runs collapsed, trimmed.
+
+    Byte-exact dedup misses trivially reformatted duplicates (case,
+    punctuation, spacing churn from scrapes of the same page); hashing
+    ``norm_text`` instead catches them. Pure Column work (three regexp
+    passes), ASCII character classes so Java regex and RE2 (the DuckDB
+    oracle) agree byte-for-byte.
+    """
+    t = F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
 MOD_P = 1_000_000_007
 
 
