@@ -258,6 +258,51 @@ def _q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rolling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing time-RANGE features per event: volume and count over the
+    last hour, inclusive and strictly-prior (zero-leakage) variants.
+
+    Sums run on integer micro-units (see sessionize's stable_sum note) so
+    the cross-engine compare is exact; the frames order by integer
+    microseconds, mirrored by epoch_us + RANGE in the oracle.
+    """
+    from transmog_spark.operators.windows import with_rolling_agg
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 1000000).cast("long").alias("value_u"),
+    )
+    out = with_rolling_agg(
+        e,
+        "user_id",
+        "ts",
+        {"value_u": ["sum", "count"]},
+        windows_seconds={"1h": 3600.0},
+    )
+    out = with_rolling_agg(
+        out,
+        "user_id",
+        "ts",
+        {"value_u": ["sum", "count"]},
+        windows_seconds={"1h": 3600.0},
+        include_current=False,
+        prefix="prior_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value_u_count_1h").alias("n_1h"),
+        F.round(F.col("value_u_sum_1h").cast("double") / 1000000.0, 4).alias("value_sum_1h"),
+        F.col("prior_value_u_count_1h").alias("n_prior_1h"),
+        F.round(
+            F.coalesce(F.col("prior_value_u_sum_1h"), F.lit(0)).cast("double") / 1000000.0, 4
+        ).alias("value_sum_prior_1h"),
+    )
+
+
 def _q_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -1601,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-stable basics (green since round 1-2) trail.  Rotate per round.
     return {
         # -- round-5 surface -------------------------------------------
+        "rolling_agg": _q_rolling_agg,
         "dup_lines": _q_dup_lines,
         "strip_dup_lines": _q_strip_dup_lines,
         "tfidf_keywords": _q_tfidf_keywords,
@@ -1861,6 +1907,23 @@ SELECT user_id, session_index, count(*) AS session_len,
        min(ts) AS session_start, max(ts) AS session_end,
        round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 4) AS value_sum
 FROM s GROUP BY 1, 2
+""",
+        "rolling_agg": """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 1000000) AS BIGINT) AS value_u,
+         epoch_us(ts) AS us
+  FROM events)
+SELECT event_id, user_id, ts,
+       count(value_u) OVER w1 AS n_1h,
+       round(sum(value_u) OVER w1 / 1000000.0, 4) AS value_sum_1h,
+       count(value_u) OVER w0 AS n_prior_1h,
+       round(coalesce(sum(value_u) OVER w0, 0) / 1000000.0, 4) AS value_sum_prior_1h
+FROM e
+WINDOW w1 AS (PARTITION BY user_id ORDER BY us
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+       w0 AS (PARTITION BY user_id ORDER BY us
+              RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
 """,
         "lag_lead": """
 SELECT event_id, user_id, ts, value,

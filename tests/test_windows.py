@@ -15,6 +15,7 @@ from transmog_spark.operators.windows import (
     with_bfill,
     with_ffill,
     with_lag_lead,
+    with_rolling_agg,
 )
 
 T0 = datetime(2024, 1, 1)
@@ -102,6 +103,71 @@ def test_session_aggregates(spark):
     got = {r.session_id: (r.session_len, r.session_v_sum, r.session_v_mean, r.session_v_max)
            for r in agg.collect()}
     assert got == {"u1#0": (2, 3.0, 1.5, 2.0), "u1#1": (1, 5.0, 5.0, 5.0)}
+
+
+def test_rolling_agg_semantics(spark):
+    rows = [
+        ("u1", T0, 1.0, 0),
+        ("u1", T0 + timedelta(seconds=1800), 2.0, 1),
+        ("u1", T0 + timedelta(seconds=3600), 4.0, 2),   # 1h frame: rows 0..2
+        ("u1", T0 + timedelta(seconds=3601), 8.0, 3),   # row 0 aged out
+        # peer pair at the same microsecond: inclusive frame sees both,
+        # strict frame sees neither peer (zero-leakage posture)
+        ("u2", T0, 1.0, 4),
+        ("u2", T0, 2.0, 5),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double, rid long")
+    out = with_rolling_agg(
+        df, "k", "ts", {"v": ["sum", "count"]}, windows_seconds={"1h": 3600.0}
+    )
+    out = with_rolling_agg(
+        out, "k", "ts", {"v": ["sum"]},
+        windows_seconds={"1h": 3600.0}, include_current=False, prefix="prior_",
+    )
+    got = {r.rid: (r.v_sum_1h, r.v_count_1h, r.prior_v_sum_1h) for r in out.collect()}
+    assert got == {
+        0: (1.0, 1, None),
+        1: (3.0, 2, 1.0),
+        2: (7.0, 3, 3.0),        # trailing window is inclusive of -3600s
+        3: (14.0, 3, 6.0),       # row 0 (t=0) outside (t-3600, t]
+        4: (3.0, 2, None),       # peer at same us included (inclusive)...
+        5: (3.0, 2, None),       # ...but excluded from the strict frame
+    }
+
+
+def test_rolling_agg_matches_bruteforce(ts_df):
+    # brute-force reference: pandas .rolling has different endpoint/peer
+    # semantics than a RANGE frame (closed='right', positional peers), so
+    # compute the [t-2h, t] per-key sums directly
+    out = with_rolling_agg(
+        ts_df, "k", "ts", {"v": ["sum"]}, windows_seconds={"2h": 7200.0}
+    ).toPandas()
+    out = out.sort_values(["k", "ts", "rid"], kind="mergesort").reset_index(drop=True)
+    pdf = _pdf(ts_df).reset_index(drop=True)
+    lo = pdf["ts"] - pd.Timedelta(seconds=7200)
+    exp = [
+        pdf.loc[(pdf["k"] == r.k) & (pdf["ts"] >= lo[i]) & (pdf["ts"] <= r.ts), "v"].sum(
+            min_count=1
+        )
+        for i, r in pdf.iterrows()
+    ]
+    got = out["v_sum_2h"].reset_index(drop=True)
+    pd.testing.assert_series_equal(got, pd.Series(exp, dtype="float64"), check_names=False)
+
+
+def test_rolling_agg_single_sort(ts_df):
+    """Two trailing windows + the strict variant share ONE Exchange+Sort
+    (same partitioning, same integer-microsecond order)."""
+    out = with_rolling_agg(
+        ts_df, "k", "ts", {"v": ["sum", "count"]},
+        windows_seconds={"1h": 3600.0, "1d": 86400.0},
+    )
+    out = with_rolling_agg(
+        out, "k", "ts", {"v": ["sum"]},
+        windows_seconds={"1h": 3600.0}, include_current=False, prefix="prior_",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
 def test_window_family_single_sort(spark, ts_df):

@@ -78,6 +78,69 @@ def with_bfill(
     return out
 
 
+def rolling_window(
+    key: str | list[str],
+    ts: str,
+    *,
+    trailing_seconds: float,
+    include_current: bool = True,
+) -> WindowSpec:
+    """Trailing time-RANGE frame per entity: rows whose ``ts`` falls within
+    ``trailing_seconds`` before the current row's ``ts``.
+
+    The frame orders by **integer microseconds** (``unix_micros``), so the
+    range bounds are exact longs — bit-reproducible in the DuckDB oracle
+    (``epoch_us`` + ``RANGE BETWEEN n PRECEDING``) and immune to float-time
+    drift. ``include_current=False`` ends the frame at ``1 PRECEDING``
+    (strictly earlier timestamps only): the zero-temporal-leakage posture —
+    a feature at time t must not see the event that carries t itself, nor
+    any peer event at the same microsecond.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    lo = -int(trailing_seconds * 1_000_000)
+    hi = Window.currentRow if include_current else -1
+    return Window.partitionBy(*keys).orderBy(us.asc()).rangeBetween(lo, hi)
+
+
+def with_rolling_agg(
+    df: DataFrame,
+    key: str | list[str],
+    ts: str,
+    agg_cols: dict[str, list[str]],
+    *,
+    windows_seconds: dict[str, float],
+    include_current: bool = True,
+    prefix: str = "",
+) -> DataFrame:
+    """Trailing time-window aggregates per entity — the classic
+    point-in-time feature family ("events in the last hour", "token volume
+    over the trailing 7 days").
+
+    ``agg_cols`` maps column -> aggs in {sum, mean, min, max, count};
+    ``windows_seconds`` maps a label -> trailing seconds, emitting
+    ``{prefix}{col}_{fn}_{label}`` per combination.
+
+    Scale shape: every frame shares ONE partitioning + sort (same keys, same
+    integer-microsecond order), so Catalyst plans a single Exchange + Sort
+    and stacks Window nodes per distinct frame — adding a window label costs
+    no extra shuffle. Skew is bounded by the hottest single entity, same as
+    every operator in this module. Float ``sum``/``mean`` over a RANGE frame
+    are evaluated in frame order by both Spark and DuckDB but remain
+    float-associativity-sensitive across engines — scale to integer units
+    first when the result feeds a cross-engine compare (see sessionize's
+    ``stable_sum`` pattern).
+    """
+    out = df
+    for label, secs in windows_seconds.items():
+        w = rolling_window(key, ts, trailing_seconds=secs, include_current=include_current)
+        for c, fns in agg_cols.items():
+            for fn in fns:
+                agg = getattr(F, fn if fn != "mean" else "avg")(c).over(w)
+                out = out.withColumn(f"{prefix}{c}_{fn}_{label}", agg)
+    return out
+
+
 def sessionize(
     df: DataFrame,
     key: str | list[str],
