@@ -1205,6 +1205,24 @@ def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(_t(spark, sf_dir, "documents"), "doc_id", "text", p=12)
 
 
+def _q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HDR-histogram quantile sketch (operators/sketch.py):
+    per-source n_chars p50/p90/p99 from a bounded bucket table (integer
+    HdrHistogram bucketing, rel err <= 1/k), with the exact discrete
+    quantile riding along and the containment guarantee as a column.
+    Completes the bounded-state family: CMS counts, HLL distincts, HDR
+    quantiles — all merge by groupBy-sum across partitions/batches."""
+    from transmog_spark.operators.sketch import hdr_value_quantiles
+
+    return hdr_value_quantiles(
+        _t(spark, sf_dir, "documents"),
+        "n_chars",
+        [0.5, 0.9, 0.99],
+        k=32,
+        group_by=["source"],
+    )
+
+
 def _q_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing (Weinberger et al. 2009, operators/hashfeat.py):
     fixed-width signed-tf vectors from arbitrary vocabulary in one
@@ -1647,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-5 surface -------------------------------------------
         "rolling_agg": _q_rolling_agg,
+        "hdr_quantiles": _q_hdr_quantiles,
         "dup_lines": _q_dup_lines,
         "strip_dup_lines": _q_strip_dup_lines,
         "tfidf_keywords": _q_tfidf_keywords,
@@ -1797,6 +1816,7 @@ def oracle_sql() -> dict[str, str]:
         winnow_pairs_sql,
         cms_heavy_hitters_sql,
         hll_distinct_sql,
+        hdr_quantiles_sql,
         hash_features_sql,
         hashed_cosine_topk_sql,
         importance_resample_sql,
@@ -2066,6 +2086,7 @@ SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM (
             depth=4, width=32, threshold=100
         ),
         "hll_distinct": hll_distinct_sql(p=12),
+        "hdr_quantiles": hdr_quantiles_sql(k=32),
         "hash_features": hash_features_sql(dim=64, seed=1),
         "hash_embed_topk": hashed_cosine_topk_sql(
             dim=64, seed=1, query_filter="doc_id < 5", k=5

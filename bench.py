@@ -38,6 +38,7 @@ HEADLINE = [
     "sessionize",
     "lag_lead",
     "running_sum",
+    "rolling_agg",
     "interval_sessions",
     "time_rollup",
     "dedup_exact",
@@ -75,6 +76,7 @@ HEADLINE = [
     "winnow_pairs",
     "cms_heavy_hitters",
     "hll_distinct",
+    "hdr_quantiles",
     "hash_embed_topk",
     # stage boundaries persist on first execution (see the entry docstring);
     # best-of-N then times the post-persist composed chain — the same

@@ -19,13 +19,19 @@ def _stage_batches(spark, tmp_path, batches, schema):
 
 
 def test_streamed_sketches_equal_batch_union(spark, tmp_path):
+    from pyspark.sql import functions as F
+
     from transmog_spark.operators.sketch import (
         cms_sketch,
+        hdr_histogram,
+        hdr_quantiles,
         hll_estimate,
         hll_registers,
     )
+    from transmog_spark.operators.text import ws_tokens
     from transmog_spark.streaming.sketch import (
         read_cms,
+        read_hdr,
         read_hll,
         sketch_foreach_batch,
     )
@@ -61,6 +67,17 @@ def test_streamed_sketches_equal_batch_union(spark, tmp_path):
     stream_hll = sorted(map(tuple, read_hll(spark, store).collect()))
     assert stream_cms == batch_cms and len(stream_cms) > 0
     assert stream_hll == batch_hll and len(stream_hll) > 0
+
+    # HDR token-count histogram: streamed == batch over union, and the
+    # merged buckets answer quantile reads
+    ntok = union.select(
+        F.size(ws_tokens(F.col("text"))).cast("long").alias("__ntok")
+    )
+    batch_hdr = sorted(map(tuple, hdr_histogram(ntok, "__ntok", k=32).collect()))
+    stream_hdr = sorted(map(tuple, read_hdr(spark, store).collect()))
+    assert stream_hdr == batch_hdr and len(stream_hdr) > 0
+    med = hdr_quantiles(read_hdr(spark, store), [0.5], k=32).collect()[0]
+    assert med.est_lo <= 4 <= med.est_hi  # doc token counts: 3,4,4,4,7
 
     # the merged registers estimate the union's cardinality
     est = hll_estimate(read_hll(spark, store), p=12).collect()[0]

@@ -134,3 +134,60 @@ def test_hll_empty_corpus_degrades_to_zero(spark):
     assert row["exact_distinct"] == 0
     assert row["hll_est"] == 0.0
     assert row["rel_err_pct"] is None
+
+
+def test_hdr_bucket_exactness_and_merge(spark):
+    """Every value decodes into its bucket's [lo, hi] range; width/lo
+    <= 1/k; histograms merge by bucket-sum (sketch(A+B) == merge)."""
+    from pyspark.sql import functions as F
+
+    from transmog_spark.operators.sketch import hdr_bucket_bounds, hdr_histogram
+
+    vals = list(range(0, 130)) + [255, 256, 257, 1000, 65535, 10**9, 10**12]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    k = 32
+    hist = hdr_histogram(df, "v", k=k)
+    lo, hi = hdr_bucket_bounds(k)
+    dec = hist.select("bucket", "cnt", lo.alias("lo"), hi.alias("hi")).collect()
+    by_bucket = {r.bucket: (r.lo, r.hi, r.cnt) for r in dec}
+    assert sum(c for _, _, c in by_bucket.values()) == len(vals)
+    # recompute each value's bucket in python and check containment
+    b = k.bit_length() - 1
+    for v in vals:
+        u = v + 1
+        s = max(0, u.bit_length() - 1 - b)
+        idx = s * k + (u >> s)
+        blo, bhi, _ = by_bucket[idx]
+        assert blo <= v <= bhi, (v, idx, blo, bhi)
+        assert (bhi - blo) <= max(1, (blo + 1)) / k + 1  # rel width <= ~1/k
+    # mergeability: two halves summed == whole
+    a = hdr_histogram(df.where(F.col("v") < 100), "v", k=k)
+    c = hdr_histogram(df.where(F.col("v") >= 100), "v", k=k)
+    merged = a.unionByName(c).groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    got = {r.bucket: r.cnt for r in merged.collect()}
+    assert got == {bkt: c for bkt, (_, _, c) in by_bucket.items()}
+
+
+def test_hdr_value_quantiles_containment(spark):
+    import random
+
+    from transmog_spark.operators.sketch import hdr_value_quantiles
+
+    rng = random.Random(7)
+    rows = [(f"s{i % 3}", rng.randrange(1, 50_000)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "source string, n long")
+    out = hdr_value_quantiles(
+        df, "n", [0.5, 0.9, 0.99], k=32, group_by=["source"]
+    ).collect()
+    assert len(out) == 9
+    for r in out:
+        assert r.contained, r
+        assert r.est_lo <= r.exact_q <= r.est_hi
+        assert (r.est_hi - r.est_lo) / max(1, r.est_lo) <= 1 / 32 + 1e-9
+    # exact_q cross-check for one group in pure python (lower quantile)
+    s0 = sorted(n for s, n in rows if s == "s0")
+    import math
+
+    for r in out:
+        if r.source == "s0":
+            assert r.exact_q == s0[math.ceil(r.q * len(s0)) - 1]

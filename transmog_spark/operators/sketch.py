@@ -178,6 +178,157 @@ def hll_distinct(
     )
 
 
+def hdr_histogram(
+    df: DataFrame,
+    value_col: str,
+    *,
+    k: int = 32,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """HDR-histogram bucket table for a non-negative integer column —
+    the mergeable bounded-state quantile sketch completing this module's
+    family (CMS counts, HLL distincts, HDR quantiles).
+
+    Bucketing is Gene Tene's HdrHistogram scheme (power-of-two exponent ×
+    ``k`` linear sub-buckets; same guarantee class as DDSketch, Masson et
+    al., VLDB 2019): with ``u = v + 1`` and ``s = max(0, bit_length(u) -
+    1 - log2(k))``, the index is ``s*k + (u >> s)`` — relative error
+    ≤ 1/k, and for ``u < 2k`` buckets are exact singletons. ALL integer
+    math (``length(bin(u))`` gives the exact bit length in both engines;
+    shifts are Catalyst ``shiftright`` with a per-row amount via
+    ``F.expr``), so the sketch is bit-identical in the DuckDB oracle —
+    no log/pow doubles anywhere near a bucket boundary.
+
+    Output: ``group_by + (bucket, cnt)`` — at most ~``k * 64`` rows per
+    group regardless of corpus size, mergeable across partitions, batches
+    and stores by ``groupBy(bucket).sum(cnt)`` (same merge law as the CMS
+    grid). That bounded mergeable state is the 100 TB point: per-source
+    length/token-count quantiles cost one map-side-combined pass, where
+    exact percentiles sort the corpus and ``percentile_approx`` state
+    doesn't cross engines.
+    """
+    b = k.bit_length() - 1
+    if k != (1 << b) or k < 2:
+        raise ValueError(f"k must be a power of two >= 2, got {k}")
+    groups = list(group_by or [])
+    u = (F.col(value_col).cast("long") + F.lit(1)).alias("__u")
+    staged = df.select(*groups, u)
+    s = F.expr(f"greatest(0, length(bin(__u)) - 1 - {b})")
+    idx = (s * F.lit(k) + F.expr("shiftright(__u, __s)")).cast("long")
+    return (
+        staged.withColumn("__s", s.cast("int"))
+        .select(*groups, idx.alias("bucket"))
+        .groupBy(*groups, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_bucket_bounds(k: int = 32):
+    """(lo, hi) value bounds of a bucket index as integer Columns:
+    ``s = max(0, bucket div k - 1)``, ``m = bucket - s*k``, value range
+    ``[m << s, ((m+1) << s) - 1]`` shifted back by the ``u = v + 1``
+    offset. Exact longs — decode never touches floats either."""
+    s = f"greatest(0, bucket div {k} - 1)"
+    m = f"(bucket - {s} * {k})"
+    lo = F.expr(f"shiftleft({m}, cast({s} as int))") - F.lit(1)
+    hi = F.expr(f"shiftleft({m} + 1, cast({s} as int))") - F.lit(2)
+    return lo, hi
+
+
+def hdr_quantiles(
+    hist: DataFrame,
+    qs: list[float],
+    *,
+    k: int = 32,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Quantile read over an HDR bucket table (the read side of a
+    maintained/merged store): for each q, the first bucket whose running
+    count reaches ``ceil(q * total)``, decoded to its integer value range.
+
+    Output: ``group_by + (q, bucket, est_lo, est_hi)`` with the true
+    q-quantile guaranteed inside ``[est_lo, est_hi]`` and
+    ``est_hi/est_lo - 1 <= 1/k``. The rank compare runs on a long running
+    sum; ``ceil(q*total)`` is the only float op and both engines evaluate
+    it on identical IEEE doubles.
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_by or [])
+    w_cum = (
+        Window.partitionBy(*[F.col(g) for g in groups])
+        .orderBy(F.col("bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*[F.col(g) for g in groups])
+    cum = hist.select(
+        *groups,
+        "bucket",
+        F.sum("cnt").over(w_cum).alias("__cum"),
+        F.sum("cnt").over(w_all).alias("__total"),
+    )
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    hit = (
+        cum.select(*groups, "bucket", "__cum", "__total", F.explode(qarr).alias("q"))
+        .where(F.col("__cum") >= F.ceil(F.col("q") * F.col("__total")))
+        .groupBy(*groups, "q")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    lo, hi = hdr_bucket_bounds(k)
+    return hit.select(*groups, "q", "bucket", lo.alias("est_lo"), hi.alias("est_hi"))
+
+
+def hdr_value_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    *,
+    k: int = 32,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """One-pass convenience: sketch + quantile read, with the EXACT
+    discrete q-quantile riding along (same rank definition on a value-
+    ordered running count) so the ≤1/k containment is visible per row:
+    ``group_by + (q, bucket, est_lo, est_hi, exact_q, contained)``."""
+    from pyspark.sql import Window
+
+    groups = list(group_by or [])
+    est = hdr_quantiles(
+        hdr_histogram(df, value_col, k=k, group_by=groups), qs, k=k, group_by=groups
+    )
+    v = F.col(value_col).cast("long")
+    w_cum = (
+        Window.partitionBy(*[F.col(g) for g in groups])
+        .orderBy(v.asc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*[F.col(g) for g in groups])
+    ranked = df.select(
+        *groups,
+        v.alias("__v"),
+        F.count(F.lit(1)).over(w_cum).alias("__cum"),
+        F.count(F.lit(1)).over(w_all).alias("__total"),
+    )
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    exact = (
+        ranked.select(*groups, "__v", "__cum", "__total", F.explode(qarr).alias("q"))
+        .where(F.col("__cum") >= F.ceil(F.col("q") * F.col("__total")))
+        .groupBy(*groups, "q")
+        .agg(F.min("__v").alias("exact_q"))
+    )
+    on = groups + ["q"]
+    return est.join(exact, on=on).select(
+        *on,
+        "bucket",
+        "est_lo",
+        "est_hi",
+        "exact_q",
+        ((F.col("exact_q") >= F.col("est_lo")) & (F.col("exact_q") <= F.col("est_hi"))).alias(
+            "contained"
+        ),
+    )
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2151,6 +2151,61 @@ FROM est
 """
 
 
+def hdr_quantiles_sql(
+    *,
+    table: str = "documents",
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    k: int = 32,
+) -> str:
+    """Mirror of operators.sketch.hdr_value_quantiles: same integer
+    HdrHistogram bucketing (s = max(0, bit_length(u)-1-log2 k), idx =
+    s*k + (u >> s)), same ceil(q*total) rank on a running count, same
+    integer bucket decode, same exact discrete quantile rider."""
+    b = k.bit_length() - 1
+    qlist = ", ".join(f"{q!r}::DOUBLE" for q in qs)
+    s2 = f"greatest(0, bucket // {k} - 1)"
+    m2 = f"(bucket - {s2} * {k})"
+    return f"""
+WITH v AS (
+  SELECT {group_col} AS grp, CAST({value_col} AS BIGINT) + 1 AS u,
+         CAST({value_col} AS BIGINT) AS val
+  FROM {table}),
+hist AS (
+  SELECT grp,
+         greatest(0, length(bin(u)) - 1 - {b}) * {k}
+           + (u >> greatest(0, length(bin(u)) - 1 - {b})) AS bucket,
+         count(*) AS cnt
+  FROM v GROUP BY 1, 2),
+cum AS (
+  SELECT grp, bucket,
+         sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cumc,
+         sum(cnt) OVER (PARTITION BY grp) AS total
+  FROM hist),
+qq AS (SELECT unnest([{qlist}]) AS q),
+hit AS (
+  SELECT grp, q, min(bucket) AS bucket
+  FROM cum, qq WHERE cumc >= ceil(q * total) GROUP BY 1, 2),
+est AS (
+  SELECT grp, q, bucket,
+         ({m2} << CAST({s2} AS INT)) - 1 AS est_lo,
+         (({m2} + 1) << CAST({s2} AS INT)) - 2 AS est_hi
+  FROM hit),
+rk AS (
+  SELECT grp, val,
+         count(*) OVER (PARTITION BY grp ORDER BY val) AS cumv,
+         count(*) OVER (PARTITION BY grp) AS total
+  FROM v),
+ex AS (
+  SELECT grp, q, min(val) AS exact_q
+  FROM rk, qq WHERE cumv >= ceil(q * total) GROUP BY 1, 2)
+SELECT e.grp AS {group_col}, e.q, e.bucket, e.est_lo, e.est_hi, x.exact_q,
+       (x.exact_q >= e.est_lo AND x.exact_q <= e.est_hi) AS contained
+FROM est e JOIN ex x ON e.grp = x.grp AND e.q = x.q
+"""
+
+
 def cms_heavy_hitters_sql(
     *,
     table: str = "documents",

@@ -1,16 +1,19 @@
-"""Streaming maintenance of the bounded-state sketches (CMS + HLL).
+"""Streaming maintenance of the bounded-state sketches (CMS + HLL + HDR).
 
-Both sketches are MERGEABLE — the algebraic property that makes them the
-right streaming state: two CMS grids over disjoint streams sum cell-wise
-into the grid of the union, and two HLL register tables max-merge into
-the registers of the union (Cormode & Muthukrishnan 2005 §4.1; Flajolet
-et al. 2007 — register max commutes with stream union). So the handler
-folds each micro-batch's sketch into a tiny persisted store (≤ depth ×
-width + 2^p rows) with NO raw-data state, and any point-in-time read
-answers "hot tokens so far" / "distinct tokens so far" over the whole
-history of the stream.
+All three sketches are MERGEABLE — the algebraic property that makes them
+the right streaming state: two CMS grids over disjoint streams sum
+cell-wise into the grid of the union, two HLL register tables max-merge
+into the registers of the union (Cormode & Muthukrishnan 2005 §4.1;
+Flajolet et al. 2007 — register max commutes with stream union), and two
+HDR bucket tables sum count-wise into the histogram of the union. So the
+handler folds each micro-batch's sketch into a tiny persisted store
+(≤ depth × width + 2^p + ~64k rows) with NO raw-data state, and any
+point-in-time read answers "hot tokens so far" / "distinct tokens so
+far" / "token-count quantiles so far" over the whole history of the
+stream.
 
-Store layout: generation dirs (``cms-g{N}``, ``hll-g{N}``) with a
+Store layout: generation dirs (``cms-g{N}``, ``hll-g{N}``, ``hdr-g{N}``)
+with a
 ``_sketch_meta.json`` pointer — the merged sketch is written to the NEXT
 generation and the meta flip is the commit point (a reader never sees a
 half-written grid; parquet can't overwrite a path it is reading from).
@@ -34,7 +37,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from transmog_spark.operators.sketch import cms_sketch, hll_registers
+from transmog_spark.operators.sketch import cms_sketch, hdr_histogram, hll_registers
+from transmog_spark.operators.text import ws_tokens
 
 _META = "_sketch_meta.json"
 
@@ -71,6 +75,15 @@ def read_hll(spark: SparkSession, store_path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(store_path, f"hll-g{meta['gen']}"))
 
 
+def read_hdr(spark: SparkSession, store_path: str) -> DataFrame:
+    """Current merged HDR token-count histogram (bucket, cnt) — feed to
+    ``operators.sketch.hdr_quantiles`` for point-in-time quantiles."""
+    meta = _read_meta(store_path)
+    if meta is None:
+        raise FileNotFoundError(f"no sketch store at {store_path}")
+    return spark.read.parquet(os.path.join(store_path, f"hdr-g{meta['gen']}"))
+
+
 def sketch_foreach_batch(
     store_path: str,
     id_col: str = "doc_id",
@@ -79,6 +92,7 @@ def sketch_foreach_batch(
     depth: int = 4,
     width: int = 256,
     p: int = 12,
+    hdr_k: int = 32,
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` handler. Attach with::
 
@@ -94,6 +108,13 @@ def sketch_foreach_batch(
             return  # committed-batch replay: exact no-op (CMS + is not idempotent)
         new_cms = cms_sketch(batch_df, id_col, text_col, depth=depth, width=width)
         new_hll = hll_registers(batch_df, id_col, text_col, p=p)
+        new_hdr = hdr_histogram(
+            batch_df.select(
+                F.size(ws_tokens(F.col(text_col))).cast("long").alias("__ntok")
+            ),
+            "__ntok",
+            k=hdr_k,
+        )
         if meta is None:
             gen = 1
         else:
@@ -104,7 +125,7 @@ def sketch_foreach_batch(
             old_hll = spark.read.parquet(
                 os.path.join(store_path, f"hll-g{meta['gen']}")
             )
-            # cell-wise sum / register-wise max over the union of keys
+            # cell-wise sum / register-wise max / bucket-wise sum over keys
             new_cms = (
                 old_cms.unionByName(new_cms)
                 .groupBy("d", "bucket")
@@ -115,11 +136,19 @@ def sketch_foreach_batch(
                 .groupBy("bucket")
                 .agg(F.max("reg").alias("reg"))
             )
+            old_hdr_path = os.path.join(store_path, f"hdr-g{meta['gen']}")
+            if os.path.exists(old_hdr_path):  # stores created pre-HDR merge in
+                old_hdr = spark.read.parquet(old_hdr_path)
+                new_hdr = (
+                    old_hdr.unionByName(new_hdr)
+                    .groupBy("bucket")
+                    .agg(F.sum("cnt").alias("cnt"))
+                )
         # a crash between these writes and the meta flip leaves gen dirs no
         # meta references; the RETRY of that batch recomputes the same gen —
         # clear the orphans first (they are uncommitted by definition: meta
         # still points below gen) so the retry succeeds instead of erroring
-        for prefix in ("cms-g", "hll-g"):
+        for prefix in ("cms-g", "hll-g", "hdr-g"):
             shutil.rmtree(
                 os.path.join(store_path, f"{prefix}{gen}"), ignore_errors=True
             )
@@ -129,6 +158,9 @@ def sketch_foreach_batch(
         new_hll.write.mode("error").parquet(
             os.path.join(store_path, f"hll-g{gen}")
         )
+        new_hdr.write.mode("error").parquet(
+            os.path.join(store_path, f"hdr-g{gen}")
+        )
         _write_meta(
             store_path,
             {
@@ -137,11 +169,12 @@ def sketch_foreach_batch(
                 "depth": depth,
                 "width": width,
                 "p": p,
+                "hdr_k": hdr_k,
             },
         )
         # GC superseded generations (meta already points past them)
         for g in range(1, gen):
-            for prefix in ("cms-g", "hll-g"):
+            for prefix in ("cms-g", "hll-g", "hdr-g"):
                 shutil.rmtree(
                     os.path.join(store_path, f"{prefix}{g}"), ignore_errors=True
                 )
