@@ -275,3 +275,33 @@ def test_avro_append_keeps_all_generations_manifested(spark, tmp_path):
     with open(os.path.join(p, "_MANIFEST.json")) as fh:
         manifest = set(json.load(fh)["parts"])
     assert manifest == {f for f in os.listdir(p) if f.endswith(".avro")}
+
+
+def test_avro_append_does_not_resurrect_crash_orphans(spark, tmp_path):
+    """An append after a crashed overwrite (stale unmanifested parts in
+    the dir) must extend the MANIFESTED generation, not glob the orphans
+    back in — and must GC them."""
+    import json
+    import shutil
+
+    from transmog_spark.sinks_avro import read_avro_fallback, write_avro_fallback
+
+    p = str(tmp_path / "manorph")
+    write_avro_fallback(spark.range(5).coalesce(1), p)
+    gen1 = [f for f in os.listdir(p) if f.endswith(".avro")]
+    stash = tmp_path / "stash2"
+    stash.mkdir()
+    for f in gen1:
+        shutil.copy(os.path.join(p, f), stash / f)
+    write_avro_fallback(spark.range(100, 103).coalesce(1), p, mode="overwrite")
+    # crash window: gen-1 orphans reappear unmanifested
+    for f in gen1:
+        shutil.copy(stash / f, os.path.join(p, f))
+    write_avro_fallback(spark.range(7, 9).coalesce(1), p, mode="append")
+    back = read_avro_fallback(spark, p)
+    assert sorted(r["id"] for r in back.collect()) == [7, 8, 100, 101, 102]
+    # orphans are gone from disk and from the manifest
+    on_disk = {f for f in os.listdir(p) if f.endswith(".avro")}
+    assert not (on_disk & set(gen1))
+    with open(os.path.join(p, "_MANIFEST.json")) as fh:
+        assert set(json.load(fh)["parts"]) == on_disk

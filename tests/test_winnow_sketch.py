@@ -191,3 +191,16 @@ def test_hdr_value_quantiles_containment(spark):
     for r in out:
         if r.source == "s0":
             assert r.exact_q == s0[math.ceil(r.q * len(s0)) - 1]
+
+
+def test_hll_low_p_registers_do_not_wrap(spark, sf_dir):
+    """Regression: scale must track p (61 - p). At p=8 the max register is
+    53; a hardcoded 49 made shiftleft(1, 49-53) wrap mod 64 in the JVM
+    and silently corrupt the estimate."""
+    from transmog_spark.operators.sketch import hll_distinct
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    row = hll_distinct(docs, p=8).collect()[0]
+    exact = row["exact_distinct"]
+    # standard error ~ 1.04/sqrt(256) ~ 6.5%; allow 4 sigma
+    assert exact > 0 and abs(row["hll_est"] - exact) / exact < 0.26, row

@@ -332,7 +332,11 @@ def bm25_topk_indexed(
     # (n_docs/df long, avgdl the same IEEE double a Spark avg() computes —
     # the integer sum is exact below 2^53, so sum/count here ≡ avg there)
     n_docs = F.lit(meta["n_docs"]).cast("long")
-    avgdl = F.lit(meta["sum_dl"] / meta["n_texts"])
+    # max(1, ·): an index built from an empty/all-null-text corpus has
+    # n_texts == 0 (and no postings — the result is empty either way);
+    # the guard keeps the query path from raising ZeroDivisionError until
+    # a non-empty delta arrives. Non-degenerate stores are unaffected.
+    avgdl = F.lit(meta["sum_dl"] / max(1, meta["n_texts"]))
     idf = F.log((n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
     score = idf * (F.col("tf") * (k1 + 1.0)) / denom

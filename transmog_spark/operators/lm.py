@@ -222,9 +222,13 @@ def importance_weights(
     )
 
     def _slp(c2: str, c1: str, v: str) -> Column:
+        # greatest(v, 1): same degenerate-model clamp as lm_score — a
+        # target predicate matching zero docs (or only 1-token docs) gives
+        # vocab_size 0, and ln(x/0) = +Inf would overflow the
+        # scaled-integer sum silently instead of failing loudly
         logp = F.log(
             (F.coalesce(c2, F.lit(0)) + F.lit(k))
-            / (F.coalesce(c1, F.lit(0)) + F.lit(k) * F.col(v))
+            / (F.coalesce(c1, F.lit(0)) + F.lit(k) * F.greatest(F.col(v), F.lit(1)))
         )
         return F.sum(F.round(logp * 10000).cast("long") * F.col("m"))
 

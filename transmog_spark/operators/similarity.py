@@ -89,8 +89,9 @@ def rerank_topk(
     queries broadcast likewise; one window top-k over |Q|·R rows. Zero
     corpus shuffle.
 
-    Output matches ``brute_force_topk`` exactly: (query_id, neighbor_id,
-    cosine, rank) — so recall@k is a direct set compare.
+    Output schema matches ``brute_force_topk``: (query_id, neighbor_id,
+    cosine, rank) — so recall@k is a direct set compare (cosine here is
+    rounded to 4 decimals; ranking runs on the round-6 grid).
     """
     if metric not in ("cosine", "l2"):
         raise ValueError(f"unknown metric {metric!r}")
@@ -123,10 +124,15 @@ def rerank_topk(
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "dist2", "rank")
         )
+    # same determinism idiom as ivf_topk/sq8/lsh: rank on round(cos, 6)
+    # with an id tie-break — raw doubles differ in the last ulps between
+    # Spark's fold and DuckDB's list_cosine_similarity and can flip top-k
+    # membership — and output round(round6, 4) to match the oracle's
+    # double-rounding exactly
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        cosine_sim(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        F.round(cosine_sim(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -134,7 +140,7 @@ def rerank_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
     )
 
 

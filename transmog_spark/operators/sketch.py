@@ -115,7 +115,12 @@ def hll_estimate(regs: DataFrame, *, p: int = 12) -> DataFrame:
     scaled harmonic denominator; see ``hll_distinct`` for the math."""
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    scale = 49
+    # scale must cover the max register 60 - p + 1 so the shift amount
+    # scale - reg stays >= 0 for EVERY p (a hardcoded 49 only covered
+    # p >= 12; below that the negative shift wraps mod 64 in the JVM and
+    # the estimate is silently garbage). m * 2^scale = 2^61 < 2^63 — the
+    # exact long sum never overflows. p = 12 keeps scale = 49.
+    scale = 61 - p
     agg = regs.agg(
         F.count(F.lit(1)).alias("n_present"),
         F.coalesce(

@@ -574,7 +574,7 @@ q AS (SELECT {id_col} AS qid, {vec_col}::DOUBLE[] AS qv
       FROM {table} WHERE {query_filter}),
 scored AS (
   SELECT cand.query_id, cand.neighbor_id,
-         list_cosine_similarity(c.v, p.qv) AS cos
+         round(list_cosine_similarity(c.v, p.qv), 6) AS cos
   FROM cand
   JOIN e c ON c.nid = cand.neighbor_id
   JOIN q p ON p.qid = cand.query_id)
@@ -1929,9 +1929,9 @@ scored AS (
 per_doc AS (
   SELECT {id_col},
          CAST(sum(m) AS BIGINT) AS n_bigrams,
-         CAST(sum(CAST(round(ln((c2t + {k}) / (c1t + {k} * v_t)) * 10000) AS BIGINT) * m)
+         CAST(sum(CAST(round(ln((c2t + {k}) / (c1t + {k} * greatest(v_t, 1))) * 10000) AS BIGINT) * m)
               AS BIGINT) AS slp_t,
-         CAST(sum(CAST(round(ln((c2r + {k}) / (c1r + {k} * v_r)) * 10000) AS BIGINT) * m)
+         CAST(sum(CAST(round(ln((c2r + {k}) / (c1r + {k} * greatest(v_r, 1))) * 10000) AS BIGINT) * m)
               AS BIGINT) AS slp_r
   FROM scored GROUP BY 1
 ),
@@ -2109,7 +2109,7 @@ def hll_distinct_sql(
     m = 1 << p
     rest_bits = 60 - p
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    scale = 49
+    scale = 61 - p  # covers max register 60 - p + 1 for every p (49 at p=12)
     h = duck_md5_long("term")
     return f"""
 WITH toks AS (

@@ -490,17 +490,28 @@ def write_avro_fallback(
         committed.add(f)
     manifest_path = os.path.join(path, "_MANIFEST.json")
     if mode == "append":
-        # keep every pre-existing part live (manifested or not — the dir may
-        # predate the manifest protocol); GC only applies to overwrite
-        committed |= {f for f in os.listdir(path) if f.endswith(".avro")}
+        # keep the COMMITTED pre-existing parts live: the manifest is the
+        # source of truth — a directory glob here would resurrect
+        # unmanifested orphans from a crashed overwrite (renamed in, never
+        # flipped), handing readers a mixed-generation view. Only a dir
+        # that predates the manifest protocol (no manifest at all) falls
+        # back to the glob.
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                prior = set(json.load(fh).get("parts", []))
+            committed |= {f for f in prior if os.path.exists(os.path.join(path, f))}
+        else:
+            committed |= {f for f in os.listdir(path) if f.endswith(".avro")}
     tmp = manifest_path + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
         json.dump({"parts": sorted(committed)}, fh)
     os.replace(tmp, manifest_path)
-    if mode == "overwrite":
-        for f in os.listdir(path):
-            if f.endswith(".avro") and f not in committed:
-                os.remove(os.path.join(path, f))
+    # GC unmanifested parts in BOTH modes — after the flip they are crash
+    # orphans by definition (readers filter to the manifest), and leaving
+    # them would grow the directory forever under append workloads
+    for f in os.listdir(path):
+        if f.endswith(".avro") and f not in committed:
+            os.remove(os.path.join(path, f))
     shutil.rmtree(staging, ignore_errors=True)
     return path
 

@@ -172,11 +172,18 @@ def sketch_foreach_batch(
                 "hdr_k": hdr_k,
             },
         )
-        # GC superseded generations (meta already points past them)
-        for g in range(1, gen):
-            for prefix in ("cms-g", "hll-g", "hdr-g"):
-                shutil.rmtree(
-                    os.path.join(store_path, f"{prefix}{g}"), ignore_errors=True
-                )
+        # GC superseded generations (meta already points past them) by
+        # globbing what actually exists — one readdir over a dir the GC
+        # itself keeps small, instead of a 1..gen rmtree loop whose no-op
+        # syscall count grows linearly per batch over a long stream's
+        # life (and, unlike a fixed trailing window, this can't leak a
+        # generation under repeated crash-after-flip windows).
+        import glob as _glob
+
+        for d in _glob.glob(os.path.join(store_path, "*-g*")):
+            name = os.path.basename(d)
+            prefix, _, g_str = name.rpartition("-g")
+            if prefix in ("cms", "hll", "hdr") and g_str.isdigit() and int(g_str) < gen:
+                shutil.rmtree(d, ignore_errors=True)
 
     return handle
