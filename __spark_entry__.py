@@ -934,6 +934,19 @@ def _q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_source(d, "doc_id", "source", cap=60, seed="r5")
 
 
+def _q_cap_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN-budget quota (operators/corpus.py:
+    cap_tokens_per_source — the form mixing recipes are written in):
+    greedy hash-rank admission while the source's exact running token
+    total stays <= budget."""
+    from transmog_spark.operators.corpus import cap_tokens_per_source
+
+    d = _t(spark, sf_dir, "documents")
+    return cap_tokens_per_source(
+        d, "doc_id", "source", "text", budget=10_000, seed="r5tok"
+    )
+
+
 def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF keywords per document (operators/corpus.py:
     tfidf_keywords — smooth-idf, scaled-integer rank grid, term
@@ -1666,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 surface -------------------------------------------
         "rolling_agg": _q_rolling_agg,
         "hdr_quantiles": _q_hdr_quantiles,
+        "cap_tokens_per_source": _q_cap_tokens_per_source,
         "dup_lines": _q_dup_lines,
         "strip_dup_lines": _q_strip_dup_lines,
         "tfidf_keywords": _q_tfidf_keywords,
@@ -1825,6 +1839,7 @@ def oracle_sql() -> dict[str, str]:
         strip_duplicated_lines_sql,
         tfidf_keywords_sql,
         cap_per_source_sql,
+        cap_tokens_per_source_sql,
         minhash_probe_sql,
         token_positions_sql,
         tokenize_docs_sql,
@@ -2073,6 +2088,9 @@ SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM (
         ),
         "tfidf_keywords": tfidf_keywords_sql(k=5),
         "cap_per_source": cap_per_source_sql(cap=60, seed="r5"),
+        "cap_tokens_per_source": cap_tokens_per_source_sql(
+            budget=10_000, seed="r5tok"
+        ),
         "minhash_probe": minhash_probe_sql(
             store_filter="doc_id % 2 = 0",
             probe_filter="doc_id % 2 = 1",

@@ -453,3 +453,36 @@ def test_cap_per_source_under_cap_keeps_all(spark):
     )
     out = cap_per_source(df, "doc_id", "source", cap=10).collect()
     assert all(r["kept"] for r in out)
+
+
+def test_cap_tokens_per_source_budget_semantics(spark):
+    from transmog_spark.operators.corpus import cap_tokens_per_source
+
+    # every doc is exactly 4 whitespace tokens -> budget 10 admits the
+    # first 2 docs in hash-rank order (cum 4, 8; the 3rd would hit 12)
+    rows = [(i, "a b c d", "big" if i < 8 else "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = cap_tokens_per_source(
+        df, "doc_id", "source", "text", budget=10, seed="s"
+    ).collect()
+    for r in out:
+        assert r["n_tok"] == 4
+        assert r["cum_tokens"] == 4 * r["src_rank"]
+        assert r["kept"] == (r["cum_tokens"] <= 10)
+    kept_tokens = {}
+    for r in out:
+        if r["kept"]:
+            kept_tokens[r["source"]] = kept_tokens.get(r["source"], 0) + r["n_tok"]
+    assert kept_tokens == {"big": 8, "small": 8}
+    # precomputed-count column path ≡ text path
+    df2 = df.withColumn("n_tok_pre", F.lit(4))
+    pre = cap_tokens_per_source(
+        df2, "doc_id", "source", budget=10, seed="s", n_tok_col="n_tok_pre"
+    ).collect()
+    key = lambda r: (r["doc_id"], r["src_rank"], r["cum_tokens"], r["kept"])
+    assert sorted(map(key, pre)) == sorted(map(key, out))
+    # determinism: same seed replays identically
+    again = cap_tokens_per_source(
+        df, "doc_id", "source", "text", budget=10, seed="s"
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -777,3 +777,61 @@ def tfidf_keywords(
             "rank",
         )
     )
+
+
+def cap_tokens_per_source(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    *,
+    budget: int,
+    seed: str = "tokcap",
+    n_tok_col: str | None = None,
+) -> DataFrame:
+    """Per-source TOKEN-budget quota — the form data-mixing recipes are
+    actually written in (Dolma's mixer and the RedPajama/Pile replications
+    state per-source budgets in tokens, not document counts; see also
+    ``epoch_mixture`` for the fractional-epoch formulation over weights).
+
+    Documents are ranked inside their source by the same deterministic
+    seeded hash as ``cap_per_source``, then admitted greedily in rank
+    order while the source's RUNNING token total stays ``<= budget`` —
+    the first document that would overflow the budget (and everything
+    after it) is cut. Same documents survive on any cluster size,
+    partitioning, or engine: the running total is an exact integer
+    window sum over md5-ordered longs.
+
+    ``n_tok_col`` selects a precomputed token-count column (the
+    tokenized-sequence table's ``n_tok``); default counts whitespace
+    tokens from ``text_col``.
+
+    Returns the full inventory (``id_col``, ``source_col``, n_tok,
+    src_rank, cum_tokens, kept) so the audit (tokens admitted vs cut per
+    source) is one aggregation and the apply is one
+    ``.where(F.col('kept'))``.
+
+    Scale shape: identical to ``cap_per_source`` — one hash shuffle on
+    source + a per-source sort; the window carries one long of state.
+    Hot-source caveat likewise (pre-split pathological sources upstream).
+    """
+    from pyspark.sql import Window
+
+    n_tok = (
+        F.col(n_tok_col).cast("long")
+        if n_tok_col
+        else F.size(ws_tokens(F.col(text_col))).cast("long")
+    )
+    key = md5_long(F.concat(F.lit(f"{seed}#"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(source_col).orderBy(key.asc(), F.col(id_col).asc())
+    cum = F.sum(n_tok).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(source_col),
+        n_tok.alias("n_tok"),
+        F.row_number().over(w).alias("src_rank"),
+        cum.alias("cum_tokens"),
+        (cum <= F.lit(int(budget))).alias("kept"),
+    )

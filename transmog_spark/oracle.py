@@ -2489,6 +2489,40 @@ FROM r
 """
 
 
+def cap_tokens_per_source_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    budget: int,
+    seed: str = "tokcap",
+) -> str:
+    """Mirror of operators.corpus.cap_tokens_per_source: same seeded md5
+    rank inside the source, same exact integer running token total, same
+    greedy ``cum <= budget`` admission."""
+    key = duck_md5_long(f"concat('{seed}', '#', CAST({id_col} AS VARCHAR))")
+    return f"""
+WITH k AS (
+  SELECT {id_col}, {source_col},
+         CAST(len({duck_ws_tokens(text_col)}) AS BIGINT) AS n_tok,
+         {key} AS key
+  FROM {table}),
+r AS (
+  SELECT {id_col}, {source_col}, n_tok,
+         row_number() OVER (PARTITION BY {source_col}
+           ORDER BY key, {id_col}) AS src_rank,
+         sum(n_tok) OVER (PARTITION BY {source_col}
+           ORDER BY key, {id_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM k)
+SELECT {id_col}, {source_col}, n_tok, CAST(src_rank AS INT) AS src_rank,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       cum_tokens <= {budget} AS kept
+FROM r
+"""
+
+
 def minhash_probe_sql(
     *,
     table: str = "documents",
