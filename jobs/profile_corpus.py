@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Corpus profiling job (spark-submit entry point): the telemetry pass a
+training-data team runs before (and after) every curation change.
+
+Composes the engine's bounded-state/profile operators — all of them
+oracle-gated individually — into one read of the corpus plus a handful of
+sketch-sized aggregates, and writes a profile directory:
+
+* ``<out>/source_stats/``    — per-source doc counts + whitespace-token
+                               totals/means (the mixing denominators).
+* ``<out>/token_quantiles/`` — per-source p50/p90/p99 token counts from
+                               the mergeable HDR sketch (rel err <= 1/k),
+                               exact discrete quantile riding along.
+* ``<out>/lang_mix/``        — per-source × lang doc counts (n-gram
+                               heuristic lang-ID).
+* ``<out>/quality/``         — per-source mean quality score + low-quality
+                               rate (score < --quality-floor).
+* ``<out>/heavy_terms/``     — Count-Min heavy hitters at --cms-threshold
+                               (boilerplate candidates for line dedup).
+* ``<out>/_PROFILE.json``    — corpus-level scalars: doc count, token sum,
+                               HLL distinct-token estimate, parameters.
+
+Every section is a small table (sources × constants, sketch-sized), so the
+job's output is readable regardless of corpus size; the corpus itself is
+scanned a bounded number of times and never collected.
+
+Cluster usage:
+
+    spark-submit --master yarn --deploy-mode cluster \
+      --num-executors 100 --executor-cores 4 --executor-memory 16g \
+      --py-files transmog_spark.zip \
+      jobs/profile_corpus.py \
+      --input catalog.db.documents --output /warehouse/profiles/2026-08-18
+
+Local smoke:
+
+    python jobs/profile_corpus.py \
+      --input /root/testdata/sf0.001/documents.parquet --output /tmp/profile
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="document table (catalog ref or parquet path)")
+    p.add_argument("--output", required=True, help="profile directory")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--source-col", default="source")
+    p.add_argument("--hdr-k", type=int, default=32)
+    p.add_argument("--hll-p", type=int, default=12)
+    p.add_argument("--cms-width", type=int, default=4096)
+    p.add_argument("--cms-threshold", type=int, default=1000)
+    p.add_argument("--quality-floor", type=float, default=0.5)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    from transmog_spark.operators.sketch import (
+        cms_heavy_hitters,
+        hdr_value_quantiles,
+        hll_estimate,
+        hll_registers,
+    )
+    from transmog_spark.operators.text import lang_id, quality_score, ws_tokens
+    from transmog_spark.session import get_spark
+    from transmog_spark.sources.tables import read_table
+
+    spark = get_spark(
+        app_name="transmog_profile", shuffle_partitions=args.shuffle_partitions
+    )
+    docs = read_table(spark, args.input)
+    sid, txt, src = args.id_col, args.text_col, args.source_col
+    out = args.output
+    os.makedirs(out, exist_ok=True)
+
+    # one narrow projection feeds the per-source sections (token counts
+    # computed once; Catalyst prunes text out of the downstream aggs)
+    base = docs.select(
+        F.col(sid),
+        F.col(src),
+        F.size(ws_tokens(F.col(txt))).cast("long").alias("n_tok"),
+        lang_id(F.col(txt)).alias("lang"),
+        quality_score(F.col(txt)).alias("q"),
+    )
+
+    base.groupBy(src).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+        F.round(F.avg("n_tok"), 2).alias("mean_tokens"),
+    ).write.mode("overwrite").parquet(os.path.join(out, "source_stats"))
+
+    hdr_value_quantiles(
+        base, "n_tok", [0.5, 0.9, 0.99], k=args.hdr_k, group_by=[src]
+    ).write.mode("overwrite").parquet(os.path.join(out, "token_quantiles"))
+
+    base.groupBy(src, "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).write.mode("overwrite").parquet(os.path.join(out, "lang_mix"))
+
+    base.groupBy(src).agg(
+        F.round(F.avg("q"), 4).alias("mean_quality"),
+        F.round(
+            F.avg(F.when(F.col("q") < args.quality_floor, 1.0).otherwise(0.0)), 4
+        ).alias("low_quality_rate"),
+    ).write.mode("overwrite").parquet(os.path.join(out, "quality"))
+
+    cms_heavy_hitters(
+        docs, sid, txt, width=args.cms_width, threshold=args.cms_threshold
+    ).write.mode("overwrite").parquet(os.path.join(out, "heavy_terms"))
+
+    totals = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("sum_tokens")
+    ).collect()[0]
+    # estimate-only HLL (2^p-row register table): hll_distinct's exact
+    # countDistinct rider is a vocabulary-wide shuffle that belongs in QA
+    # runs, not in the routine profile pass
+    hll = hll_estimate(hll_registers(docs, sid, txt, p=args.hll_p), p=args.hll_p).collect()[0]
+    summary = {
+        "n_docs": int(totals["n_docs"]),
+        "sum_tokens": int(totals["sum_tokens"] or 0),
+        "distinct_tokens_hll": float(hll["hll_est"]),
+        "hll_registers_present": int(hll["n_present"]),
+        "params": {
+            "hdr_k": args.hdr_k,
+            "hll_p": args.hll_p,
+            "cms_width": args.cms_width,
+            "cms_threshold": args.cms_threshold,
+            "quality_floor": args.quality_floor,
+        },
+        "sections": [
+            "source_stats",
+            "token_quantiles",
+            "lang_mix",
+            "quality",
+            "heavy_terms",
+        ],
+    }
+    tmp = os.path.join(out, "_PROFILE.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(summary, fh, indent=2)
+    os.replace(tmp, os.path.join(out, "_PROFILE.json"))
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,56 @@
+"""e2e for jobs/profile_corpus.py: every profile section materializes with
+the expected shape and internally consistent numbers."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from jobs.profile_corpus import main as profile_main
+
+
+def test_profile_job_end_to_end(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "profile")
+    rc = profile_main(
+        [
+            "--input", os.path.join(sf_dir, "documents.parquet"),
+            "--output", out,
+            "--shuffle-partitions", "8",
+            "--cms-width", "64",
+            "--cms-threshold", "100",
+        ]
+    )
+    assert rc == 0
+
+    with open(os.path.join(out, "_PROFILE.json")) as fh:
+        summary = json.load(fh)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    assert summary["n_docs"] == n_docs
+    assert summary["sum_tokens"] > 0
+    assert summary["distinct_tokens_hll"] > 0
+
+    stats = spark.read.parquet(os.path.join(out, "source_stats"))
+    assert stats.agg({"n_docs": "sum"}).collect()[0][0] == n_docs
+    n_sources = docs.select("source").distinct().count()
+    assert stats.count() == n_sources
+
+    tq = spark.read.parquet(os.path.join(out, "token_quantiles")).collect()
+    assert len(tq) == 3 * n_sources
+    for r in tq:
+        assert r["contained"] and r["est_lo"] <= r["exact_q"] <= r["est_hi"]
+
+    lang = spark.read.parquet(os.path.join(out, "lang_mix"))
+    assert lang.agg({"n_docs": "sum"}).collect()[0][0] == n_docs
+
+    qual = spark.read.parquet(os.path.join(out, "quality")).collect()
+    assert len(qual) == n_sources
+    for r in qual:
+        assert 0.0 <= r["low_quality_rate"] <= 1.0
+
+    heavy = spark.read.parquet(os.path.join(out, "heavy_terms")).collect()
+    for r in heavy:
+        assert r["overcount"] >= 0  # CMS never undercounts
