@@ -280,15 +280,7 @@ def _q_rolling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         {"value_u": ["sum", "count"]},
         windows_seconds={"1h": 3600.0},
-    )
-    out = with_rolling_agg(
-        out,
-        "user_id",
-        "ts",
-        {"value_u": ["sum", "count"]},
-        windows_seconds={"1h": 3600.0},
-        include_current=False,
-        prefix="prior_",
+        prior_prefix="prior_",  # strictly-prior twins share the one sort
     )
     return out.select(
         "event_id",

@@ -473,3 +473,29 @@ def test_strip_dup_lines_no_udf_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_rolling_agg_single_exchange_single_sort(spark, sf_dir):
+    """Both trailing frames (inclusive + strictly-prior) and both aggs
+    share ONE hash exchange + ONE sort on (user_id, unix_micros(ts))."""
+    plan = _plan(spark, sf_dir, "rolling_agg")
+    assert _exchanges(plan) == 1
+    assert _sorts(plan) == 1
+
+
+def test_hdr_quantiles_bounded_state_plan(spark, sf_dir):
+    """The sketch path is groupBy/window only: no broadcast-nested-loop,
+    no cartesian, and the (group, bucket) rollup is map-side combined
+    (partial HashAggregate before its exchange)."""
+    plan = _plan(spark, sf_dir, "hdr_quantiles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"partial_count", plan)  # map-side combine on buckets
+
+
+def test_cap_tokens_per_source_one_exchange(spark, sf_dir):
+    """Quota = one hash shuffle on source + one per-source sort; the
+    running token total adds no extra exchange over cap_per_source."""
+    plan = _plan(spark, sf_dir, "cap_tokens_per_source")
+    assert _exchanges(plan) == 1
+    assert _sorts(plan) == 1

@@ -118,11 +118,8 @@ def test_rolling_agg_semantics(spark):
     ]
     df = spark.createDataFrame(rows, "k string, ts timestamp, v double, rid long")
     out = with_rolling_agg(
-        df, "k", "ts", {"v": ["sum", "count"]}, windows_seconds={"1h": 3600.0}
-    )
-    out = with_rolling_agg(
-        out, "k", "ts", {"v": ["sum"]},
-        windows_seconds={"1h": 3600.0}, include_current=False, prefix="prior_",
+        df, "k", "ts", {"v": ["sum", "count"]},
+        windows_seconds={"1h": 3600.0}, prior_prefix="prior_",
     )
     got = {r.rid: (r.v_sum_1h, r.v_count_1h, r.prior_v_sum_1h) for r in out.collect()}
     assert got == {
@@ -156,18 +153,17 @@ def test_rolling_agg_matches_bruteforce(ts_df):
 
 
 def test_rolling_agg_single_sort(ts_df):
-    """Two trailing windows + the strict variant share ONE Exchange+Sort
-    (same partitioning, same integer-microsecond order)."""
+    """Two trailing windows + the strictly-prior twins share ONE
+    Exchange + ONE Sort (materialized order key, one pass)."""
     out = with_rolling_agg(
         ts_df, "k", "ts", {"v": ["sum", "count"]},
-        windows_seconds={"1h": 3600.0, "1d": 86400.0},
-    )
-    out = with_rolling_agg(
-        out, "k", "ts", {"v": ["sum"]},
-        windows_seconds={"1h": 3600.0}, include_current=False, prefix="prior_",
+        windows_seconds={"1h": 3600.0, "1d": 86400.0}, prior_prefix="prior_",
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
     assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert len(_re.findall(r"\bSort \[", plan)) == 1, plan
 
 
 def test_window_family_single_sort(spark, ts_df):

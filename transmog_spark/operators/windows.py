@@ -112,6 +112,7 @@ def with_rolling_agg(
     windows_seconds: dict[str, float],
     include_current: bool = True,
     prefix: str = "",
+    prior_prefix: str | None = None,
 ) -> DataFrame:
     """Trailing time-window aggregates per entity — the classic
     point-in-time feature family ("events in the last hour", "token volume
@@ -119,26 +120,47 @@ def with_rolling_agg(
 
     ``agg_cols`` maps column -> aggs in {sum, mean, min, max, count};
     ``windows_seconds`` maps a label -> trailing seconds, emitting
-    ``{prefix}{col}_{fn}_{label}`` per combination.
+    ``{prefix}{col}_{fn}_{label}`` per combination. ``prior_prefix`` (if
+    set) additionally emits a strictly-prior (zero-leakage) twin
+    ``{prior_prefix}{col}_{fn}_{label}`` for every combination IN THE SAME
+    PASS — ask for both variants here rather than in two calls.
 
-    Scale shape: every frame shares ONE partitioning + sort (same keys, same
-    integer-microsecond order), so Catalyst plans a single Exchange + Sort
-    and stacks Window nodes per distinct frame — adding a window label costs
-    no extra shuffle. Skew is bounded by the hottest single entity, same as
-    every operator in this module. Float ``sum``/``mean`` over a RANGE frame
-    are evaluated in frame order by both Spark and DuckDB but remain
-    float-associativity-sensitive across engines — scale to integer units
-    first when the result feeds a cross-engine compare (see sessionize's
-    ``stable_sum`` pattern).
+    Scale shape: the integer-microsecond order key is materialized ONCE as
+    a real column, so every frame (all labels, inclusive AND strictly-
+    prior) shares one attribute-identical (partition, order) — Catalyst
+    plans a single Exchange + single Sort and stacks the frames in one
+    Window family; adding a label or the prior twin costs no extra
+    shuffle or sort (pinned by tests/test_plan_quality.py). Two separate
+    calls instead re-derive the key as a fresh attribute per call and pay
+    one redundant Sort each. Skew is bounded by the hottest single
+    entity, same as every operator in this module. Float ``sum``/``mean``
+    over a RANGE frame are evaluated in frame order by both Spark and
+    DuckDB but remain float-associativity-sensitive across engines —
+    scale to integer units first when the result feeds a cross-engine
+    compare (see sessionize's ``stable_sum`` pattern).
     """
-    out = df
+    if prior_prefix is not None and prior_prefix == prefix:
+        raise ValueError("prior_prefix must differ from prefix (column names collide)")
+    keys = [key] if isinstance(key, str) else list(key)
+    us_col = "__rolling_us"
+    out = df.withColumn(us_col, F.unix_micros(F.col(ts).cast("timestamp")))
+    variants = [(prefix, Window.currentRow if include_current else -1)]
+    if prior_prefix is not None:
+        variants.append((prior_prefix, -1))
+    new_cols = {}
     for label, secs in windows_seconds.items():
-        w = rolling_window(key, ts, trailing_seconds=secs, include_current=include_current)
-        for c, fns in agg_cols.items():
-            for fn in fns:
-                agg = getattr(F, fn if fn != "mean" else "avg")(c).over(w)
-                out = out.withColumn(f"{prefix}{c}_{fn}_{label}", agg)
-    return out
+        lo = -int(secs * 1_000_000)
+        for pfx, hi in variants:
+            w = (
+                Window.partitionBy(*keys)
+                .orderBy(F.col(us_col).asc())
+                .rangeBetween(lo, hi)
+            )
+            for c, fns in agg_cols.items():
+                for fn in fns:
+                    agg = getattr(F, fn if fn != "mean" else "avg")(c).over(w)
+                    new_cols[f"{pfx}{c}_{fn}_{label}"] = agg
+    return out.withColumns(new_cols).drop(us_col)
 
 
 def sessionize(
