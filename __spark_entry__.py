@@ -1701,8 +1701,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": _q_pack_greedy,
         "pack_assemble": _q_pack_assemble,
         "pack_assemble_greedy": _q_pack_assemble_greedy,
-        "pack_concat_strkey": _q_pack_concat_strkey,
-        "pack_assemble_strkey": _q_pack_assemble_strkey,
+        "unigram_tokenize": _q_unigram_tokenize,
+        "bpe_tokenize": _q_bpe_tokenize,
+        "bpe_chunks": _q_bpe_chunks,
         "training_order": _q_training_order,
         "shard_manifest": _q_shard_manifest,
         "bm25_topk": _q_bm25_topk,
@@ -1710,7 +1711,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_chunks": _q_token_chunks,
         "decontaminate": _q_decontaminate,
         "repetition_profile": _q_repetition,
-        "epoch_mixture": _q_epoch_mixture,
         "vocab_stats": _q_vocab_stats,
         "flagship_pipeline": _q_flagship,
         "token_pipeline": _q_token_pipeline,
@@ -1721,9 +1721,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedupe_near": _q_dedupe_near,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_star": _q_dedup_clusters_star,
-        "unigram_tokenize": _q_unigram_tokenize,
-        "bpe_tokenize": _q_bpe_tokenize,
-        "bpe_chunks": _q_bpe_chunks,
+        "pack_concat_strkey": _q_pack_concat_strkey,
+        "pack_assemble_strkey": _q_pack_assemble_strkey,
+        "epoch_mixture": _q_epoch_mixture,
         "lm_perplexity": _q_lm_perplexity,
         "importance": _q_importance,
         "domain_weights": _q_domain_weights,
