@@ -926,6 +926,25 @@ def _q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_source(d, "doc_id", "source", cap=60, seed="r5")
 
 
+def _q_cap_best_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merit-ordered source quota (operators/corpus.py:cap_per_source with
+    rank_by — the FineWeb-Edu shape): keep the top-60 docs per source by
+    round(quality_score, 4), seeded hash + id as deterministic
+    tie-breaks."""
+    from transmog_spark.operators.corpus import cap_per_source
+    from transmog_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return cap_per_source(
+        d,
+        "doc_id",
+        "source",
+        cap=60,
+        seed="r5",
+        rank_by=F.round(quality_score(F.col("text")), 4),
+    )
+
+
 def _q_cap_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source TOKEN-budget quota (operators/corpus.py:
     cap_tokens_per_source — the form mixing recipes are written in):
@@ -1672,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_agg": _q_rolling_agg,
         "hdr_quantiles": _q_hdr_quantiles,
         "cap_tokens_per_source": _q_cap_tokens_per_source,
+        "cap_best_per_source": _q_cap_best_per_source,
         "dup_lines": _q_dup_lines,
         "strip_dup_lines": _q_strip_dup_lines,
         "tfidf_keywords": _q_tfidf_keywords,
@@ -1680,7 +1700,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_norm": _q_dedup_exact_norm,
         "rerank_topk": _q_rerank_topk,
         "embedding_topk_indexed": _q_embedding_topk_indexed,
-        "winnow_fps": _q_winnow_fps,
         "winnow_pairs": _q_winnow_pairs,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "hll_distinct": _q_hll_distinct,
@@ -1721,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedupe_near": _q_dedupe_near,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_star": _q_dedup_clusters_star,
+        "winnow_fps": _q_winnow_fps,
         "pack_concat_strkey": _q_pack_concat_strkey,
         "pack_assemble_strkey": _q_pack_assemble_strkey,
         "epoch_mixture": _q_epoch_mixture,
@@ -1832,6 +1852,7 @@ def oracle_sql() -> dict[str, str]:
         tfidf_keywords_sql,
         cap_per_source_sql,
         cap_tokens_per_source_sql,
+        cap_best_per_source_sql,
         minhash_probe_sql,
         token_positions_sql,
         tokenize_docs_sql,
@@ -2083,6 +2104,7 @@ SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM (
         "cap_tokens_per_source": cap_tokens_per_source_sql(
             budget=10_000, seed="r5tok"
         ),
+        "cap_best_per_source": cap_best_per_source_sql(cap=60, seed="r5"),
         "minhash_probe": minhash_probe_sql(
             store_filter="doc_id % 2 = 0",
             probe_filter="doc_id % 2 = 1",

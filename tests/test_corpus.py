@@ -486,3 +486,21 @@ def test_cap_tokens_per_source_budget_semantics(spark):
         df, "doc_id", "source", "text", budget=10, seed="s"
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_cap_per_source_rank_by_merit_order(spark):
+    from transmog_spark.operators.corpus import cap_per_source
+
+    rows = [
+        (1, "s", 0.9), (2, "s", 0.5), (3, "s", 0.7), (4, "s", 0.99),
+        (5, "t", 0.1), (6, "t", 0.2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = cap_per_source(
+        df, "doc_id", "source", cap=2, seed="s", rank_by=F.col("score")
+    ).collect()
+    rank = {r["doc_id"]: r["src_rank"] for r in out}
+    # merit descending: 4 (.99) > 1 (.9) > 3 (.7) > 2 (.5)
+    assert (rank[4], rank[1], rank[3], rank[2]) == (1, 2, 3, 4)
+    kept = {r["doc_id"] for r in out if r["kept"]}
+    assert kept == {4, 1, 6, 5}

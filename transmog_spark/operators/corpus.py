@@ -681,6 +681,7 @@ def cap_per_source(
     *,
     cap: int,
     seed: str = "cap",
+    rank_by: Column | None = None,
 ) -> DataFrame:
     """Per-source document quota (the FineWeb/Dolma domain-cap step):
     keep at most ``cap`` documents per source, chosen by a deterministic
@@ -698,6 +699,14 @@ def cap_per_source(
     rank <= cap — so the audit (how much each domain lost) is one
     aggregation and the apply is one ``.where(F.col('kept'))``.
 
+    ``rank_by`` switches the selection from uniform (seeded hash) to
+    MERIT order — the FineWeb-Edu shape ("keep the best N per domain by
+    classifier score"): documents rank by ``rank_by`` DESCENDING, with
+    the seeded hash and id as deterministic tie-breaks. Pass a score
+    already on a rounding grid (e.g. ``F.round(score, 4)``) when the
+    result must reproduce across engines — raw-double ties are the usual
+    cross-engine rank hazard.
+
     Scale shape: one hash shuffle on source + a per-source sort — the
     same window cost profile as ``training_order``; 8-byte rank keys. A
     pathologically hot source makes a hot partition; at 100 TB pre-split
@@ -707,7 +716,10 @@ def cap_per_source(
     from pyspark.sql import Window
 
     key = md5_long(F.concat(F.lit(f"{seed}#"), F.col(id_col).cast("string")))
-    w = Window.partitionBy(source_col).orderBy(key.asc(), F.col(id_col).asc())
+    order = [key.asc(), F.col(id_col).asc()]
+    if rank_by is not None:
+        order = [rank_by.desc()] + order
+    w = Window.partitionBy(source_col).orderBy(*order)
     return df.select(
         F.col(id_col),
         F.col(source_col),

@@ -2489,6 +2489,60 @@ FROM r
 """
 
 
+def cap_best_per_source_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    cap: int,
+    seed: str = "cap",
+) -> str:
+    """Mirror of operators.corpus.cap_per_source with
+    ``rank_by=round(quality_score, 4)``: merit-ordered source quota. Same
+    quality formula as text_profile_sql, same round-4 grid on the rank
+    key, same seeded-hash + id tie-breaks."""
+    stop = ", ".join(f"'{m}'" for m in EN_STOPWORDS)
+    key = duck_md5_long(f"concat('{seed}', '#', CAST({id_col} AS VARCHAR))")
+    return f"""
+WITH docs AS (
+  SELECT {id_col}, {source_col}, {text_col} AS txt,
+         {duck_ws_tokens(text_col)} AS t, {key} AS key
+  FROM {table}),
+feat AS (
+  SELECT {id_col}, {source_col}, key,
+         len(t) AS n_words,
+         length(txt) AS n_chars,
+         len(regexp_extract_all(txt, '[^\\w\\s]')) AS n_punct,
+         len(list_filter(t, x -> list_contains([{stop}], x))) AS n_stop,
+         CASE WHEN len(t) > 0
+              THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+              ELSE 0.0 END AS mean_word_len
+  FROM docs),
+q AS (
+  SELECT {id_col}, {source_col}, key,
+         round(
+           (CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0
+                 THEN 1.0 ELSE 0.3 END) * 0.3
+           + least((CASE WHEN n_words > 0
+                         THEN n_stop::DOUBLE / n_words ELSE 0.0 END) * 4.0,
+                   1.0) * 0.4
+           + greatest(0.0, 1.0 - (CASE WHEN n_chars > 0
+                                       THEN n_punct::DOUBLE / n_chars
+                                       ELSE 0.0 END) * 5.0) * 0.3,
+         4) AS quality
+  FROM feat),
+r AS (
+  SELECT {id_col}, {source_col},
+         row_number() OVER (PARTITION BY {source_col}
+           ORDER BY quality DESC, key, {id_col}) AS src_rank
+  FROM q)
+SELECT {id_col}, {source_col}, CAST(src_rank AS INT) AS src_rank,
+       src_rank <= {cap} AS kept
+FROM r
+"""
+
+
 def cap_tokens_per_source_sql(
     *,
     table: str = "documents",
