@@ -153,8 +153,9 @@ def hll_distinct(
 
     The harmonic-mean denominator sums ``2^(-reg)`` — a float whose
     addition order differs across engines/partitionings — so it is kept
-    EXACT: each register contributes the integer ``2^(S - reg)`` (S = 49
-    covers the max register ``60 - p + 1``) and absent buckets contribute
+    EXACT: each register contributes the integer ``2^(S - reg)``
+    (S = 61 - p covers the max register ``60 - p + 1`` for every p;
+    49 at the default p = 12) and absent buckets contribute
     ``2^S``; the long sum is order-independent and bit-identical in
     DuckDB, and the single final division is the only float op. Small-
     range linear counting (est = m * ln(m / zeros) when raw <= 2.5m and
