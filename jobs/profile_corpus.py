@@ -9,8 +9,9 @@ sketch-sized aggregates, and writes a profile directory:
 * ``<out>/source_stats/``    — per-source doc counts + whitespace-token
                                totals/means (the mixing denominators).
 * ``<out>/token_quantiles/`` — per-source p50/p90/p99 token counts from
-                               the mergeable HDR sketch (rel err <= 1/k),
-                               exact discrete quantile riding along.
+                               the mergeable HDR sketch (rel err <= 1/k;
+                               sketch-only — the exact-quantile rider is
+                               a corpus sort and belongs in QA runs).
 * ``<out>/lang_mix/``        — per-source × lang doc counts (n-gram
                                heuristic lang-ID).
 * ``<out>/quality/``         — per-source mean quality score + low-quality
@@ -70,7 +71,8 @@ def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
     from transmog_spark.operators.sketch import (
         cms_heavy_hitters,
-        hdr_value_quantiles,
+        hdr_histogram,
+        hdr_quantiles,
         hll_estimate,
         hll_registers,
     )
@@ -86,15 +88,17 @@ def main(argv: list[str] | None = None) -> int:
     out = args.output
     os.makedirs(out, exist_ok=True)
 
-    # one narrow projection feeds the per-source sections (token counts
-    # computed once; Catalyst prunes text out of the downstream aggs)
+    # one narrow projection feeds the per-source sections — persisted, so
+    # the expensive text-derived columns (tokenize, lang-ID, quality) are
+    # computed in ONE corpus pass instead of once per output action; the
+    # persisted rows are tiny (two ids, two longs, a string, a double)
     base = docs.select(
         F.col(sid),
         F.col(src),
         F.size(ws_tokens(F.col(txt))).cast("long").alias("n_tok"),
         lang_id(F.col(txt)).alias("lang"),
         quality_score(F.col(txt)).alias("q"),
-    )
+    ).persist()
 
     base.groupBy(src).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -102,8 +106,14 @@ def main(argv: list[str] | None = None) -> int:
         F.round(F.avg("n_tok"), 2).alias("mean_tokens"),
     ).write.mode("overwrite").parquet(os.path.join(out, "source_stats"))
 
-    hdr_value_quantiles(
-        base, "n_tok", [0.5, 0.9, 0.99], k=args.hdr_k, group_by=[src]
+    # sketch-only quantile read: hdr_value_quantiles' exact-quantile rider
+    # is a per-source sort of the whole corpus — the QA shape, not the
+    # routine profile pass (same reasoning as the estimate-only HLL below)
+    hdr_quantiles(
+        hdr_histogram(base, "n_tok", k=args.hdr_k, group_by=[src]),
+        [0.5, 0.9, 0.99],
+        k=args.hdr_k,
+        group_by=[src],
     ).write.mode("overwrite").parquet(os.path.join(out, "token_quantiles"))
 
     base.groupBy(src, "lang").agg(
@@ -152,6 +162,7 @@ def main(argv: list[str] | None = None) -> int:
     with open(tmp, "w") as fh:
         json.dump(summary, fh, indent=2)
     os.replace(tmp, os.path.join(out, "_PROFILE.json"))
+    base.unpersist()
     print(json.dumps(summary))
     return 0
 

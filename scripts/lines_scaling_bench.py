@@ -102,8 +102,14 @@ def child(cpus: int, n_docs: int, partitions: int) -> None:
 
     spark = get_spark(f"local[{cpus}]", shuffle_partitions=partitions)
     # input pre-materialized outside the timed region (inline synthesis is
-    # bandwidth-bound and would measure the host bus, not the operator)
-    path = f"/tmp/transmog_lines_scaling_{n_docs}"
+    # bandwidth-bound and would measure the host bus, not the operator);
+    # cache key includes every parameter that shapes the corpus/layout so
+    # a rerun with different --partitions (or edited shape constants)
+    # regenerates instead of silently reusing a stale layout
+    path = (
+        f"/tmp/transmog_lines_scaling_{n_docs}_{partitions}"
+        f"_{LINES_PER_DOC}x{WORDS_PER_LINE}"
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         synth_docs(spark, n_docs, partitions).write.mode("overwrite").parquet(path)
     docs = spark.read.parquet(path)

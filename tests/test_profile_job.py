@@ -40,8 +40,20 @@ def test_profile_job_end_to_end(spark, sf_dir, tmp_path):
 
     tq = spark.read.parquet(os.path.join(out, "token_quantiles")).collect()
     assert len(tq) == 3 * n_sources
+    # sketch-only section: verify bounds against exactly computed quantiles
+    import math
+    from collections import defaultdict
+
+    by_source = defaultdict(list)
+    for row in docs.selectExpr(
+        "source", "size(filter(split(lower(text), '\\\\s+'), x -> x != '')) AS n"
+    ).collect():
+        by_source[row["source"]].append(row["n"])
     for r in tq:
-        assert r["contained"] and r["est_lo"] <= r["exact_q"] <= r["est_hi"]
+        assert 0 <= r["est_lo"] <= r["est_hi"]
+        vals = sorted(by_source[r["source"]])
+        exact = vals[math.ceil(r["q"] * len(vals)) - 1]
+        assert r["est_lo"] <= exact <= r["est_hi"], (r, exact)
 
     lang = spark.read.parquet(os.path.join(out, "lang_mix"))
     assert lang.agg({"n_docs": "sum"}).collect()[0][0] == n_docs

@@ -204,3 +204,24 @@ def test_hll_low_p_registers_do_not_wrap(spark, sf_dir):
     exact = row["exact_distinct"]
     # standard error ~ 1.04/sqrt(256) ~ 6.5%; allow 4 sigma
     assert exact > 0 and abs(row["hll_est"] - exact) / exact < 0.26, row
+
+
+def test_hdr_null_values_are_dropped(spark):
+    """NULL values must not form a NULL bucket: Spark sorts NULLs first
+    and DuckDB last, so a NULL bucket would bias quantiles in opposite
+    directions per engine. The sketch drops them; totals count non-null
+    rows only, on both the sketch and the exact-rider path."""
+    from transmog_spark.operators.sketch import (
+        hdr_histogram,
+        hdr_quantiles,
+        hdr_value_quantiles,
+    )
+
+    rows = [(1,), (2,), (3,), (None,), (None,)]
+    df = spark.createDataFrame(rows, "v long")
+    hist = hdr_histogram(df, "v", k=32)
+    assert sum(r.cnt for r in hist.collect()) == 3
+    med = hdr_quantiles(hist, [0.5], k=32).collect()[0]
+    assert med.est_lo <= 2 <= med.est_hi
+    full = hdr_value_quantiles(df, "v", [0.5], k=32).collect()[0]
+    assert full.exact_q == 2 and full.contained

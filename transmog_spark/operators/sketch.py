@@ -213,12 +213,14 @@ def hdr_histogram(
     exact percentiles sort the corpus and ``percentile_approx`` state
     doesn't cross engines.
     """
-    b = k.bit_length() - 1
-    if k != (1 << b) or k < 2:
-        raise ValueError(f"k must be a power of two >= 2, got {k}")
+    b = _hdr_b(k)
     groups = list(group_by or [])
     u = (F.col(value_col).cast("long") + F.lit(1)).alias("__u")
-    staged = df.select(*groups, u)
+    # drop NULL values explicitly: unlike CMS/HLL (whose token explode
+    # naturally skips null text), a NULL here would land in a NULL bucket
+    # that inflates totals and sorts FIRST in Spark but LAST in DuckDB —
+    # silently biasing quantiles in opposite directions per engine
+    staged = df.where(F.col(value_col).isNotNull()).select(*groups, u)
     s = F.expr(f"greatest(0, length(bin(__u)) - 1 - {b})")
     idx = (s * F.lit(k) + F.expr("shiftright(__u, __s)")).cast("long")
     return (
@@ -229,11 +231,23 @@ def hdr_histogram(
     )
 
 
+def _hdr_b(k: int) -> int:
+    """log2(k) with the shared power-of-two contract check — decode with a
+    ``k`` different from the histogram's produces silently wrong bounds,
+    so every entry point validates; stores record their ``hdr_k`` in meta
+    (streaming/sketch.py) and readers must pass that value."""
+    b = k.bit_length() - 1
+    if k != (1 << b) or k < 2:
+        raise ValueError(f"k must be a power of two >= 2, got {k}")
+    return b
+
+
 def hdr_bucket_bounds(k: int = 32):
     """(lo, hi) value bounds of a bucket index as integer Columns:
     ``s = max(0, bucket div k - 1)``, ``m = bucket - s*k``, value range
     ``[m << s, ((m+1) << s) - 1]`` shifted back by the ``u = v + 1``
     offset. Exact longs — decode never touches floats either."""
+    _hdr_b(k)
     s = f"greatest(0, bucket div {k} - 1)"
     m = f"(bucket - {s} * {k})"
     lo = F.expr(f"shiftleft({m}, cast({s} as int))") - F.lit(1)
@@ -309,7 +323,7 @@ def hdr_value_quantiles(
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy(*[F.col(g) for g in groups])
-    ranked = df.select(
+    ranked = df.where(F.col(value_col).isNotNull()).select(
         *groups,
         v.alias("__v"),
         F.count(F.lit(1)).over(w_cum).alias("__cum"),

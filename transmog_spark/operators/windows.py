@@ -78,31 +78,6 @@ def with_bfill(
     return out
 
 
-def rolling_window(
-    key: str | list[str],
-    ts: str,
-    *,
-    trailing_seconds: float,
-    include_current: bool = True,
-) -> WindowSpec:
-    """Trailing time-RANGE frame per entity: rows whose ``ts`` falls within
-    ``trailing_seconds`` before the current row's ``ts``.
-
-    The frame orders by **integer microseconds** (``unix_micros``), so the
-    range bounds are exact longs — bit-reproducible in the DuckDB oracle
-    (``epoch_us`` + ``RANGE BETWEEN n PRECEDING``) and immune to float-time
-    drift. ``include_current=False`` ends the frame at ``1 PRECEDING``
-    (strictly earlier timestamps only): the zero-temporal-leakage posture —
-    a feature at time t must not see the event that carries t itself, nor
-    any peer event at the same microsecond.
-    """
-    keys = [key] if isinstance(key, str) else list(key)
-    us = F.unix_micros(F.col(ts).cast("timestamp"))
-    lo = -int(trailing_seconds * 1_000_000)
-    hi = Window.currentRow if include_current else -1
-    return Window.partitionBy(*keys).orderBy(us.asc()).rangeBetween(lo, hi)
-
-
 def with_rolling_agg(
     df: DataFrame,
     key: str | list[str],
@@ -124,6 +99,14 @@ def with_rolling_agg(
     set) additionally emits a strictly-prior (zero-leakage) twin
     ``{prior_prefix}{col}_{fn}_{label}`` for every combination IN THE SAME
     PASS — ask for both variants here rather than in two calls.
+
+    Frames are time-RANGE frames over **integer microseconds**
+    (``unix_micros``), so the bounds are exact longs — bit-reproducible
+    in the DuckDB oracle (``epoch_us`` + ``RANGE BETWEEN n PRECEDING``)
+    and immune to float-time drift. The strictly-prior frame ends at
+    ``1 PRECEDING``: a feature at time t sees neither the event carrying
+    t itself nor any peer event at the same microsecond — the
+    zero-temporal-leakage posture.
 
     Scale shape: the integer-microsecond order key is materialized ONCE as
     a real column, so every frame (all labels, inclusive AND strictly-

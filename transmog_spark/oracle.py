@@ -21,6 +21,23 @@ def duck_seeded(expr: str, seed: int | str) -> str:
     return f"('{seed}#' || {expr})"
 
 
+def duck_quality_expr(
+    mean_word_len: str = "mean_word_len",
+    stopword_ratio: str = "stopword_ratio",
+    punct_ratio: str = "punct_ratio",
+) -> str:
+    """The composite quality score (mirror of operators.text.quality_score)
+    over precomputed feature columns — single source of truth for every
+    oracle that ranks or gates on quality (text_profile_sql,
+    cap_best_per_source_sql, quality_gate_sql composes its own gates)."""
+    return (
+        f"(CASE WHEN {mean_word_len} >= 2.0 AND {mean_word_len} <= 12.0 "
+        f"THEN 1.0 ELSE 0.3 END) * 0.3"
+        f" + least({stopword_ratio} * 4.0, 1.0) * 0.4"
+        f" + greatest(0.0, 1.0 - {punct_ratio} * 5.0) * 0.3"
+    )
+
+
 def duck_ws_tokens(text_expr: str) -> str:
     return f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), x -> x <> '')"
 
@@ -961,10 +978,7 @@ feat AS (
          CASE WHEN n_words > 0 THEN n_stop::DOUBLE / n_words ELSE 0.0 END AS stopword_ratio
   FROM scored),
 quality AS (
-  SELECT *,
-         (CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.3
-         + least(stopword_ratio * 4.0, 1.0) * 0.4
-         + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.3 AS quality
+  SELECT *, {duck_quality_expr()} AS quality
   FROM feat)
 SELECT {id_col},
        n_words AS n_tokens_ws,
@@ -2171,7 +2185,7 @@ def hdr_quantiles_sql(
 WITH v AS (
   SELECT {group_col} AS grp, CAST({value_col} AS BIGINT) + 1 AS u,
          CAST({value_col} AS BIGINT) AS val
-  FROM {table}),
+  FROM {table} WHERE {value_col} IS NOT NULL),
 hist AS (
   SELECT grp,
          greatest(0, length(bin(u)) - 1 - {b}) * {k}
@@ -2519,19 +2533,15 @@ feat AS (
               THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
               ELSE 0.0 END AS mean_word_len
   FROM docs),
+ratio AS (
+  SELECT {id_col}, {source_col}, key, mean_word_len,
+         CASE WHEN n_words > 0 THEN n_stop::DOUBLE / n_words ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio
+  FROM feat),
 q AS (
   SELECT {id_col}, {source_col}, key,
-         round(
-           (CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0
-                 THEN 1.0 ELSE 0.3 END) * 0.3
-           + least((CASE WHEN n_words > 0
-                         THEN n_stop::DOUBLE / n_words ELSE 0.0 END) * 4.0,
-                   1.0) * 0.4
-           + greatest(0.0, 1.0 - (CASE WHEN n_chars > 0
-                                       THEN n_punct::DOUBLE / n_chars
-                                       ELSE 0.0 END) * 5.0) * 0.3,
-         4) AS quality
-  FROM feat),
+         round({duck_quality_expr()}, 4) AS quality
+  FROM ratio),
 r AS (
   SELECT {id_col}, {source_col},
          row_number() OVER (PARTITION BY {source_col}

@@ -77,11 +77,23 @@ def read_hll(spark: SparkSession, store_path: str) -> DataFrame:
 
 def read_hdr(spark: SparkSession, store_path: str) -> DataFrame:
     """Current merged HDR token-count histogram (bucket, cnt) — feed to
-    ``operators.sketch.hdr_quantiles`` for point-in-time quantiles."""
+    ``operators.sketch.hdr_quantiles`` with the store's ``hdr_k`` (in
+    ``_sketch_meta.json``; decoding with a different k is silently wrong).
+
+    For a store created BEFORE HDR maintenance shipped, the histogram
+    covers only batches folded in since the upgrade (the pre-upgrade raw
+    stream is gone — unlike CMS/HLL, there is no state to backfill from);
+    reading such a store before its first post-upgrade batch raises."""
     meta = _read_meta(store_path)
     if meta is None:
         raise FileNotFoundError(f"no sketch store at {store_path}")
-    return spark.read.parquet(os.path.join(store_path, f"hdr-g{meta['gen']}"))
+    path = os.path.join(store_path, f"hdr-g{meta['gen']}")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"store at {store_path} predates HDR maintenance and has not "
+            "folded a batch since upgrading - no HDR generation exists yet"
+        )
+    return spark.read.parquet(path)
 
 
 def sketch_foreach_batch(
