@@ -1597,6 +1597,17 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, bench, n=3)
 
 
+def _q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item fuzzy decontamination: best single-benchmark-item Jaccard
+    per corpus doc (benchmark = doc_id % 97 == 0 slice)."""
+    from transmog_spark.operators.corpus import decontaminate_fuzzy
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    return decontaminate_fuzzy(corpus, bench, shingle_n=3, threshold=0.5)
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality gates (top token / top 2-gram /
     duplicated 3-gram fractions) per document."""
@@ -1688,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-stable basics (green since round 1-2) trail.  Rotate per round.
     return {
         # -- round-5 surface -------------------------------------------
+        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
         "rolling_agg": _q_rolling_agg,
         "hdr_quantiles": _q_hdr_quantiles,
         "cap_tokens_per_source": _q_cap_tokens_per_source,
@@ -1802,6 +1814,7 @@ def oracle_sql() -> dict[str, str]:
         leakage_safe_split_sql,
         curation_pipeline_sql,
         decontaminate_sql,
+        decontaminate_fuzzy_sql,
         epoch_mixture_sql,
         vocab_stats_sql,
         repetition_profile_sql,
@@ -2283,6 +2296,9 @@ FROM lagged l JOIN sess s ON l.user_id = s.user_id AND l.session_index = s.sessi
         "bm25_topk_indexed": bm25_topk_sql(query_terms=BM25_QUERY, k=10),
         "token_chunks": token_chunks_sql(window=32, stride=16),
         "decontaminate": decontaminate_sql(shingle_n=3, bench_mod=97),
+        "decontaminate_fuzzy": decontaminate_fuzzy_sql(
+            shingle_n=3, threshold=0.5, bench_mod=97
+        ),
         "repetition_profile": repetition_profile_sql(),
         "curation_pipeline": curation_pipeline_sql(),
         "epoch_mixture": epoch_mixture_sql(weights=MIX_WEIGHTS),

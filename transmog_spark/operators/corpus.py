@@ -449,6 +449,92 @@ def decontaminate(
     )
 
 
+def decontaminate_fuzzy(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: max exact Jaccard of each corpus
+    document against any SINGLE benchmark item.
+
+    ``decontaminate`` scores aggregate n-gram overlap against the benchmark
+    as a whole — the right gate for span contamination, but it dilutes: a
+    long document that embeds one full eval example still scores a low
+    overall hit fraction. The per-item fuzzy form (the Dolma/Llama-recipe
+    decontamination measure: flag a training doc when it is a near-duplicate
+    of an individual benchmark item) catches exactly that case. Reports, per
+    corpus doc, the best-matching benchmark item and their shingle-set
+    Jaccard; ``contaminated`` = best overlap ≥ ``threshold``.
+
+    Scale shape: the benchmark is tiny by contract (eval suites, not
+    corpora) — its per-item shingle-hash rows and set sizes are BROADCAST.
+    The corpus pays one shingle explode; candidate (corpus doc × bench item)
+    pairs exist only where a shingle hash matches, counted by a map-side-
+    combined groupBy on (corpus id, bench id); the per-doc argmax runs over
+    those candidates only (row_number window — supports string ids, ties
+    break to the smallest bench id). Non-overlapping docs never enter the
+    candidate shuffle; a final left join from the skinny per-doc spine
+    restores them with overlap 0. 100 TB corpus cost = one explode + one
+    bounded candidate agg; nothing wider than (id, 8-byte hash) on the wire.
+
+    Shingle semantics follow ``dedup.word_shingles`` (distinct word
+    ``shingle_n``-grams; whole doc as one shingle when shorter), hashed with
+    the DuckDB-parity 60-bit md5 so oracle candidates match bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    from transmog_spark.operators.dedup import word_shingles
+
+    def prep(df: DataFrame, tag: str) -> tuple[DataFrame, DataFrame]:
+        sh = df.select(
+            F.col(id_col).alias(tag), word_shingles(F.col(text_col), shingle_n).alias("__sh")
+        )
+        sizes = sh.select(tag, F.size("__sh").alias(f"{tag}_n"))
+        grams = sh.select(tag, F.explode("__sh").alias("__s")).select(
+            tag, md5_long(F.col("__s")).alias("g")
+        )
+        return grams, sizes
+
+    corp_g, corp_sz = prep(corpus, "__cid")
+    ben_g, ben_sz = prep(benchmark, "__bid")
+
+    inter = (
+        corp_g.join(F.broadcast(ben_g), "g")
+        .groupBy("__cid", "__bid")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    jac = (
+        inter.join(F.broadcast(ben_sz), "__bid")
+        .join(corp_sz, "__cid")
+        .withColumn(
+            "__j",
+            F.round(
+                F.col("__i").cast("double")
+                / (F.col("__cid_n") + F.col("__bid_n") - F.col("__i")),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("__cid").orderBy(F.col("__j").desc(), F.col("__bid").asc())
+    best = (
+        jac.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("__cid", "__bid", "__j")
+    )
+    overlap = F.coalesce(F.col("__j"), F.lit(0.0))
+    return corp_sz.join(best, "__cid", "left").select(
+        F.col("__cid").alias(id_col),
+        F.col("__cid_n").cast("long").alias("n_shingles"),
+        F.col("__bid").cast("long").alias("bench_id"),
+        overlap.alias("overlap"),
+        (overlap >= F.lit(threshold)).cast("int").alias("contaminated"),
+    )
+
+
 def epoch_mixture(
     df: DataFrame,
     strata_col: str = "source",

@@ -1246,6 +1246,49 @@ FROM j GROUP BY {id_col}
 """
 
 
+def decontaminate_fuzzy_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    bench_mod: int = 97,
+) -> str:
+    """Per-item fuzzy decontamination (operators/corpus.py:
+    decontaminate_fuzzy); benchmark = docs with id % bench_mod = 0, corpus =
+    the rest. Same 60-bit md5 shingle hashes, same round-4 Jaccard grid,
+    same (overlap DESC, bench id ASC) argmax tie-break."""
+    h = duck_md5_long("s")
+    return f"""
+WITH docs AS (SELECT {id_col} AS id, {duck_ws_tokens(text_col)} AS t FROM {table}),
+hs AS (SELECT id, list_transform({duck_shingles('t', shingle_n)}, s -> {h}) AS g FROM docs),
+ben AS (SELECT id AS bid, unnest(g) AS g FROM hs WHERE id % {bench_mod} = 0),
+bsz AS (SELECT id AS bid, len(g) AS bn FROM hs WHERE id % {bench_mod} = 0),
+corp AS (SELECT id AS cid, unnest(g) AS g FROM hs WHERE id % {bench_mod} <> 0),
+csz AS (SELECT id AS cid, len(g) AS cn FROM hs WHERE id % {bench_mod} <> 0),
+inter AS (
+  SELECT c.cid, b.bid, count(*) AS i
+  FROM corp c JOIN ben b ON c.g = b.g GROUP BY c.cid, b.bid),
+jac AS (
+  SELECT i.cid, i.bid,
+         round(CAST(i.i AS DOUBLE) / (csz.cn + bsz.bn - i.i), 4) AS j
+  FROM inter i JOIN csz ON i.cid = csz.cid JOIN bsz ON i.bid = bsz.bid),
+best AS (
+  SELECT cid, bid, j FROM (
+    SELECT cid, bid, j,
+           row_number() OVER (PARTITION BY cid ORDER BY j DESC, bid) AS rn
+    FROM jac) WHERE rn = 1)
+SELECT csz.cid AS {id_col},
+       CAST(csz.cn AS BIGINT) AS n_shingles,
+       CAST(best.bid AS BIGINT) AS bench_id,
+       coalesce(best.j, 0.0) AS overlap,
+       CAST(CASE WHEN coalesce(best.j, 0.0) >= {threshold} THEN 1 ELSE 0 END AS INTEGER)
+         AS contaminated
+FROM csz LEFT JOIN best ON csz.cid = best.cid
+"""
+
+
 def repetition_profile_sql(
     *, table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
 ) -> str:
