@@ -1458,6 +1458,15 @@ def _q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_greedy(_docs_ntok(spark, sf_dir), budget=256, block_rows=128)
 
 
+def _q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source packing-efficiency report (fill rate, padding waste,
+    oversized bins) over the greedy packing."""
+    from transmog_spark.operators.packing import pack_greedy, pack_stats
+
+    packed = pack_greedy(_docs_ntok(spark, sf_dir), budget=256, block_rows=128)
+    return pack_stats(packed, budget=256)
+
+
 def _q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 32-token context windows (stride 16) over tokenized docs;
     chunk arrays scalarized to md5 for the driver canonicalizer."""
@@ -1700,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-5 surface -------------------------------------------
         "decontaminate_fuzzy": _q_decontaminate_fuzzy,
+        "pack_stats": _q_pack_stats,
         "rolling_agg": _q_rolling_agg,
         "hdr_quantiles": _q_hdr_quantiles,
         "cap_tokens_per_source": _q_cap_tokens_per_source,
@@ -1823,6 +1833,7 @@ def oracle_sql() -> dict[str, str]:
         pack_assemble_sql,
         pack_concat_sql,
         pack_greedy_sql,
+        pack_stats_sql,
         token_chunks_sql,
         ivf_topk_sql,
         semdedup_sql,
@@ -2284,6 +2295,7 @@ FROM lagged l JOIN sess s ON l.user_id = s.user_id AND l.session_index = s.sessi
 """,
         "pack_concat": pack_concat_sql(budget=256),
         "pack_greedy": pack_greedy_sql(budget=256, block_rows=128),
+        "pack_stats": pack_stats_sql(budget=256, block_rows=128),
         "pack_assemble": pack_assemble_sql(budget=256),
         "pack_assemble_greedy": pack_assemble_greedy_sql(budget=256, block_rows=128),
         "pack_concat_strkey": pack_concat_sql(

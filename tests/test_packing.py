@@ -254,3 +254,33 @@ def test_repetition_profile_values(spark):
     assert rows[3].top_2gram_frac == 1.0  # 3*2/6
     # 3-grams: "a b a" x2, "b a b" x2 -> all 4 positions duplicated
     assert rows[3].dup_3gram_frac == 1.0
+
+
+def test_pack_stats_fill_waste_and_oversize(spark):
+    from transmog_spark.operators.packing import pack_greedy, pack_stats
+
+    # budget 10, one block: docs 6+3 share seq 0 (fill 9), doc 8 opens
+    # seq 1 (fill 8), doc 25 is oversized and gets its own seq (fill 25)
+    rows = [
+        (1, 6, "s"),
+        (2, 3, "s"),
+        (3, 8, "s"),
+        (4, 25, "s"),
+        (10, 5, "t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long, source string")
+    packed = pack_greedy(df, ntok_col="n_tok", budget=10, block_rows=1000)
+    out = {r.source: r for r in pack_stats(packed, budget=10).collect()}
+
+    s = out["s"]
+    assert (s.n_seqs, s.n_docs, s.total_tokens) == (3, 4, 42)
+    assert s.oversized_seqs == 1
+    assert (s.min_seq_tokens, s.max_seq_tokens) == (8, 25)
+    # waste: seq0 leaves 1, seq1 leaves 2, oversized seq contributes 0
+    assert s.waste_tokens == 3
+    assert s.fill_rate == pytest.approx(42 / 30, abs=1e-4)
+    assert s.docs_per_seq == pytest.approx(4 / 3, abs=1e-4)
+
+    t = out["t"]
+    assert (t.n_seqs, t.n_docs, t.total_tokens, t.waste_tokens) == (1, 1, 5, 5)
+    assert t.fill_rate == pytest.approx(0.5)

@@ -228,6 +228,55 @@ def pack_greedy(
     )
 
 
+def pack_stats(
+    packed: DataFrame,
+    ntok_col: str = "n_tok",
+    source_col: str = "source",
+    *,
+    budget: int = DEFAULT_BUDGET,
+) -> DataFrame:
+    """Packing-efficiency telemetry over ``pack_greedy`` output.
+
+    The number every packing change is judged by in a training-data
+    pipeline: how much of the sequence budget actually carries tokens
+    (fill rate), how much is padding waste, and how fragmented the bins
+    are. Per source: ``n_seqs``, ``n_docs``, ``total_tokens``,
+    ``oversized_seqs`` (single-doc sequences longer than the budget —
+    they truncate or stream at train time), ``min/max_seq_tokens``,
+    ``waste_tokens`` (unused capacity across non-oversized sequences,
+    i.e. the padding the trainer pays), ``fill_rate`` and
+    ``docs_per_seq`` (round-4 ratios of exact longs).
+
+    Scale shape: one map-side-combined groupBy on (source, block,
+    seq_in_block) — the key ``pack_greedy`` already partitioned by — then
+    a per-source agg of a handful of longs. All integer math until the
+    two final rounded divisions, so the DuckDB mirror is bit-identical.
+    """
+    per_seq = packed.groupBy(source_col, "block", "seq_in_block").agg(
+        F.sum(ntok_col).alias("__tok"),
+        F.count(F.lit(1)).alias("__docs"),
+        F.max((F.col(ntok_col) > budget).cast("int")).alias("__over"),
+    )
+    tok = F.col("__tok")
+    return per_seq.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum("__docs").cast("long").alias("n_docs"),
+        F.sum("__tok").cast("long").alias("total_tokens"),
+        F.sum("__over").cast("long").alias("oversized_seqs"),
+        F.min("__tok").cast("long").alias("min_seq_tokens"),
+        F.max("__tok").cast("long").alias("max_seq_tokens"),
+        F.sum(F.greatest(F.lit(budget) - tok, F.lit(0)))
+        .cast("long")
+        .alias("waste_tokens"),
+        F.round(
+            F.sum("__tok").cast("double") / (F.count(F.lit(1)) * budget), 4
+        ).alias("fill_rate"),
+        F.round(F.sum("__docs").cast("double") / F.count(F.lit(1)), 4).alias(
+            "docs_per_seq"
+        ),
+    )
+
+
 def pack_assemble(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1083,6 +1083,47 @@ FROM walk
 """
 
 
+def pack_stats_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    budget: int = 256,
+    block_rows: int = 128,
+) -> str:
+    """Packing-efficiency telemetry (operators/packing.py:pack_stats) over
+    the greedy packing's recursive-CTE mirror. Exact longs until the two
+    final round-4 divisions."""
+    inner = pack_greedy_sql(
+        table=table,
+        id_col=id_col,
+        text_col=text_col,
+        source_col=source_col,
+        budget=budget,
+        block_rows=block_rows,
+    )
+    return f"""
+WITH per_seq AS (
+  SELECT {source_col}, block, seq_in_block,
+         sum(n_tok) AS tok, count(*) AS docs,
+         max(CASE WHEN n_tok > {budget} THEN 1 ELSE 0 END) AS over
+  FROM ({inner})
+  GROUP BY 1, 2, 3)
+SELECT {source_col},
+       CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(sum(docs) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS total_tokens,
+       CAST(sum(over) AS BIGINT) AS oversized_seqs,
+       CAST(min(tok) AS BIGINT) AS min_seq_tokens,
+       CAST(max(tok) AS BIGINT) AS max_seq_tokens,
+       CAST(sum(greatest({budget} - tok, 0)) AS BIGINT) AS waste_tokens,
+       round(CAST(sum(tok) AS DOUBLE) / (count(*) * {budget}), 4) AS fill_rate,
+       round(CAST(sum(docs) AS DOUBLE) / count(*), 4) AS docs_per_seq
+FROM per_seq GROUP BY {source_col}
+"""
+
+
 def pack_assemble_sql(
     *,
     table: str = "documents",
