@@ -1617,6 +1617,14 @@ def _q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_fuzzy(corpus, bench, shingle_n=3, threshold=0.5)
 
 
+def _q_vocab_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram-distribution KL drift vs the blended corpus —
+    the data-mixing / domain-shift telemetry number."""
+    from transmog_spark.operators.lm import vocab_kl
+
+    return vocab_kl(_t(spark, sf_dir, "documents"))
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality gates (top token / top 2-gram /
     duplicated 3-gram fractions) per document."""
@@ -1710,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 surface -------------------------------------------
         "decontaminate_fuzzy": _q_decontaminate_fuzzy,
         "pack_stats": _q_pack_stats,
+        "vocab_kl": _q_vocab_kl,
         "rolling_agg": _q_rolling_agg,
         "hdr_quantiles": _q_hdr_quantiles,
         "cap_tokens_per_source": _q_cap_tokens_per_source,
@@ -1827,6 +1836,7 @@ def oracle_sql() -> dict[str, str]:
         decontaminate_fuzzy_sql,
         epoch_mixture_sql,
         vocab_stats_sql,
+        vocab_kl_sql,
         repetition_profile_sql,
         bm25_topk_sql,
         pack_assemble_greedy_sql,
@@ -2315,4 +2325,5 @@ FROM lagged l JOIN sess s ON l.user_id = s.user_id AND l.session_index = s.sessi
         "curation_pipeline": curation_pipeline_sql(),
         "epoch_mixture": epoch_mixture_sql(weights=MIX_WEIGHTS),
         "vocab_stats": vocab_stats_sql(),
+        "vocab_kl": vocab_kl_sql(),
     }

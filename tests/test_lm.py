@@ -222,3 +222,43 @@ def test_importance_resample_weighted_and_deterministic(spark):
     # a different seed draws a different cold-doc subset
     other = {r["doc_id"] for r in importance_resample(w, "doc_id", n=20, seed=4).collect()}
     assert other != set(ids)
+
+
+def test_vocab_kl_hand_computed(spark):
+    from transmog_spark.operators.lm import vocab_kl
+
+    df = spark.createDataFrame(
+        [(1, "x x y", "a"), (2, "y", "b")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in vocab_kl(df).collect()}
+    # corpus: x:2 y:2 (T=4); a: x:2 y:1 (T_a=3); b: y:1
+    a = out["a"]
+    assert (a.n_tokens, a.n_types) == (3, 2)
+    # e4 grid: 2*round(ln(8/6)*1e4) + 1*round(ln(4/6)*1e4) = 5754 - 4055
+    assert a.kl == pytest.approx(1699 / 3 / 10000, abs=1e-4)
+    b = out["b"]
+    assert (b.n_tokens, b.n_types) == (1, 1)
+    assert b.kl == pytest.approx(0.6931, abs=1e-4)  # ln 2
+
+
+def test_vocab_kl_zero_for_identical_distributions(spark):
+    from transmog_spark.operators.lm import vocab_kl
+
+    df = spark.createDataFrame(
+        [(1, "x y", "c"), (2, "x y", "d")],
+        "doc_id long, text string, source string",
+    )
+    for r in vocab_kl(df).collect():
+        assert r.kl == 0.0
+        assert (r.n_tokens, r.n_types) == (2, 2)
+
+
+def test_vocab_kl_partitioning_independent(spark):
+    from transmog_spark.operators.lm import vocab_kl
+
+    rows = [(i, f"t{i % 7} t{i % 3} common", f"s{i % 4}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    one = sorted(map(tuple, vocab_kl(df).collect()))
+    many = sorted(map(tuple, vocab_kl(df.repartition(13)).collect()))
+    assert one == many  # exact long sums: no addition-order drift

@@ -351,3 +351,74 @@ def domain_weights(
             F.round(F.col("__w") / F.col("__tot"), 4).alias("weight"),
         )
     )
+
+
+def vocab_kl(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source unigram-distribution drift: KL(P_source || P_corpus).
+
+    The data-mixing telemetry number: how far each source's token
+    distribution sits from the blended corpus (0 = indistinguishable;
+    large = the source pulls the mixture). The standard monitor for
+    domain shift between snapshots, for spotting a source whose scrape
+    quality changed, and for sanity-checking DoReMi/DSIR-style reweighting
+    (a weight change should move the blend toward the target, i.e. shrink
+    the target's KL). KL(P_s || P) = sum_t p_st * ln(p_st / p_t) over the
+    source's own support, so it is finite by construction (p_st > 0 and
+    p_t >= p_st / T > 0 wherever it is evaluated).
+
+    Scale shape (100 TB posture): one token explode -> map-side-combined
+    (source, token-hash) counts; corpus-wide token counts re-aggregate
+    THOSE (distinct-token volume, never a second corpus pass); the join
+    back is on the token hash — hot tokens are the AQE skew-join case,
+    same posture as the BM25 term join. Per-source totals and the grand
+    total are broadcast. Only 8-byte hashes cross the wire; output is
+    one row per source.
+
+    Cross-engine determinism: each ln(ratio) lands on the 1e-4 grid and
+    the per-source sum is an exact long weighted by exact counts
+    (addition-order independent), the same idiom as ``lm_score`` — the
+    DuckDB mirror (``oracle.vocab_kl_sql``) hashes identically.
+
+    Output: (source, n_tokens, n_types, kl).
+    """
+    toks = df.select(
+        F.col(source_col), F.explode(ws_tokens(F.col(text_col))).alias("__t")
+    ).select(source_col, md5_long(F.col("__t")).alias("__gh"))
+
+    st = toks.groupBy(source_col, "__gh").agg(F.count(F.lit(1)).alias("__c"))
+    glob = st.groupBy("__gh").agg(F.sum("__c").alias("__ct"))
+    per_src = st.groupBy(source_col).agg(
+        F.sum("__c").alias("__ts"), F.count(F.lit(1)).alias("__types")
+    )
+    total = st.agg(F.sum("__c").alias("__t"))
+
+    joined = (
+        st.join(glob, "__gh")
+        .join(F.broadcast(per_src), source_col)
+        .crossJoin(F.broadcast(total))
+    )
+    # ln((c_st * T) / (C_t * T_s)) with explicit double casts BEFORE the
+    # multiplies: identical IEEE op order on both engines, no bigint
+    # overflow at any corpus size
+    lr = F.log(
+        (F.col("__c").cast("double") * F.col("__t").cast("double"))
+        / (F.col("__ct").cast("double") * F.col("__ts").cast("double"))
+    )
+    contrib = F.round(lr * 10000).cast("long") * F.col("__c")
+    agg = joined.groupBy(source_col).agg(
+        F.max("__ts").alias("__ts"),
+        F.max("__types").alias("__types"),
+        F.sum(contrib).alias("__skl"),
+    )
+    return agg.select(
+        F.col(source_col),
+        F.col("__ts").cast("long").alias("n_tokens"),
+        F.col("__types").cast("long").alias("n_types"),
+        F.round(
+            F.col("__skl").cast("double") / F.col("__ts") / F.lit(10000.0), 4
+        ).alias("kl"),
+    )

@@ -1715,6 +1715,36 @@ FROM cnt GROUP BY 1
 """
 
 
+def vocab_kl_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> str:
+    """Per-source unigram KL drift (operators/lm.py:vocab_kl). Same 60-bit
+    token hashes, same 1e-4 ln grid, exact long sums."""
+    h = duck_md5_long("t")
+    return f"""
+WITH toks AS (SELECT {source_col},
+                     unnest(list_transform({duck_ws_tokens(text_col)}, t -> {h})) AS gh
+              FROM {table}),
+st AS (SELECT {source_col}, gh, count(*) AS c FROM toks GROUP BY 1, 2),
+gcnt AS (SELECT gh, sum(c) AS ct FROM st GROUP BY 1),
+per_src AS (SELECT {source_col}, sum(c) AS ts, count(*) AS types FROM st GROUP BY 1),
+tot AS (SELECT sum(c) AS t FROM st),
+term AS (
+  SELECT st.{source_col}, st.c, p.ts, p.types,
+         CAST(round(ln((CAST(st.c AS DOUBLE) * CAST(tot.t AS DOUBLE)) /
+                       (CAST(g.ct AS DOUBLE) * CAST(p.ts AS DOUBLE))) * 10000) AS BIGINT) AS l
+  FROM st JOIN gcnt g USING (gh) JOIN per_src p USING ({source_col}) CROSS JOIN tot)
+SELECT {source_col},
+       CAST(max(ts) AS BIGINT) AS n_tokens,
+       CAST(max(types) AS BIGINT) AS n_types,
+       round(CAST(sum(l * c) AS DOUBLE) / max(ts) / 10000.0, 4) AS kl
+FROM term GROUP BY {source_col}
+"""
+
+
 def lm_perplexity_sql(
     *,
     table: str = "documents",
