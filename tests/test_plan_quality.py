@@ -499,3 +499,38 @@ def test_cap_tokens_per_source_one_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "cap_tokens_per_source")
     assert _exchanges(plan) == 1
     assert _sorts(plan) == 1
+
+
+def test_vocab_kl_single_scan_via_exchange_reuse(spark, sf_dir):
+    # four consumers of the (source, token) count frame (per-key counts,
+    # corpus-wide counts, per-source totals, grand total) must collapse to
+    # ONE corpus scan: the explicit isNotNull filters on both key columns
+    # make every branch canonically identical, so ReuseExchange dedupes
+    # them. Regression: without the filters the joins push isnotnull()
+    # into only the joined branches and the corpus is scanned 4x.
+    df = entrymod.queries()["vocab_kl"](spark, sf_dir)
+    df.collect()  # reuse lands in the ADAPTIVE final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Final Plan")[-1]
+    cut = final.find("== Initial Plan ==")
+    if cut > 0:
+        final = final[:cut]
+    assert final.count("FileScan") == 1, final[:2000]
+    assert final.count("ReusedExchange") == 3, final[:2000]
+
+
+def test_decontaminate_fuzzy_broadcasts_benchmark_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "decontaminate_fuzzy")
+    assert "CartesianProduct" not in plan
+    # benchmark gram rows and set sizes ship broadcast; the candidate join
+    # is a BroadcastHashJoin, never a corpus-side shuffle on the gram key
+    assert plan.count("BroadcastExchange") >= 2, plan[:2000]
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 5, plan[:2000]
+
+
+def test_pack_stats_two_exchanges(spark, sf_dir):
+    # one map-side-combined agg on the key greedy packing already grouped
+    # by, one per-source agg — plus greedy packing's own single exchange
+    plan = _plan(spark, sf_dir, "pack_stats")
+    assert "CartesianProduct" not in plan
+    assert _exchanges(plan) <= 3, plan[:2000]

@@ -383,11 +383,23 @@ def vocab_kl(
     (addition-order independent), the same idiom as ``lm_score`` — the
     DuckDB mirror (``oracle.vocab_kl_sql``) hashes identically.
 
-    Output: (source, n_tokens, n_types, kl).
+    Output: (source, n_tokens, n_types, kl). Null-source rows are excluded
+    up front (mirrored in the oracle).
+
+    Plan note: the explicit isNotNull filters on BOTH key columns are
+    load-bearing — they make all four consumers of the (source, token)
+    count frame canonically identical, so Spark's ReuseExchange collapses
+    the plan to ONE corpus scan + one shuffled count reused three times.
+    Without them, the joins push isnotnull() constraints into only the
+    joined branches and the corpus is scanned four times (pinned in
+    tests/test_plan_quality.py).
     """
-    toks = df.select(
-        F.col(source_col), F.explode(ws_tokens(F.col(text_col))).alias("__t")
-    ).select(source_col, md5_long(F.col("__t")).alias("__gh"))
+    toks = (
+        df.where(F.col(source_col).isNotNull())
+        .select(F.col(source_col), F.explode(ws_tokens(F.col(text_col))).alias("__t"))
+        .select(source_col, md5_long(F.col("__t")).alias("__gh"))
+        .where(F.col("__gh").isNotNull())
+    )
 
     st = toks.groupBy(source_col, "__gh").agg(F.count(F.lit(1)).alias("__c"))
     glob = st.groupBy("__gh").agg(F.sum("__c").alias("__ct"))

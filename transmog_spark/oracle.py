@@ -1727,7 +1727,7 @@ def vocab_kl_sql(
     return f"""
 WITH toks AS (SELECT {source_col},
                      unnest(list_transform({duck_ws_tokens(text_col)}, t -> {h})) AS gh
-              FROM {table}),
+              FROM {table} WHERE {source_col} IS NOT NULL),
 st AS (SELECT {source_col}, gh, count(*) AS c FROM toks GROUP BY 1, 2),
 gcnt AS (SELECT gh, sum(c) AS ct FROM st GROUP BY 1),
 per_src AS (SELECT {source_col}, sum(c) AS ts, count(*) AS types FROM st GROUP BY 1),
