@@ -506,7 +506,7 @@ def test_cap_per_source_rank_by_merit_order(spark):
     assert kept == {4, 1, 6, 5}
 
 
-def test_decontaminate_fuzzy_per_item_jaccard(spark):
+def test_decontaminate_fuzzy_per_item_scores(spark):
     from transmog_spark.operators.corpus import decontaminate_fuzzy
 
     bench = spark.createDataFrame(
@@ -514,8 +514,8 @@ def test_decontaminate_fuzzy_per_item_jaccard(spark):
     )
     corpus = spark.createDataFrame(
         [
-            (1, "x y z"),        # exact copy of item 10 -> j = 1.0
-            (2, "a b c d"),      # 2-shingles {ab,bc,cd} vs {ab,bc} -> 2/3
+            (1, "x y z"),        # exact copy of item 10: cont 1.0, j 1.0
+            (2, "a b c d"),      # contains all of item 20: cont 1.0, j 2/3
             (3, "p q r s"),      # no overlap -> clean
         ],
         "doc_id long, text string",
@@ -523,16 +523,16 @@ def test_decontaminate_fuzzy_per_item_jaccard(spark):
     out = {
         r.doc_id: r
         for r in decontaminate_fuzzy(
-            corpus, bench, shingle_n=2, threshold=0.5
+            corpus, bench, shingle_n=2, threshold=0.8
         ).collect()
     }
     assert len(out) == 3  # clean docs are retained, not dropped
-    assert out[1].bench_id == 10 and out[1].overlap == 1.0
-    assert out[1].contaminated == 1
-    assert out[2].bench_id == 20 and out[2].overlap == pytest.approx(0.6667)
-    assert out[2].contaminated == 1
-    assert out[3].bench_id is None and out[3].overlap == 0.0
-    assert out[3].contaminated == 0
+    assert out[1].bench_id == 10 and out[1].containment == 1.0
+    assert out[1].jaccard == 1.0 and out[1].contaminated == 1
+    assert out[2].bench_id == 20 and out[2].containment == 1.0
+    assert out[2].jaccard == pytest.approx(0.6667) and out[2].contaminated == 1
+    assert out[3].bench_id is None and out[3].containment == 0.0
+    assert out[3].jaccard == 0.0 and out[3].contaminated == 0
 
 
 def test_decontaminate_fuzzy_argmax_tiebreak_min_bench_id(spark):
@@ -545,15 +545,16 @@ def test_decontaminate_fuzzy_argmax_tiebreak_min_bench_id(spark):
     corpus = spark.createDataFrame([(1, "x y z w")], "doc_id long, text string")
     row = decontaminate_fuzzy(corpus, bench, shingle_n=2, threshold=0.9).collect()[0]
     assert row.bench_id == 10
-    # {xy,yz,zw} vs {xy,yz}: 2/3 < 0.9 threshold -> flagged clean but scored
-    assert row.overlap == pytest.approx(0.6667)
-    assert row.contaminated == 0
+    # doc covers the whole item ({xy,yz} of {xy,yz}) but adds zw
+    assert row.containment == 1.0 and row.contaminated == 1
+    assert row.jaccard == pytest.approx(0.6667)
 
 
 def test_decontaminate_fuzzy_dilution_beats_aggregate_gate(spark):
     """The motivating case: a long doc embedding one full eval item scores
-    low on aggregate contamination but 100%-contains a benchmark item —
-    the per-item max-Jaccard still flags it."""
+    low on aggregate contamination AND low Jaccard, but containment (the
+    fraction of the benchmark item covered) is 1.0 - the flag a
+    decontamination pass must raise."""
     from transmog_spark.operators.corpus import decontaminate, decontaminate_fuzzy
 
     eval_item = "alpha beta gamma delta"
@@ -564,7 +565,7 @@ def test_decontaminate_fuzzy_dilution_beats_aggregate_gate(spark):
     )
     agg = decontaminate(corpus, bench, n=2).collect()[0]
     assert agg.contamination < 0.05  # aggregate gate sees near-nothing
-    fz = decontaminate_fuzzy(corpus, bench, shingle_n=2, threshold=0.01).collect()[0]
-    # all 3 bench shingles present in the long doc: j = 3 / (203 + 3 - 3)
-    assert fz.bench_id == 1000 and fz.overlap == pytest.approx(3 / 203, abs=1e-4)
+    fz = decontaminate_fuzzy(corpus, bench, shingle_n=2, threshold=0.8).collect()[0]
+    assert fz.bench_id == 1000 and fz.containment == 1.0
+    assert fz.jaccard == pytest.approx(3 / 203, abs=1e-4)  # Jaccard dilutes
     assert fz.contaminated == 1

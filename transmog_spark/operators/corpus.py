@@ -458,7 +458,7 @@ def decontaminate_fuzzy(
     shingle_n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Fuzzy benchmark decontamination: max exact Jaccard of each corpus
+    """Fuzzy benchmark decontamination: max per-item overlap of each corpus
     document against any SINGLE benchmark item.
 
     ``decontaminate`` scores aggregate n-gram overlap against the benchmark
@@ -466,9 +466,17 @@ def decontaminate_fuzzy(
     long document that embeds one full eval example still scores a low
     overall hit fraction. The per-item fuzzy form (the Dolma/Llama-recipe
     decontamination measure: flag a training doc when it is a near-duplicate
-    of an individual benchmark item) catches exactly that case. Reports, per
-    corpus doc, the best-matching benchmark item and their shingle-set
-    Jaccard; ``contaminated`` = best overlap ≥ ``threshold``.
+    of an individual benchmark item) catches exactly that case.
+
+    Candidates are ranked by CONTAINMENT — the fraction of the benchmark
+    item's shingles present in the document (|A∩B| / |B|) — because Jaccard
+    dilutes symmetrically: a 10k-token page that embeds a whole 30-token
+    eval question verbatim has Jaccard ≈ 0.003 but containment 1.0, and it
+    is exactly the doc a decontamination pass must flag. Jaccard is still
+    reported (it distinguishes "contains the item" from "is the item").
+    Per corpus doc: best-matching bench item (max containment, Jaccard then
+    bench id as tie-breaks), its ``containment`` and ``jaccard``;
+    ``contaminated`` = containment ≥ ``threshold``.
 
     Scale shape: the benchmark is tiny by contract (eval suites, not
     corpora) — its per-item shingle-hash rows and set sizes are BROADCAST.
@@ -511,6 +519,10 @@ def decontaminate_fuzzy(
         inter.join(F.broadcast(ben_sz), "__bid")
         .join(corp_sz, "__cid")
         .withColumn(
+            "__cont",
+            F.round(F.col("__i").cast("double") / F.col("__bid_n"), 4),
+        )
+        .withColumn(
             "__j",
             F.round(
                 F.col("__i").cast("double")
@@ -519,19 +531,22 @@ def decontaminate_fuzzy(
             ),
         )
     )
-    w = Window.partitionBy("__cid").orderBy(F.col("__j").desc(), F.col("__bid").asc())
+    w = Window.partitionBy("__cid").orderBy(
+        F.col("__cont").desc(), F.col("__j").desc(), F.col("__bid").asc()
+    )
     best = (
         jac.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .select("__cid", "__bid", "__j")
+        .select("__cid", "__bid", "__cont", "__j")
     )
-    overlap = F.coalesce(F.col("__j"), F.lit(0.0))
+    cont = F.coalesce(F.col("__cont"), F.lit(0.0))
     return corp_sz.join(best, "__cid", "left").select(
         F.col("__cid").alias(id_col),
         F.col("__cid_n").cast("long").alias("n_shingles"),
         F.col("__bid").cast("long").alias("bench_id"),
-        overlap.alias("overlap"),
-        (overlap >= F.lit(threshold)).cast("int").alias("contaminated"),
+        cont.alias("containment"),
+        F.coalesce(F.col("__j"), F.lit(0.0)).alias("jaccard"),
+        (cont >= F.lit(threshold)).cast("int").alias("contaminated"),
     )
 
 

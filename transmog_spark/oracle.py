@@ -1298,8 +1298,9 @@ def decontaminate_fuzzy_sql(
 ) -> str:
     """Per-item fuzzy decontamination (operators/corpus.py:
     decontaminate_fuzzy); benchmark = docs with id % bench_mod = 0, corpus =
-    the rest. Same 60-bit md5 shingle hashes, same round-4 Jaccard grid,
-    same (overlap DESC, bench id ASC) argmax tie-break."""
+    the rest. Same 60-bit md5 shingle hashes, same round-4 containment /
+    Jaccard grids, same (containment DESC, jaccard DESC, bench id ASC)
+    argmax tie-break."""
     h = duck_md5_long("s")
     return f"""
 WITH docs AS (SELECT {id_col} AS id, {duck_ws_tokens(text_col)} AS t FROM {table}),
@@ -1313,18 +1314,20 @@ inter AS (
   FROM corp c JOIN ben b ON c.g = b.g GROUP BY c.cid, b.bid),
 jac AS (
   SELECT i.cid, i.bid,
+         round(CAST(i.i AS DOUBLE) / bsz.bn, 4) AS cont,
          round(CAST(i.i AS DOUBLE) / (csz.cn + bsz.bn - i.i), 4) AS j
   FROM inter i JOIN csz ON i.cid = csz.cid JOIN bsz ON i.bid = bsz.bid),
 best AS (
-  SELECT cid, bid, j FROM (
-    SELECT cid, bid, j,
-           row_number() OVER (PARTITION BY cid ORDER BY j DESC, bid) AS rn
+  SELECT cid, bid, cont, j FROM (
+    SELECT cid, bid, cont, j,
+           row_number() OVER (PARTITION BY cid ORDER BY cont DESC, j DESC, bid) AS rn
     FROM jac) WHERE rn = 1)
 SELECT csz.cid AS {id_col},
        CAST(csz.cn AS BIGINT) AS n_shingles,
        CAST(best.bid AS BIGINT) AS bench_id,
-       coalesce(best.j, 0.0) AS overlap,
-       CAST(CASE WHEN coalesce(best.j, 0.0) >= {threshold} THEN 1 ELSE 0 END AS INTEGER)
+       coalesce(best.cont, 0.0) AS containment,
+       coalesce(best.j, 0.0) AS jaccard,
+       CAST(CASE WHEN coalesce(best.cont, 0.0) >= {threshold} THEN 1 ELSE 0 END AS INTEGER)
          AS contaminated
 FROM csz LEFT JOIN best ON csz.cid = best.cid
 """
