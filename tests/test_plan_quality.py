@@ -534,3 +534,19 @@ def test_pack_stats_two_exchanges(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pack_stats")
     assert "CartesianProduct" not in plan
     assert _exchanges(plan) <= 3, plan[:2000]
+
+
+def test_lm_context_counts_reuse_bigram_shuffle(spark, sf_dir):
+    # context counts re-aggregate the bigram-count shuffle; the explicit
+    # base null filters in ngram_lm_counts keep both branches canonically
+    # equal so the train split is scanned ONCE for both count tables
+    # (plus the separate vocab pass and the doc-gram pass = 3 total)
+    df = entrymod.queries()["lm_perplexity"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Final Plan")[-1]
+    cut = final.find("== Initial Plan ==")
+    if cut > 0:
+        final = final[:cut]
+    assert final.count("FileScan") == 3, final[:2000]
+    assert final.count("ReusedExchange") >= 1, final[:2000]

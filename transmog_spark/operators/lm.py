@@ -72,11 +72,23 @@ def ngram_lm_counts(
 
     ``context_counts`` are derived FROM the bigram counts (count of w1 as a
     bigram context), so conditional probabilities normalize exactly.
+
+    Plan note: the explicit isNotNull filters on the gram and its w1 prefix
+    are semantic no-ops (explode of a null-filtered array) but load-bearing
+    for cost — downstream joins push isnotnull(gram) into the bigram-count
+    branch and isnotnull(substring_index(gram)) into the context-count
+    branch, and without matching base filters the two subtrees stop being
+    canonically equal, so ReuseExchange re-scans the corpus for the context
+    counts instead of reusing the bigram shuffle (the vocab_kl lesson;
+    pinned in tests/test_plan_quality.py).
     """
     toks = _train_split(df, id_col, train_pct).select(
         ws_tokens(F.col(text_col)).alias("__toks")
     )
-    grams = toks.select(F.explode(bigram_array(F.col("__toks"))).alias("gram"))
+    grams = toks.select(F.explode(bigram_array(F.col("__toks"))).alias("gram")).where(
+        F.col("gram").isNotNull()
+        & F.substring_index("gram", " ", 1).isNotNull()
+    )
     bigram_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))
     context_counts = bigram_counts.groupBy(
         F.substring_index("gram", " ", 1).alias("w1")
