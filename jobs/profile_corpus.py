@@ -18,6 +18,10 @@ sketch-sized aggregates, and writes a profile directory:
                                rate (score < --quality-floor).
 * ``<out>/heavy_terms/``     — Count-Min heavy hitters at --cms-threshold
                                (boilerplate candidates for line dedup).
+* ``<out>/vocab_drift/``     — per-source unigram KL divergence vs the
+                               blended corpus (the domain-shift monitor:
+                               compare across snapshots to spot a source
+                               whose scrape quality changed).
 * ``<out>/_PROFILE.json``    — corpus-level scalars: doc count, token sum,
                                HLL distinct-token estimate, parameters.
 
@@ -131,6 +135,12 @@ def main(argv: list[str] | None = None) -> int:
         docs, sid, txt, width=args.cms_width, threshold=args.cms_threshold
     ).write.mode("overwrite").parquet(os.path.join(out, "heavy_terms"))
 
+    from transmog_spark.operators.lm import vocab_kl
+
+    vocab_kl(docs, text_col=txt, source_col=src).write.mode("overwrite").parquet(
+        os.path.join(out, "vocab_drift")
+    )
+
     totals = base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("sum_tokens")
     ).collect()[0]
@@ -156,6 +166,7 @@ def main(argv: list[str] | None = None) -> int:
             "lang_mix",
             "quality",
             "heavy_terms",
+            "vocab_drift",
         ],
     }
     tmp = os.path.join(out, "_PROFILE.json.tmp")

@@ -23,6 +23,23 @@ def final_plan(df) -> str:
     return final[:cut] if cut > 0 else final
 
 
+def dup_scans(final: str) -> tuple[int, str]:
+    """(max scans of any single table, 'tbl xN' summary of re-scanned ones).
+
+    Multi-table queries legitimately scan several files; only SAME-table
+    re-scans indicate redundant corpus passes."""
+    import re
+    from collections import Counter
+
+    paths = Counter(
+        m.group(1).rsplit("/", 1)[-1].removesuffix(".parquet")
+        for m in re.finditer(r"InMemoryFileIndex\(\d+ paths\)\[([^\],]+)", final)
+    )
+    worst = max(paths.values(), default=0)
+    summary = ",".join(f"{t}x{n}" for t, n in paths.most_common() if n > 1)
+    return worst, summary
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -40,12 +57,13 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.collect()
             p = final_plan(df)
+            worst, summary = dup_scans(p)
             rows.append(
                 (
+                    worst,
                     p.count("FileScan"),
                     p.count("ReusedExchange"),
-                    p.count("BroadcastExchange"),
-                    name,
+                    name + ("  [" + summary + "]" if summary else ""),
                 )
             )
         except Exception as ex:  # noqa: BLE001 - audit keeps going
@@ -53,9 +71,9 @@ def main() -> None:
     e.release_session_caches()
 
     rows.sort(reverse=True)
-    print(f"{'scans':>5} {'reuse':>5} {'bcast':>5}  query")
-    for s, r, b, name in rows:
-        print(f"{s:>5} {r:>5} {b:>5}  {name}")
+    print(f"{'worst':>5} {'scans':>5} {'reuse':>5}  query  [same-table re-scans]")
+    for w, s, r, name in rows:
+        print(f"{w:>5} {s:>5} {r:>5}  {name}")
 
 
 if __name__ == "__main__":

@@ -66,3 +66,10 @@ def test_profile_job_end_to_end(spark, sf_dir, tmp_path):
     heavy = spark.read.parquet(os.path.join(out, "heavy_terms")).collect()
     for r in heavy:
         assert r["overcount"] >= 0  # CMS never undercounts
+
+    drift = spark.read.parquet(os.path.join(out, "vocab_drift")).collect()
+    assert len(drift) == n_sources
+    assert sum(r["n_tokens"] for r in drift) == summary["sum_tokens"]
+    for r in drift:
+        # KL >= 0 up to the 1e-4 ln-grid rounding of individual terms
+        assert r["kl"] >= -1e-3, r
