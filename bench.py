@@ -78,6 +78,12 @@ HEADLINE = [
     "hll_distinct",
     "hdr_quantiles",
     "hash_embed_topk",
+    # per-item fuzzy decontamination (broadcast benchmark, containment rank)
+    "decontaminate_fuzzy",
+    # per-source KL drift: single corpus scan via ReuseExchange (plan-pinned)
+    "vocab_kl",
+    # packing-efficiency telemetry over the greedy packing
+    "pack_stats",
     # stage boundaries persist on first execution (see the entry docstring);
     # best-of-N then times the post-persist composed chain — the same
     # warm-index semantics as bm25_topk_indexed

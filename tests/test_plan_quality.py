@@ -550,3 +550,20 @@ def test_lm_context_counts_reuse_bigram_shuffle(spark, sf_dir):
         final = final[:cut]
     assert final.count("FileScan") == 3, final[:2000]
     assert final.count("ReusedExchange") >= 1, final[:2000]
+
+
+def test_hashfeat_corpus_features_computed_once(spark, sf_dir):
+    # the corpus-side hashed-feature frame feeds norms + dots (topk) and
+    # centroids + norms + dots (classify); uniform isNotNull filters keep
+    # the branches canonical so ReuseExchange scans the corpus once per
+    # feature build instead of once per consumer
+    for name, max_scans in (("hash_embed_topk", 3), ("centroid_classify", 5)):
+        df = entrymod.queries()[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Final Plan")[-1]
+        cut = final.find("== Initial Plan ==")
+        if cut > 0:
+            final = final[:cut]
+        assert final.count("FileScan") <= max_scans, (name, final[:2000])
+        assert final.count("ReusedExchange") >= 1, (name, final[:2000])

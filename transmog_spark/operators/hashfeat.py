@@ -79,8 +79,15 @@ def hashed_cosine_topk(
     rank orders by (cos DESC, id) AFTER rounding so the DuckDB oracle
     ranks identically (CLAUDE.md double-math rule). Self-matches are
     excluded.
+
+    The explicit isNotNull filters keep the norm and dot branches of the
+    corpus feature frame canonically identical (null-id rows already drop
+    at the id != query_id predicate), so ReuseExchange scans the corpus
+    ONCE for both instead of once per branch.
     """
-    feats = hash_features(df, id_col, text_col, dim=dim, seed=seed)
+    feats = hash_features(df, id_col, text_col, dim=dim, seed=seed).where(
+        F.col("id").isNotNull() & F.col("bucket").isNotNull()
+    )
     norms = feats.groupBy("id").agg(
         F.sum(F.col("w") * F.col("w")).cast("long").alias("sumsq")
     )
@@ -152,9 +159,16 @@ def centroid_classify(
     Scale shape: the centroid table is (labels × dim) rows — broadcast;
     scoring is one broadcast join on bucket + per-doc rollup; the argmax
     is a per-doc window over ≤ n_labels rows. The corpus never shuffles
-    on anything but its own id rollups.
+    on anything but its own id rollups. The explicit isNotNull filters on
+    the feature frame are semantic no-ops (null-id rows drop out of every
+    join below anyway) but keep all three feature consumers canonically
+    identical, so ReuseExchange computes the hashed features ONCE instead
+    of re-scanning the corpus per consumer (the vocab_kl lesson; pinned in
+    tests/test_plan_quality.py).
     """
-    feats = hash_features(df, id_col, text_col, dim=dim, seed=seed)
+    feats = hash_features(df, id_col, text_col, dim=dim, seed=seed).where(
+        F.col("id").isNotNull() & F.col("bucket").isNotNull()
+    )
     labels = df.select(
         F.col(id_col).alias("id"), F.col(label_col).alias("true_label")
     )

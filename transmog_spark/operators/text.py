@@ -251,25 +251,29 @@ def repetition_profile(
     gates for boilerplate / template spam (Gopher §A.1.1 repetition
     filters, re-expressed over whitespace tokens).
 
-    Scale shape: ONE shuffled frame for all three gram sizes — the three
-    explodes union into (doc, n, gram_hash) rows, counted with a map-side-
-    combined groupBy, then pivoted per doc with conditional aggregates.
-    Two exchanges total, zero joins, and the shuffle payload is a 60-bit
-    gram hash (8 bytes), never the gram strings. The hash is the
-    DuckDB-parity md5, so the (negligible) collision behavior is identical
-    in the oracle.
+    Scale shape: ONE corpus scan and ONE shuffled frame for all three gram
+    sizes — the 1/2/3-grams are built per row as a single tagged array
+    (struct(n, gram), the quality_gate idiom) and exploded once into
+    (doc, n, gram_hash) rows, counted with a map-side-combined groupBy,
+    then pivoted per doc with conditional aggregates. Two exchanges total,
+    zero joins, and the shuffle payload is a 60-bit gram hash (8 bytes),
+    never the gram strings. The hash is the DuckDB-parity md5, so the
+    (negligible) collision behavior is identical in the oracle.
+    (A unionByName of three per-n explodes computes the same rows but
+    re-scans the corpus per gram size — the fused form reads it once.)
     """
     toks = ws_tokens(F.col(text_col))
-    base = df.select(F.col(id_col), toks.alias("__t"))
 
-    def gram_frame(n: int) -> DataFrame:
-        return base.select(
-            id_col,
-            F.lit(n).alias("n"),
-            F.explode(word_ngrams(F.col("__t"), n)).alias("g"),
-        ).select(id_col, "n", md5_long(F.col("g")).alias("gh"))
+    def _tagged(n: int):
+        return F.transform(
+            word_ngrams(toks, n),
+            lambda g: F.struct(F.lit(n).alias("gn"), g.alias("g")),
+        )
 
-    allgrams = gram_frame(1).unionByName(gram_frame(2)).unionByName(gram_frame(3))
+    allgrams = df.select(
+        F.col(id_col),
+        F.explode(F.concat(_tagged(1), _tagged(2), _tagged(3))).alias("x"),
+    ).select(id_col, F.col("x.gn").alias("n"), md5_long(F.col("x.g")).alias("gh"))
     cnt = allgrams.groupBy(id_col, "n", "gh").agg(F.count(F.lit(1)).alias("c"))
     c = F.col("c")
     of = lambda n: F.when(F.col("n") == n, c)
