@@ -567,3 +567,19 @@ def test_hashfeat_corpus_features_computed_once(spark, sf_dir):
             final = final[:cut]
         assert final.count("FileScan") <= max_scans, (name, final[:2000])
         assert final.count("ReusedExchange") >= 1, (name, final[:2000])
+
+
+def test_bm25_tfidf_df_reuses_tf_shuffle(spark, sf_dir):
+    # document frequencies re-aggregate the tf shuffle (written as
+    # sum(tf > 0) so the tf count survives in both partial aggregates);
+    # the only other corpus read is the avgdl/n_docs stats pass
+    for name in ("bm25", "tfidf_keywords"):
+        df = entrymod.queries()[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Final Plan")[-1]
+        cut = final.find("== Initial Plan ==")
+        if cut > 0:
+            final = final[:cut]
+        assert final.count("FileScan") <= 2, (name, final[:2000])
+        assert final.count("ReusedExchange") >= 1, (name, final[:2000])

@@ -47,7 +47,15 @@ def bm25_scores(
     base = df.select(F.col(id_col).alias("doc_id"), ws_tokens(F.col(text_col)).alias("__t"))
     exploded = base.select("doc_id", F.size("__t").alias("dl"), F.explode("__t").alias("term"))
     tf = exploded.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df = count of tf rows per term, written as sum(tf > 0) so the branch
+    # REFERENCES the tf value: a plain count(1) lets Catalyst elide the
+    # count from this branch's inner aggregate, the partial-agg subtrees
+    # stop being canonically equal, and ReuseExchange re-scans the corpus
+    # for the document frequencies instead of reusing the tf shuffle
+    # (1 corpus scan for tf+df, pinned in tests/test_plan_quality.py)
+    dfreq = tf.groupBy("term").agg(
+        F.sum(F.when(F.col("tf") > 0, 1).otherwise(0)).cast("long").alias("df")
+    )
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("__t")).alias("avgdl")
     )
@@ -861,7 +869,12 @@ def tfidf_keywords(
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # sum(tf > 0) = count, but referencing tf keeps this branch's partial
+    # aggregate identical to the tf branch so ReuseExchange shares ONE
+    # corpus scan between them (see bm25_scores for the full story)
+    dfreq = tf.groupBy("term").agg(
+        F.sum(F.when(F.col("tf") > 0, 1).otherwise(0)).cast("long").alias("df")
+    )
     stats = base.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0
     scored = (
