@@ -92,3 +92,46 @@ def test_pinned_training_order_reproducible(spark, tmp_path):
     snapshot_write(more, root, mode="append")
     assert order_at(v) == first
     assert len(first) == 50
+
+
+def test_snapshot_diff_append_and_overwrite(spark, tmp_path):
+    from transmog_spark.sources.snapshots import snapshot_diff
+
+    root = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, f"d{i}", "web" if i % 2 == 0 else "books") for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    v1 = snapshot_write(base, root, mode="overwrite")
+    extra = spark.createDataFrame(
+        [(100 + i, f"x{i}", "web") for i in range(4)],
+        "doc_id long, text string, source string",
+    )
+    v2 = snapshot_write(extra, root, mode="append")
+
+    # append: additions counted from the delta dirs only, nothing removed
+    d = {r.source: r for r in snapshot_diff(spark, root, v1, v2).collect()}
+    assert d["web"].n_added == 4 and d["web"].n_removed == 0
+    assert (d["web"].n_old, d["web"].n_new) == (5, 9)
+    assert d["books"].n_added == 0 and d["books"].n_removed == 0
+    assert (d["books"].n_old, d["books"].n_new) == (5, 5)
+
+    # overwrite: full compare — docs 0-4 and 100-103 gone, 0-2 re-ingested
+    # under a new source plus one brand-new doc
+    repl = spark.createDataFrame(
+        [(i, f"d{i}", "curated") for i in range(3)]
+        + [(5 + i, f"d{5+i}", "web" if (5 + i) % 2 == 0 else "books") for i in range(5)]
+        + [(999, "new", "web")],
+        "doc_id long, text string, source string",
+    )
+    v3 = snapshot_write(repl, root, mode="overwrite")
+    d = {r.source: r for r in snapshot_diff(spark, root, v2, v3).collect()}
+    assert d["curated"].n_added == 3 and d["curated"].n_old == 0
+    # web lost 0,2,4 (even ids < 5, now curated/absent) and 100-103; gained 999
+    assert d["web"].n_added == 1 and d["web"].n_removed == 7
+    assert d["books"].n_removed == 2  # ids 1, 3
+    assert d["books"].n_added == 0
+
+    # identity diff: all zeros
+    for r in snapshot_diff(spark, root, v3, v3).collect():
+        assert r.n_added == 0 and r.n_removed == 0 and r.n_old == r.n_new

@@ -151,3 +151,78 @@ def expire_snapshots(root: str, *, keep_last: int = 1) -> dict:
                 shutil.rmtree(os.path.join(data_dir, d))
                 deleted += 1
     return {"kept": [m["version"] for m in keep], "deleted_dirs": deleted}
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    root: str,
+    v_old: int,
+    v_new: int,
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """What changed between two snapshots, per source: (source, n_added,
+    n_removed, n_old, n_new) — the ingest-audit companion to time travel
+    ("snapshot 9 added 40M docs to src2 and dropped 1.2M from src5; does
+    that match the crawler logs?").
+
+    Scale shape: append-mode snapshots share their parent data dirs, so
+    the diff prunes to the SYMMETRIC-DIFFERENCE dirs — added docs are
+    read only from dirs new-but-not-old and removed docs only from dirs
+    old-but-not-new, never a full two-snapshot anti-join. Overwrite-mode
+    snapshots share nothing and degrade to the honest full compare using
+    a left-anti join on ``id_col`` in each direction.
+    """
+    from pyspark.sql import functions as F
+
+    mo, mn = _resolve(root, v_old, None), _resolve(root, v_new, None)
+    old_dirs, new_dirs = set(mo["dirs"]), set(mn["dirs"])
+
+    def read(dirs: set[str]) -> DataFrame | None:
+        if not dirs:
+            return None
+        paths = [os.path.join(root, _DATA_DIR, d) for d in sorted(dirs)]
+        return spark.read.parquet(*paths).select(
+            F.col(id_col).alias("__id"), F.col(source_col).alias("source")
+        )
+
+    only_new, only_old = read(new_dirs - old_dirs), read(old_dirs - new_dirs)
+    shared = bool(old_dirs & new_dirs)
+
+    def minus(a: DataFrame | None, b: DataFrame | None) -> DataFrame | None:
+        """(id, source) pairs in a but not b — keyed on BOTH so a doc that
+        moved source shows as removed from the old ledger and added to the
+        new one; when the snapshots share dirs the shared part cancels, so
+        only the symmetric-difference frames compare."""
+        if a is None:
+            return None
+        if b is None and shared:
+            return a  # everything in the extra dirs is net change
+        other = b if b is not None else a.limit(0)
+        return a.join(other, ["__id", "source"], "left_anti")
+
+    def counts(d: DataFrame | None, name: str) -> DataFrame:
+        if d is None:
+            return spark.createDataFrame([], f"source string, {name} long")
+        return d.groupBy("source").agg(F.count(F.lit(1)).alias(name))
+
+    added = counts(minus(only_new, only_old), "n_added")
+    removed = counts(minus(only_old, only_new), "n_removed")
+
+    def totals(m: dict, name: str) -> DataFrame:
+        paths = [os.path.join(root, _DATA_DIR, d) for d in m["dirs"]]
+        return (
+            spark.read.parquet(*paths)
+            .groupBy(F.col(source_col).alias("source"))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    out = (
+        totals(mo, "n_old")
+        .join(totals(mn, "n_new"), "source", "full")
+        .join(added, "source", "left")
+        .join(removed, "source", "left")
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+    return out.select("source", z("n_added"), z("n_removed"), z("n_old"), z("n_new"))
