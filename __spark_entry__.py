@@ -114,6 +114,26 @@ def _q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(purchases, clicks, on="user_id", value_cols=["click_value"])
 
 
+def _q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of (the label join): each purchase attaches the EARLIEST
+    click at/after its timestamp. Oracle: DuckDB ASOF with p.ts <= c.ts."""
+    from transmog_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases, clicks, on="user_id", value_cols=["click_value"],
+        direction="forward",
+    )
+
+
 def _q_asof_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table point-in-time join (operators/asof.py:asof_join_multi —
     the feature-store lookup shape): each purchase row attaches the latest
@@ -1719,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_fuzzy": _q_decontaminate_fuzzy,
         "pack_stats": _q_pack_stats,
         "vocab_kl": _q_vocab_kl,
+        "asof_forward": _q_asof_forward,
         "rolling_agg": _q_rolling_agg,
         "hdr_quantiles": _q_hdr_quantiles,
         "cap_tokens_per_source": _q_cap_tokens_per_source,
@@ -1932,6 +1953,7 @@ FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
 """,
         "asof_clicks": asof_common.format(op=">="),
         "asof_strict": asof_common.format(op=">"),
+        "asof_forward": asof_common.format(op="<="),
         "asof_multi": """
 WITH clicks AS (
   SELECT user_id, ts, max(value) AS value

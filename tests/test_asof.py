@@ -181,3 +181,53 @@ def test_asof_audit_counts_and_flags(spark):
     )
     bad = asof_audit(leaky, "user", "ts", "mts").collect()[0]
     assert bad["n_violations"] == 1
+
+
+def _pandas_asof_fwd(left, right, strict):
+    lp = left.toPandas().sort_values("ts", kind="mergesort")
+    rp = right.toPandas().sort_values("ts", kind="mergesort")
+    out = pd.merge_asof(
+        lp, rp, on="ts", by="k", allow_exact_matches=not strict,
+        direction="forward",
+    )
+    return sorted(
+        (r.k, r.ts, r.qid, None if pd.isna(r.v) else r.v) for r in out.itertuples()
+    )
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_forward_matches_pandas(asof_frames, strict):
+    left, right = asof_frames
+    # unique (k, ts) on the feature side: on forward ties merge_asof keeps
+    # the first row in sort order while the engine resolves to max(v) —
+    # both conventions coincide once ties are pre-aggregated (the shape
+    # every registered query uses)
+    right = right.groupBy("k", "ts").agg(F.max("v").alias("v"))
+    got = _spark_asof(left, right, strict, direction="forward")
+    assert got == _pandas_asof_fwd(left, right, strict)
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_salted_asof_forward_identical_to_unsalted(asof_frames, strict):
+    left, right = asof_frames
+    assert _spark_asof(left, right, strict, direction="forward") == _spark_asof(
+        left, right, strict, direction="forward", salt_buckets=8
+    )
+
+
+def test_asof_forward_tolerance_masks_distant_matches(spark):
+    left = spark.createDataFrame(
+        [("a", 10.0, 1), ("a", 90.0, 2)], "k string, ts double, qid long"
+    )
+    right = spark.createDataFrame(
+        [("a", 12.0, 5.0), ("a", 200.0, 7.0)], "k string, ts double, v double"
+    )
+    out = {
+        r.qid: r.v
+        for r in asof_join(
+            left, right, on="k", value_cols=["v"],
+            direction="forward", tolerance_seconds=20.0,
+        ).collect()
+    }
+    assert out[1] == 5.0   # 12 - 10 = 2s ahead, inside tolerance
+    assert out[2] is None  # 200 - 90 = 110s ahead, masked

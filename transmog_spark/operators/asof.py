@@ -44,13 +44,26 @@ def asof_join(
     tolerance_seconds: float | None = None,
     salt_buckets: int = 0,
     matched_ts_col: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right values with ts <= (or <) left ts.
 
     Returns the left columns plus ``value_cols`` (and optionally the matched
     right timestamp for leakage audits). Rows with no match keep NULLs
     (left-outer semantics, like ``pandas.merge_asof``).
+
+    ``direction='forward'`` flips the temporal predicate: attach the
+    EARLIEST right values with ts >= (or >, when strict) left ts — the
+    label join ("first outcome at/after the feature timestamp"). Feature
+    engineering stays backward (zero leakage, the north-rule contract);
+    forward is for building the label table, where looking forward is the
+    point. Same union-sort-window plan, same salting, same tolerance
+    (bounded to at most ``tolerance_seconds`` AFTER the left ts);
+    mirrored in DuckDB as ``ASOF LEFT JOIN ... ON l.ts <= r.ts``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+    fwd = direction == "forward"
     keys = [on] if isinstance(on, str) else list(on)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in set(keys) | {right_ts}]
@@ -88,13 +101,16 @@ def asof_join(
 
     u = l.unionByName(r)
 
-    # Ordering encodes the temporal predicate: inclusive (<=) sorts features
-    # before queries at equal ts; strict (<) sorts them after. Value columns
+    # Ordering encodes the temporal predicate: the window walks time in the
+    # match direction (ascending ts for backward, descending for forward),
+    # so "last feature seen" is the closest match. Inclusive sorts features
+    # before queries at equal ts; strict sorts them after. Value columns
     # extend the sort key so ties among feature rows at the SAME timestamp
     # resolve deterministically (last = lexicographic max of value_cols) —
     # this widens the existing sort key instead of costing a pre-aggregation
     # shuffle, and matches max() tie resolution for a single value column.
-    order = [F.col(_ts).asc(), F.col(_IS_Q).asc() if not strict else F.col(_IS_Q).desc()]
+    ts_order = F.col(_ts).desc() if fwd else F.col(_ts).asc()
+    order = [ts_order, F.col(_IS_Q).asc() if not strict else F.col(_IS_Q).desc()]
     order += [F.col(f"__tm_v_{c}").asc() for c in value_cols]
     w = (
         Window.partitionBy(*part_keys)
@@ -123,7 +139,8 @@ def asof_join(
             def secs(c: Column) -> Column:
                 return c.cast("double")
 
-        in_tol = secs(F.col(_ts)) - secs(F.col(_mts)) <= F.lit(tolerance_seconds)
+        gap = secs(F.col(_ts)) - secs(F.col(_mts))
+        in_tol = (-gap if fwd else gap) <= F.lit(tolerance_seconds)
         for c in value_cols:
             out = out.withColumn(f"__tm_v_{c}", F.when(in_tol, F.col(f"__tm_v_{c}")))
         out = out.withColumn(_mts, F.when(in_tol, F.col(_mts)))
