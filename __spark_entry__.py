@@ -1645,6 +1645,23 @@ def _q_vocab_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_kl(_t(spark, sf_dir, "documents"))
 
 
+def _q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive-Bayes source classifier (the CCNet/fastText-style
+    corpus-filter model): train on the md5 hash-split, argmax class per
+    doc with runner-up margin, all on the 1e-4 scaled-integer grid."""
+    from transmog_spark.operators.nb import nb_classify
+
+    return nb_classify(_t(spark, sf_dir, "documents"))
+
+
+def _q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out confusion matrix for the NB source classifier — the eval
+    telemetry before the classifier gates anything (diagonal = recall)."""
+    from transmog_spark.operators.nb import nb_confusion
+
+    return nb_confusion(_t(spark, sf_dir, "documents"))
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality gates (top token / top 2-gram /
     duplicated 3-gram fractions) per document."""
@@ -1736,6 +1753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-stable basics (green since round 1-2) trail.  Rotate per round.
     return {
         # -- round-5 surface -------------------------------------------
+        "nb_classify": _q_nb_classify,
+        "nb_confusion": _q_nb_confusion,
         "decontaminate_fuzzy": _q_decontaminate_fuzzy,
         "pack_stats": _q_pack_stats,
         "vocab_kl": _q_vocab_kl,
@@ -1858,6 +1877,8 @@ def oracle_sql() -> dict[str, str]:
         epoch_mixture_sql,
         vocab_stats_sql,
         vocab_kl_sql,
+        nb_classify_sql,
+        nb_confusion_sql,
         repetition_profile_sql,
         bm25_topk_sql,
         pack_assemble_greedy_sql,
@@ -2348,4 +2369,6 @@ FROM lagged l JOIN sess s ON l.user_id = s.user_id AND l.session_index = s.sessi
         "epoch_mixture": epoch_mixture_sql(weights=MIX_WEIGHTS),
         "vocab_stats": vocab_stats_sql(),
         "vocab_kl": vocab_kl_sql(),
+        "nb_classify": nb_classify_sql(),
+        "nb_confusion": nb_confusion_sql(),
     }

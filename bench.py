@@ -82,6 +82,8 @@ HEADLINE = [
     "decontaminate_fuzzy",
     # per-source KL drift: single corpus scan via ReuseExchange (plan-pinned)
     "vocab_kl",
+    # multinomial NB source classifier: fused train+score (plan-pinned)
+    "nb_classify",
     # packing-efficiency telemetry over the greedy packing
     "pack_stats",
     # stage boundaries persist on first execution (see the entry docstring);

@@ -519,6 +519,29 @@ def test_vocab_kl_single_scan_via_exchange_reuse(spark, sf_dir):
     assert final.count("ReusedExchange") == 3, final[:2000]
 
 
+def test_nb_classify_fused_training_scan(spark, sf_dir):
+    # self-train NB derives training token counts FROM the scoring
+    # pre-aggregate: the token explode is ONE text scan shared via
+    # ReuseExchange (min(__fl) carries the split so the predicate can't
+    # be pushed below the shared aggregate; the no-op __fl >= 0 filter
+    # defeats aggregate elision on the scoring side). Budget: 4 scans of
+    # documents total — 2 reading text (explode + spine), 2 thin
+    # (doc_id, source) from the two broadcast expansions of the C-row
+    # class frame.
+    df = entrymod.queries()["nb_classify"](spark, sf_dir)
+    df.collect()  # reuse lands in the ADAPTIVE final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Final Plan")[-1]
+    cut = final.find("== Initial Plan ==")
+    if cut > 0:
+        final = final[:cut]
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", final)
+    assert len(scans) <= 4, final[:2000]
+    assert sum("text" in s for s in scans) <= 2, scans
+    assert "CartesianProduct" not in final
+    assert final.count("ReusedExchange") >= 1, final[:2000]
+
+
 def test_decontaminate_fuzzy_broadcasts_benchmark_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "decontaminate_fuzzy")
     assert "CartesianProduct" not in plan

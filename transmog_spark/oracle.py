@@ -1817,6 +1817,131 @@ FROM final
 """
 
 
+def nb_classify_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "source",
+    train_pct: int = 80,
+    k: float = 1.0,
+) -> str:
+    """Multinomial Naive-Bayes classifier (operators/nb.py:nb_classify):
+    train on the md5 hash-split, argmax class per doc with runner-up
+    margin. Per-token log-probs on the 1e-4 scaled-integer grid (lm.py
+    idiom); OOV mass enters as n_tok·unk_e4 so the matched join carries
+    deltas — identical arithmetic to the Spark plan, hence hash-equal."""
+    split = f"{duck_md5_long(f'CAST({id_col} AS VARCHAR)')} % 100 < {train_pct}"
+    # self-train classifies the labeled corpus: null-label rows excluded
+    # up front on BOTH engines (operators/nb.py nb_classify)
+    labeled = f"(SELECT * FROM {table} WHERE {label_col} IS NOT NULL)"
+    return f"""
+WITH train AS (
+  SELECT {label_col} AS label, {duck_ws_tokens(text_col)} AS t
+  FROM {labeled} WHERE {split}
+),
+tc AS (
+  SELECT label, tok, count(*) AS c
+  FROM (SELECT label, unnest(t) AS tok FROM train)
+  WHERE tok IS NOT NULL GROUP BY 1, 2
+),
+ct AS (SELECT label, CAST(sum(c) AS BIGINT) AS n_toks FROM tc GROUP BY 1),
+vocab AS (SELECT greatest(count(DISTINCT tok), 1) AS v FROM tc),
+cd AS (
+  SELECT {label_col} AS label, count(*) AS n_docs FROM {labeled}
+  WHERE {split} GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS d FROM cd),
+classes AS (
+  SELECT cd.label, cd.n_docs, coalesce(ct.n_toks, 0) AS n_toks,
+         CAST(round(ln(cd.n_docs / tot.d) * 10000) AS BIGINT) AS prior_e4,
+         CAST(round(ln({k} / (coalesce(ct.n_toks, 0) + {k} * vocab.v)) * 10000)
+              AS BIGINT) AS unk_e4
+  FROM cd LEFT JOIN ct USING (label) CROSS JOIN vocab CROSS JOIN tot
+),
+tok_lp AS (
+  SELECT tc.tok, tc.label,
+         CAST(round(ln((tc.c + {k}) / (classes.n_toks + {k} * vocab.v)) * 10000)
+              AS BIGINT) - classes.unk_e4 AS dlp_e4
+  FROM tc JOIN classes USING (label) CROSS JOIN vocab
+),
+dt AS (
+  SELECT {id_col}, tok, count(*) AS m
+  FROM (SELECT {id_col}, unnest({duck_ws_tokens(text_col)}) AS tok FROM {labeled})
+  WHERE tok IS NOT NULL GROUP BY 1, 2
+),
+p1 AS (
+  SELECT dt.{id_col}, tok_lp.label, CAST(sum(dt.m * tok_lp.dlp_e4) AS BIGINT) AS s1
+  FROM dt JOIN tok_lp USING (tok) GROUP BY 1, 2
+),
+spine AS (
+  SELECT {id_col}, coalesce(len({duck_ws_tokens(text_col)}), 0) AS n_tok
+  FROM {labeled}
+),
+scores AS (
+  SELECT spine.{id_col}, classes.label, spine.n_tok,
+         classes.prior_e4 + CAST(spine.n_tok AS BIGINT) * classes.unk_e4
+           + coalesce(p1.s1, 0) AS score_e4
+  FROM spine CROSS JOIN classes
+  LEFT JOIN p1 ON p1.{id_col} = spine.{id_col} AND p1.label = classes.label
+),
+ranked AS (
+  SELECT {id_col}, label, n_tok, score_e4,
+         row_number() OVER w AS rk, lead(score_e4) OVER w AS nxt
+  FROM scores
+  WINDOW w AS (PARTITION BY {id_col} ORDER BY score_e4 DESC, label ASC)
+)
+SELECT {id_col}, label AS pred_label,
+       score_e4 / 10000.0 AS score,
+       (score_e4 - nxt) / 10000.0 AS margin,
+       CAST(n_tok AS BIGINT) AS n_tok
+FROM ranked WHERE rk = 1
+"""
+
+
+def nb_confusion_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "source",
+    train_pct: int = 80,
+    k: float = 1.0,
+) -> str:
+    """Held-out confusion matrix (operators/nb.py:nb_confusion): restrict
+    nb_classify's predictions to docs OUTSIDE the train split, cross with
+    true labels, row-normalize on the exact 1e-4 integer grid."""
+    preds = nb_classify_sql(
+        table=table,
+        id_col=id_col,
+        text_col=text_col,
+        label_col=label_col,
+        train_pct=train_pct,
+        k=k,
+    )
+    split = f"{duck_md5_long(f'CAST({id_col} AS VARCHAR)')} % 100 < {train_pct}"
+    return f"""
+WITH preds AS ({preds}),
+heldout AS (
+  SELECT {id_col}, {label_col} AS label FROM {table}
+  WHERE NOT ({split}) AND {label_col} IS NOT NULL
+),
+cm AS (
+  SELECT h.label, p.pred_label, count(*) AS n
+  FROM heldout h JOIN preds p USING ({id_col})
+  GROUP BY 1, 2
+),
+norm AS (
+  SELECT label, pred_label, CAST(n AS BIGINT) AS n,
+         CAST(sum(n) OVER (PARTITION BY label) AS BIGINT) AS n_label
+  FROM cm
+)
+SELECT label, pred_label, n, n_label,
+       ((n * 20000 + n_label) // (2 * n_label)) / 10000.0 AS frac
+FROM norm
+"""
+
+
 def _bpe_ctes(table: str, id_col: str, text_col: str) -> str:
     """Shared BPE-encoding CTE chain (through ``wtok``): the recursive-CTE
     subword encoder over the DISTINCT pre-token vocabulary.
