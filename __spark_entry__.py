@@ -134,6 +134,27 @@ def _q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of (sensor alignment): each purchase attaches the click
+    CLOSEST in time, either direction; exact/tie resolves backward.
+    Oracle: both DuckDB ASOF directions + epoch_us gap comparison."""
+    from transmog_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases, clicks, on="user_id", value_cols=["click_value"],
+        direction="nearest",
+    )
+
+
 def _q_asof_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table point-in-time join (operators/asof.py:asof_join_multi —
     the feature-store lookup shape): each purchase row attaches the latest
@@ -1759,6 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_stats": _q_pack_stats,
         "vocab_kl": _q_vocab_kl,
         "asof_forward": _q_asof_forward,
+        "asof_nearest": _q_asof_nearest,
         "rolling_agg": _q_rolling_agg,
         "hdr_quantiles": _q_hdr_quantiles,
         "cap_tokens_per_source": _q_cap_tokens_per_source,
@@ -1975,6 +1997,24 @@ FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
         "asof_clicks": asof_common.format(op=">="),
         "asof_strict": asof_common.format(op=">"),
         "asof_forward": asof_common.format(op="<="),
+        "asof_nearest": """
+WITH clicks AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+b AS (
+  SELECT p.event_id, p.user_id, p.ts, c.click_value AS bv, c.ts AS bts
+  FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts),
+f AS (
+  SELECT p.event_id, c.click_value AS fv, c.ts AS fts
+  FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts <= c.ts)
+SELECT b.event_id, b.user_id, b.ts,
+       CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+                 epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts))
+            THEN bv
+            WHEN fts IS NOT NULL THEN fv END AS click_value
+FROM b JOIN f USING (event_id)
+""",
         "asof_multi": """
 WITH clicks AS (
   SELECT user_id, ts, max(value) AS value

@@ -231,3 +231,67 @@ def test_asof_forward_tolerance_masks_distant_matches(spark):
     }
     assert out[1] == 5.0   # 12 - 10 = 2s ahead, inside tolerance
     assert out[2] is None  # 200 - 90 = 110s ahead, masked
+
+
+def _pandas_asof_nearest(left, right):
+    lp = left.toPandas().sort_values("ts", kind="mergesort")
+    rp = right.toPandas().sort_values("ts", kind="mergesort")
+    out = pd.merge_asof(lp, rp, on="ts", by="k", direction="nearest")
+    return sorted(
+        (r.k, r.ts, r.qid, None if pd.isna(r.v) else r.v) for r in out.itertuples()
+    )
+
+
+def test_asof_nearest_matches_pandas(asof_frames):
+    left, right = asof_frames
+    # tie-free feature frames (pre-aggregated), the registered-query shape;
+    # equidistant backward/forward ties resolve BACKWARD on both sides
+    # (verified pandas convention)
+    right = right.groupBy("k", "ts").agg(F.max("v").alias("v"))
+    got = _spark_asof(left, right, False, direction="nearest")
+    assert got == _pandas_asof_nearest(left, right)
+
+
+def test_salted_asof_nearest_identical_to_unsalted(asof_frames):
+    left, right = asof_frames
+    assert _spark_asof(left, right, False, direction="nearest") == _spark_asof(
+        left, right, False, direction="nearest", salt_buckets=8
+    )
+
+
+def test_asof_nearest_tolerance_masks_each_side(spark):
+    left = spark.createDataFrame(
+        [("a", 10.0, 1), ("a", 90.0, 2), ("a", 300.0, 3)],
+        "k string, ts double, qid long",
+    )
+    right = spark.createDataFrame(
+        [("a", 13.0, 5.0), ("a", 95.0, 7.0)], "k string, ts double, v double"
+    )
+    out = {
+        r.qid: r.v
+        for r in asof_join(
+            left, right, on="k", value_cols=["v"],
+            direction="nearest", tolerance_seconds=20.0,
+        ).collect()
+    }
+    assert out[1] == 5.0   # 3s forward gap beats 13s... both fwd; closest is 13.0
+    assert out[2] == 7.0   # 5s forward within tolerance
+    assert out[3] is None  # 205s from nearest, masked
+
+
+def test_asof_nearest_exact_match_resolves_backward(spark):
+    left = spark.createDataFrame([("a", 50.0, 1)], "k string, ts double, qid long")
+    right = spark.createDataFrame(
+        [("a", 50.0, 1.0), ("a", 51.0, 2.0)], "k string, ts double, v double"
+    )
+    out = asof_join(
+        left, right, on="k", value_cols=["v"], direction="nearest",
+        matched_ts_col="mts",
+    ).collect()[0]
+    assert out.v == 1.0 and out.mts == 50.0
+
+
+def test_asof_nearest_strict_raises(spark):
+    left = spark.createDataFrame([("a", 1.0, 1)], "k string, ts double, qid long")
+    with pytest.raises(ValueError, match="nearest"):
+        asof_join(left, left, on="k", direction="nearest", strict=True)

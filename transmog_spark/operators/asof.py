@@ -32,6 +32,18 @@ _IS_Q = "__tm_is_q"
 _SALT = "__tm_salt"
 
 
+def _secs_fn(ts_type):
+    """Seconds-as-double accessor for gap arithmetic, by timestamp type."""
+    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        # TIMESTAMP_NTZ has no direct double cast; go through unix_micros
+        def secs(c: Column) -> Column:
+            return F.unix_micros(c.cast("timestamp")).cast("double") / 1e6
+    else:
+        def secs(c: Column) -> Column:
+            return c.cast("double")
+    return secs
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -60,9 +72,22 @@ def asof_join(
     point. Same union-sort-window plan, same salting, same tolerance
     (bounded to at most ``tolerance_seconds`` AFTER the left ts);
     mirrored in DuckDB as ``ASOF LEFT JOIN ... ON l.ts <= r.ts``.
+
+    ``direction='nearest'`` attaches whichever side is closer in time
+    (sensor alignment, "the reading nearest this event"); exact-ts
+    matches resolve backward, a backward/forward distance tie resolves
+    backward (the pandas ``merge_asof`` convention), and tolerance
+    bounds each side's own gap before the side is chosen. Inclusive
+    only; still one shuffle (two window passes share the sort spine).
+    NOT for feature engineering — nearest looks forward by design.
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
+    if direction == "nearest" and strict:
+        raise ValueError(
+            "direction='nearest' supports inclusive matches only "
+            "(strict=True would need equal-ts exclusion on both sides)"
+        )
     fwd = direction == "forward"
     keys = [on] if isinstance(on, str) else list(on)
     if value_cols is None:
@@ -101,6 +126,75 @@ def asof_join(
 
     u = l.unionByName(r)
 
+    if direction == "nearest":
+        # One shuffle, two in-partition window passes over the SAME
+        # ascending-ts sort spine: backward = last feature at/before,
+        # forward = first feature after. Equal-ts features sort before
+        # queries, so they land on the backward side with gap 0 — which
+        # then beats any forward candidate, i.e. exact matches resolve
+        # backward (pandas merge_asof 'nearest' convention). Feature-ts
+        # ties resolve to max(value_cols) on both sides (the forward
+        # window orders value columns DESC so first() = max, matching
+        # backward's last() over ASC). Tolerance bounds each side's own
+        # gap before the side is chosen.
+        order_b = [F.col(_ts).asc(), F.col(_IS_Q).asc()]
+        order_b += [F.col(f"__tm_v_{c}").asc() for c in value_cols]
+        order_f = [F.col(_ts).asc(), F.col(_IS_Q).asc()]
+        order_f += [F.col(f"__tm_v_{c}").desc() for c in value_cols]
+        wb = (
+            Window.partitionBy(*part_keys)
+            .orderBy(*order_b)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(*part_keys)
+            .orderBy(*order_f)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+
+        def feat(c: Column) -> Column:
+            return F.when(F.col(_IS_Q) == 0, c)
+
+        filled = u
+        for c in value_cols:
+            v = F.col(f"__tm_v_{c}")
+            filled = filled.withColumn(
+                f"__tm_b_{c}", F.last(feat(v), ignorenulls=True).over(wb)
+            ).withColumn(
+                f"__tm_f_{c}", F.first(feat(v), ignorenulls=True).over(wf)
+            )
+        filled = filled.withColumn(
+            "__tm_bts", F.last(feat(F.col(_mts)), ignorenulls=True).over(wb)
+        ).withColumn(
+            "__tm_fts", F.first(feat(F.col(_mts)), ignorenulls=True).over(wf)
+        )
+
+        out = filled.where(F.col(_IS_Q) == 1)
+        secs = _secs_fn(right.schema[right_ts].dataType)
+        gap_b = secs(F.col(_ts)) - secs(F.col("__tm_bts"))
+        gap_f = secs(F.col("__tm_fts")) - secs(F.col(_ts))
+        valid_b = F.col("__tm_bts").isNotNull()
+        valid_f = F.col("__tm_fts").isNotNull()
+        if tolerance_seconds is not None:
+            valid_b = valid_b & (gap_b <= F.lit(tolerance_seconds))
+            valid_f = valid_f & (gap_f <= F.lit(tolerance_seconds))
+        use_b = valid_b & (~valid_f | (gap_b <= gap_f))
+
+        select = [F.col(c) for c in lcols]
+        select += [
+            F.when(use_b, F.col(f"__tm_b_{c}"))
+            .when(valid_f, F.col(f"__tm_f_{c}"))
+            .alias(c)
+            for c in value_cols
+        ]
+        if matched_ts_col:
+            select.append(
+                F.when(use_b, F.col("__tm_bts"))
+                .when(valid_f, F.col("__tm_fts"))
+                .alias(matched_ts_col)
+            )
+        return out.select(*select)
+
     # Ordering encodes the temporal predicate: the window walks time in the
     # match direction (ascending ts for backward, descending for forward),
     # so "last feature seen" is the closest match. Inclusive sorts features
@@ -130,15 +224,7 @@ def asof_join(
 
     out = filled.where(F.col(_IS_Q) == 1)
     if tolerance_seconds is not None:
-        ts_type = right.schema[right_ts].dataType
-        if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType, T.DateType)):
-            # TIMESTAMP_NTZ has no direct double cast; go through unix_micros
-            def secs(c: Column) -> Column:
-                return F.unix_micros(c.cast("timestamp")).cast("double") / 1e6
-        else:
-            def secs(c: Column) -> Column:
-                return c.cast("double")
-
+        secs = _secs_fn(right.schema[right_ts].dataType)
         gap = secs(F.col(_ts)) - secs(F.col(_mts))
         in_tol = (-gap if fwd else gap) <= F.lit(tolerance_seconds)
         for c in value_cols:
