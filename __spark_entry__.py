@@ -937,6 +937,15 @@ def _q_strip_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _q_strip_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc keep-first repeated-line removal (zero-shuffle Column
+    pass) — the complement of the corpus-wide strip_dup_lines."""
+    from transmog_spark.operators.lines import strip_repeated_lines
+
+    d = _t(spark, sf_dir, "documents")
+    return strip_repeated_lines(d, "doc_id", "text", min_chars=4, sep=_LINE_SEP)
+
 def _q_dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization-aware exact dedup (operators/text.py:norm_text —
     CCNet §4.1 case/punct/space canonicalization before hashing): the
@@ -1787,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_best_per_source": _q_cap_best_per_source,
         "dup_lines": _q_dup_lines,
         "strip_dup_lines": _q_strip_dup_lines,
+        "strip_repeated_lines": _q_strip_repeated_lines,
         "tfidf_keywords": _q_tfidf_keywords,
         "cap_per_source": _q_cap_per_source,
         "minhash_probe": _q_minhash_probe,
@@ -1947,6 +1957,7 @@ def oracle_sql() -> dict[str, str]:
         centroid_classify_sql,
         duplicated_lines_sql,
         strip_duplicated_lines_sql,
+        strip_repeated_lines_sql,
         tfidf_keywords_sql,
         cap_per_source_sql,
         cap_tokens_per_source_sql,
@@ -2215,6 +2226,9 @@ SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM (
         ),
         "strip_dup_lines": strip_duplicated_lines_sql(
             min_count=2, min_chars=4, sep=_LINE_SEP
+        ),
+        "strip_repeated_lines": strip_repeated_lines_sql(
+            min_chars=4, sep=_LINE_SEP
         ),
         "tfidf_keywords": tfidf_keywords_sql(k=5),
         "cap_per_source": cap_per_source_sql(cap=60, seed="r5"),

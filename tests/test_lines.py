@@ -118,3 +118,38 @@ def test_blank_lines_never_removed(spark):
     )
     out = strip_duplicated_lines(df, min_count=2, min_chars=1)
     assert all(r["n_removed"] == 0 for r in out.collect())
+
+
+def test_strip_repeated_lines_keep_first(spark):
+    from transmog_spark.operators.lines import strip_repeated_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "nav bar\nbody text one\nnav bar\nbody text two\nnav bar"),
+            (2, "alpha\n  alpha  \nbeta"),   # trimmed-form match removed
+            (3, "xy\n\nxy\n\nxy"),           # short + blank lines always kept
+            (4, "unique only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+        for r in strip_repeated_lines(df, min_chars=4).collect()
+    }
+    assert out[1] == ("nav bar\nbody text one\nbody text two", 5, 2)
+    assert out[2] == ("alpha\nbeta", 3, 1)   # '  alpha  ' == 'alpha' trimmed
+    assert out[3] == ("xy\n\nxy\n\nxy", 5, 0)  # all below min_chars
+    assert out[4] == ("unique only", 1, 0)
+
+
+def test_strip_repeated_lines_preserves_original_text_of_survivors(spark):
+    from transmog_spark.operators.lines import strip_repeated_lines
+
+    # the FIRST occurrence survives verbatim (untrimmed), later trimmed
+    # duplicates go
+    df = spark.createDataFrame(
+        [(1, "  padded  \npadded\nother line")], "doc_id long, text string"
+    )
+    r = strip_repeated_lines(df, min_chars=4).collect()[0]
+    assert r["text"] == "  padded  \nother line"
+    assert r["n_removed"] == 1

@@ -137,3 +137,63 @@ def _line_candidates(
         F.col("__p").cast("int").alias("__p"),
         md5_long(norm).alias("__lh"),
     )
+
+
+def strip_repeated_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_chars: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """WITHIN-document repeated-line removal, keeping the first occurrence
+    — the complement of the corpus-wide ops above: a nav line repeated 40
+    times inside ONE page never has to clear a corpus count threshold, and
+    keep-first is well-defined here because a single document HAS a global
+    order (exactly what the distributed corpus lacks, see module note).
+
+    A later line is dropped when its whitespace-trimmed form equals that
+    of an earlier line; blank and sub-``min_chars`` lines always survive
+    (same trimmed form ⇒ same length, so eligibility is consistent across
+    occurrences).
+
+    Returns (``id_col``, text, n_lines, n_removed) with ``text`` rebuilt
+    from the surviving original lines in order.
+
+    Scale shape: pure per-row Column expressions — zero shuffle, zero
+    state. The higher-order ``array_position`` scan is O(L²) per document
+    in lines-per-doc L (and Catalyst re-inlines the trimmed array per
+    element — the known lambda-aliasing behavior); L is tens for web
+    documents, so this is a few thousand comparisons per row, the right
+    trade against any shuffle. Corpus-scale duplication stays with the
+    hash-join ops above.
+    """
+    lines = F.split(F.col(text_col), _sep_regex(sep), -1)
+
+    def norm_arr():
+        return F.transform(
+            F.split(F.col(text_col), _sep_regex(sep), -1), lambda x: F.trim(x)
+        )
+
+    kept = F.filter(
+        lines,
+        lambda x, i: (F.length(F.trim(x)) < min_chars)
+        | (F.array_position(norm_arr(), F.trim(x)) == i + 1),
+    )
+    # Two-step select: the output column is NAMED "text", and Spark 4's
+    # lateral column alias resolution would otherwise rebind the
+    # F.col(text_col) references inside sibling expressions of the SAME
+    # select to the freshly aliased CLEANED text (observed: n_removed
+    # re-filtered the already-cleaned doc). Stage the survivors first.
+    staged = df.select(
+        F.col(id_col),
+        kept.alias("__tm_kept"),
+        F.size(lines).cast("int").alias("n_lines"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.array_join("__tm_kept", sep).alias("text"),
+        "n_lines",
+        (F.col("n_lines") - F.size("__tm_kept")).cast("int").alias("n_removed"),
+    )

@@ -2722,6 +2722,34 @@ ON d.{id_col} = kc.{id_col}
 """
 
 
+def strip_repeated_lines_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    min_chars: int = 1,
+    sep: str = "\n",
+) -> str:
+    """Mirror of operators.lines.strip_repeated_lines: within-doc
+    keep-first dedup on the trimmed line form, blank/short lines always
+    kept, via DuckDB's indexed list lambda (1-based i, matching Spark's
+    0-based i + 1)."""
+    s = _duck_str(sep)
+    lines = f"string_split({text_expr}, {s})"
+    norm = f"list_transform({lines}, y -> trim(y))"
+    kept = (
+        f"list_filter({lines}, (x, i) -> length(trim(x)) < {min_chars} "
+        f"OR list_position({norm}, trim(x)) = i)"
+    )
+    return f"""
+SELECT {id_col},
+       array_to_string({kept}, {s}) AS text,
+       CAST(len({lines}) AS INT) AS n_lines,
+       CAST(len({lines}) - len({kept}) AS INT) AS n_removed
+FROM {table}
+"""
+
+
 def cap_per_source_sql(
     *,
     table: str = "documents",
