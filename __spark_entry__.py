@@ -1684,6 +1684,14 @@ def _q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_classify(_t(spark, sf_dir, "documents"))
 
 
+def _q_nb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-as-filter (the GPT-3 WebText move): keep docs predicted
+    'src0' with >= 0.5 nats of margin over the runner-up class."""
+    from transmog_spark.operators.nb import nb_gate
+
+    return nb_gate(_t(spark, sf_dir, "documents"), target="src0", min_margin=0.5)
+
+
 def _q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out confusion matrix for the NB source classifier — the eval
     telemetry before the classifier gates anything (diagonal = recall)."""
@@ -1785,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 surface -------------------------------------------
         "nb_classify": _q_nb_classify,
         "nb_confusion": _q_nb_confusion,
+        "nb_gate": _q_nb_gate,
         "decontaminate_fuzzy": _q_decontaminate_fuzzy,
         "pack_stats": _q_pack_stats,
         "vocab_kl": _q_vocab_kl,
@@ -1911,6 +1920,7 @@ def oracle_sql() -> dict[str, str]:
         vocab_kl_sql,
         nb_classify_sql,
         nb_confusion_sql,
+        nb_gate_sql,
         repetition_profile_sql,
         bm25_topk_sql,
         pack_assemble_greedy_sql,
@@ -2425,4 +2435,5 @@ FROM lagged l JOIN sess s ON l.user_id = s.user_id AND l.session_index = s.sessi
         "vocab_kl": vocab_kl_sql(),
         "nb_classify": nb_classify_sql(),
         "nb_confusion": nb_confusion_sql(),
+        "nb_gate": nb_gate_sql(target="src0", min_margin=0.5),
     }

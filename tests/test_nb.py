@@ -170,3 +170,30 @@ def test_nb_confusion_matches_pure_python(spark):
     for lab, nl in totals.items():
         s = sum(n for (l, _), n in cm.items() if l == lab)
         assert s == nl
+
+
+def test_nb_gate_filters_on_target_and_margin(spark):
+    from transmog_spark.operators.nb import nb_gate
+
+    preds = _py_nb(DOCS, train_pct=100)
+    want = {
+        d for d, (lab, sc, mg, _) in preds.items()
+        if lab == "code" and (mg is None or mg >= 1.0)
+    }
+    got = {
+        r["doc_id"]
+        for r in nb_gate(
+            _df(spark), target="code", min_margin=1.0, train_pct=100
+        ).collect()
+    }
+    assert got == want and got  # non-empty by construction
+
+
+def test_nb_gate_single_class_keeps_all(spark):
+    from transmog_spark.operators.nb import nb_gate
+
+    docs = {d: ("only", txt) for d, (_, txt) in DOCS.items()}
+    rows = nb_gate(
+        _df(spark, docs), target="only", min_margin=99.0, train_pct=100
+    ).collect()
+    assert len(rows) == len(docs)  # NULL margin -> no runner-up -> kept

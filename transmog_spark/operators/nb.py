@@ -335,3 +335,35 @@ def nb_confusion(
             ).alias("frac"),
         )
     )
+
+
+def nb_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "source",
+    *,
+    target: str,
+    min_margin: float = 0.0,
+    train_pct: int = 80,
+    k: float = NB_K,
+    model: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Apply the classifier as a corpus filter — the GPT-3/CCNet move:
+    keep only documents the model assigns to ``target`` with at least
+    ``min_margin`` nats of confidence over the runner-up class. With a
+    pre-trained ``model`` whose classes are {curated-seed, random-crawl},
+    this IS the WebText quality filter; self-trained on ``label_col`` it
+    keeps the docs most unambiguously typical of one source.
+
+    Returns the kept (id, score, margin, n_tok) rows. Single-class models
+    have NULL margins and keep everything classified as ``target``
+    (coalesce to +inf semantics: no runner-up means no ambiguity).
+    """
+    preds = nb_classify(
+        df, id_col, text_col, label_col, train_pct=train_pct, k=k, model=model
+    )
+    return preds.where(
+        (F.col("pred_label") == F.lit(target))
+        & (F.coalesce(F.col("margin") >= F.lit(min_margin), F.lit(True)))
+    ).select(id_col, "score", "margin", "n_tok")

@@ -1899,6 +1899,36 @@ FROM ranked WHERE rk = 1
 """
 
 
+def nb_gate_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "source",
+    target: str = "src0",
+    min_margin: float = 0.0,
+    train_pct: int = 80,
+    k: float = 1.0,
+) -> str:
+    """Classifier-as-filter (operators/nb.py:nb_gate): keep docs predicted
+    ``target`` with >= min_margin nats over the runner-up."""
+    preds = nb_classify_sql(
+        table=table,
+        id_col=id_col,
+        text_col=text_col,
+        label_col=label_col,
+        train_pct=train_pct,
+        k=k,
+    )
+    return f"""
+WITH preds AS ({preds})
+SELECT {id_col}, score, margin, n_tok
+FROM preds
+WHERE pred_label = '{target}'
+  AND coalesce(margin >= {min_margin}, TRUE)
+"""
+
+
 def nb_confusion_sql(
     *,
     table: str = "documents",
