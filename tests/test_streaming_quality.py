@@ -68,3 +68,54 @@ def test_pretrained_model_changes_ppl_not_shape(spark, sf_dir):
         "doc_id", "n_tokens_ws", "stopword_ratio", "top_2gram_frac",
         "ppl", "n_pii", "verdict",
     }
+
+
+def test_nb_stream_admission_matches_batch(spark, sf_dir, tmp_path):
+    from transmog_spark.operators.nb import nb_gate, nb_model
+    from transmog_spark.streaming.quality import nb_gate_foreach_batch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    incoming = docs.where(F.col("doc_id") % 2 == 1)
+    model = nb_model(ref, train_pct=100)
+    for frame in model:
+        frame.persist()
+    try:
+        expected = {
+            r["doc_id"]
+            for r in nb_gate(
+                incoming, target="src0", min_margin=0.5, model=model
+            ).collect()
+        }
+
+        src = str(tmp_path / "nbsrc")
+        incoming.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(incoming.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        got: set = set()
+
+        def sink(kept, batch_id):
+            got.update(r["doc_id"] for r in kept.collect())
+
+        q = (
+            stream.writeStream.foreachBatch(
+                nb_gate_foreach_batch(
+                    sink, nb_model=model, target="src0", min_margin=0.5
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "nbchk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        assert got == expected
+        assert len(got) > 0
+    finally:
+        for frame in model:
+            frame.unpersist()

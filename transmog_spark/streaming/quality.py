@@ -71,3 +71,39 @@ def train_reference_model(
         for frame in model:
             frame.persist()
     return model
+
+
+def nb_gate_foreach_batch(
+    sink: Callable[[DataFrame, int], None],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nb_model: tuple[DataFrame, DataFrame],
+    target: str,
+    min_margin: float = 0.0,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming classifier admission: per micro-batch, score the batch
+    under a static pre-trained NB model (``operators.nb.nb_model``, the
+    pair persisted by the caller like the LM frames above) and keep only
+    docs predicted ``target`` with >= ``min_margin`` nats of margin —
+    the GPT-3-style quality filter as a stream admission gate.
+
+    Same foreachBatch rationale as the quality gate: per-doc argmax is
+    not watermarkable, and a model self-trained per micro-batch would
+    make admissions trigger-dependent; a static model makes batch ≡
+    stream exact (pinned in tests/test_streaming_quality.py).
+    """
+    from transmog_spark.operators.nb import nb_gate
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        kept = nb_gate(
+            batch_df,
+            id_col,
+            text_col,
+            target=target,
+            min_margin=min_margin,
+            model=nb_model,
+        )
+        sink(kept, batch_id)
+
+    return handle
