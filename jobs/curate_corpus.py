@@ -63,6 +63,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     )
     p.add_argument("--contamination-max", type=float, default=0.02)
     p.add_argument("--near-threshold", type=float, default=0.5)
+    p.add_argument(
+        "--classifier-target", default=None,
+        help="optional NB admission gate: keep only docs the classifier "
+        "(self-trained on --source-col over the corpus) predicts as this "
+        "class — the GPT-3-style quality filter stage",
+    )
+    p.add_argument("--classifier-margin", type=float, default=0.0)
     p.add_argument("--n-shards", type=int, default=4)
     p.add_argument("--seed", default="")
     p.add_argument("--shuffle-partitions", type=int, default=None)
@@ -95,6 +102,35 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     persisted: list = []
+
+    if args.classifier_target:
+        # NB admission gate ahead of the curation chain: self-train on the
+        # corpus's own labels, keep only target-class docs above the margin
+        # cut. Model frames persist (joined by the gate AND kept for the
+        # audit trail); the kept-id semi-join preserves corpus columns.
+        from transmog_spark.operators.nb import nb_gate, nb_model
+
+        nbm = nb_model(
+            corpus, args.id_col, args.text_col, args.source_col, train_pct=100
+        )
+        for frame in nbm:
+            frame.persist()
+            persisted.append(frame)
+        kept_ids = nb_gate(
+            corpus,
+            args.id_col,
+            args.text_col,
+            args.source_col,
+            target=args.classifier_target,
+            min_margin=args.classifier_margin,
+            model=nbm,
+        ).select(args.id_col)
+        n_before = corpus.count()
+        corpus = corpus.join(kept_ids, args.id_col)
+        print(
+            f"[curate] classifier gate '{args.classifier_target}' "
+            f"(margin >= {args.classifier_margin}): {corpus.count()}/{n_before} admitted"
+        )
     kept = curate_batch(
         corpus,
         id_col=args.id_col,

@@ -119,3 +119,27 @@ def test_curate_job_resume_skips_committed_shards(spark, sf_dir, tmp_path):
     assert rc == 0
     after = spark.read.parquet(os.path.join(out, "data")).count()
     assert after == before
+
+
+def test_curate_job_classifier_gate(spark, sf_dir, tmp_path):
+    from transmog_spark.operators.nb import nb_gate, nb_model
+
+    out, _ = _run(
+        spark, sf_dir, tmp_path, "nb",
+        ["--classifier-target", "src0", "--classifier-margin", "0.5"],
+    )
+    data = spark.read.parquet(os.path.join(out, "data"))
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    corpus = docs.where("NOT (doc_id % 97 = 0)")
+    model = nb_model(corpus, train_pct=100)
+    admitted = {
+        r["doc_id"]
+        for r in nb_gate(
+            corpus, target="src0", min_margin=0.5, model=model
+        ).collect()
+    }
+    written = {r["doc_id"] for r in data.select("doc_id").collect()}
+    # every written doc passed the admission gate; gate ran before the
+    # rest of the chain, which may drop more (dedup, quality, spans)
+    assert written and written <= admitted
