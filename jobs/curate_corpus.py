@@ -125,11 +125,13 @@ def main(argv: list[str] | None = None) -> int:
             min_margin=args.classifier_margin,
             model=nbm,
         ).select(args.id_col)
-        n_before = corpus.count()
         corpus = corpus.join(kept_ids, args.id_col)
+        # no count() telemetry here: two extra full-corpus actions for a
+        # log line is exactly the redundant-pass shape the scan audit
+        # hunts; admitted totals fall out of the shard manifests anyway
         print(
-            f"[curate] classifier gate '{args.classifier_target}' "
-            f"(margin >= {args.classifier_margin}): {corpus.count()}/{n_before} admitted"
+            f"[curate] classifier gate: target={args.classifier_target!r} "
+            f"margin>={args.classifier_margin}"
         )
     kept = curate_batch(
         corpus,

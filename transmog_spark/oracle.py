@@ -1924,7 +1924,7 @@ def nb_gate_sql(
 WITH preds AS ({preds})
 SELECT {id_col}, score, margin, n_tok
 FROM preds
-WHERE pred_label = '{target}'
+WHERE pred_label = {_duck_str(target)}
   AND coalesce(margin >= {min_margin}, TRUE)
 """
 
