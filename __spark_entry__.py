@@ -1675,6 +1675,34 @@ def _q_vocab_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_kl(_t(spark, sf_dir, "documents"))
 
 
+def _q_alpha_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (α=0.3, the mT5 default) mixture weights from the
+    corpus's natural source shares — the table that parameterizes
+    epoch_mixture for a multilingual/multi-source pre-training mix."""
+    from transmog_spark.operators.corpus import alpha_mixture_weights
+
+    return alpha_mixture_weights(
+        _t(spark, sf_dir, "documents"), "source", alpha=0.3
+    )
+
+
+def _q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 for the standing term query
+    fused (reciprocal-rank fusion, the Elasticsearch/Vespa hybrid-search
+    combiner) with the exact-cosine semantic top-20 around query doc 7 —
+    embeddings.vec_id keys the same corpus as documents.doc_id."""
+    from transmog_spark.operators.fusion import hybrid_topk
+
+    return hybrid_topk(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        BM25_QUERY,
+        query_vec_id=7,
+        k=10,
+        depth=20,
+    )
+
+
 def _q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive-Bayes source classifier (the CCNet/fastText-style
     corpus-filter model): train on the md5 hash-split, argmax class per
@@ -1791,6 +1819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-stable basics (green since round 1-2) trail.  Rotate per round.
     return {
         # -- round-5 surface -------------------------------------------
+        "hybrid_topk": _q_hybrid_topk,
+        "alpha_mixture": _q_alpha_mixture,
         "nb_classify": _q_nb_classify,
         "nb_confusion": _q_nb_confusion,
         "nb_gate": _q_nb_gate,
@@ -1922,7 +1952,9 @@ def oracle_sql() -> dict[str, str]:
         nb_confusion_sql,
         nb_gate_sql,
         repetition_profile_sql,
+        alpha_mixture_weights_sql,
         bm25_topk_sql,
+        hybrid_topk_sql,
         pack_assemble_greedy_sql,
         pack_assemble_sql,
         pack_concat_sql,
@@ -2422,6 +2454,10 @@ FROM lagged l JOIN sess s ON l.user_id = s.user_id AND l.session_index = s.sessi
             table="(SELECT 'doc' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, text, source FROM documents)", budget=256, hash_blocks=64
         ),
         "bm25_topk": bm25_topk_sql(query_terms=BM25_QUERY, k=10),
+        "hybrid_topk": hybrid_topk_sql(
+            query_terms=BM25_QUERY, query_vec_id=7, k=10, depth=20
+        ),
+        "alpha_mixture": alpha_mixture_weights_sql(alpha=0.3),
         "bm25_topk_indexed": bm25_topk_sql(query_terms=BM25_QUERY, k=10),
         "token_chunks": token_chunks_sql(window=32, stride=16),
         "decontaminate": decontaminate_sql(shingle_n=3, bench_mod=97),

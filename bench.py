@@ -65,6 +65,8 @@ HEADLINE = [
     "embedding_topk_ivfpq",
     # the two-stage retrieval stack: ivfpq top-40 -> exact cosine rerank
     "rerank_topk",
+    # hybrid retrieval: BM25 top-20 + exact-cosine top-20 fused by RRF
+    "hybrid_topk",
     # persisted incremental IVF index: first run builds + memoizes, best-of-N
     # times the partition-pruned indexed query path
     "embedding_topk_indexed",

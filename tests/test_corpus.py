@@ -217,6 +217,68 @@ def test_epoch_mixture_fractional_weights(spark):
     )
 
 
+def test_alpha_mixture_weights_hand_computed(spark):
+    from transmog_spark.operators.corpus import alpha_mixture_weights
+
+    # 800 'a' / 200 'b': p = (0.8, 0.2); at alpha=0.5,
+    # q = (sqrt(800), sqrt(200)) / (sqrt(800)+sqrt(200)) = (2/3, 1/3)
+    df = spark.createDataFrame(
+        [(i, "a" if i < 800 else "b") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    w = {r.source: r for r in alpha_mixture_weights(df, alpha=0.5).collect()}
+    assert w["a"].n_docs == 800 and w["b"].n_docs == 200
+    assert w["a"].p_nat == 0.8 and w["b"].p_nat == 0.2
+    assert w["a"].q_target == round(2 / 3, 6)
+    assert w["b"].q_target == round(1 / 3, 6)
+    # weight = q/p: the tail source is upweighted, the head downweighted
+    assert w["a"].weight == round((2 / 3) / 0.8, 6)
+    assert w["b"].weight == round((1 / 3) / 0.2, 6)
+    # expected corpus size is preserved: sum n_s * w_s == N
+    n_expected = 800 * w["a"].weight + 200 * w["b"].weight
+    assert abs(n_expected - 1000) < 0.01
+
+
+def test_alpha_mixture_weights_extremes(spark):
+    from transmog_spark.operators.corpus import alpha_mixture_weights
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 900 else "b") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    # alpha=1 keeps the natural mix: every weight is exactly 1
+    w1 = {r.source: r.weight for r in alpha_mixture_weights(df, alpha=1.0).collect()}
+    assert w1 == {"a": 1.0, "b": 1.0}
+    # alpha=0 targets the uniform mix: q = 1/2 each
+    w0 = {r.source: r for r in alpha_mixture_weights(df, alpha=0.0).collect()}
+    assert w0["a"].q_target == 0.5 and w0["b"].q_target == 0.5
+    assert w0["b"].weight > 1.0 > w0["a"].weight
+    # budget_factor scales every weight linearly
+    w2 = {r.source: r.weight for r in alpha_mixture_weights(df, alpha=0.0, budget_factor=2.0).collect()}
+    assert w2["a"] == round(2 * w0["a"].weight, 6) or abs(w2["a"] - 2 * w0["a"].weight) < 2e-6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        alpha_mixture_weights(df, alpha=-0.1)
+
+
+def test_alpha_mixture_applies_epoch_semantics(spark):
+    from transmog_spark.operators.corpus import alpha_mixture
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 1600 else "b") for i in range(2000)],
+        "doc_id long, source string",
+    )
+    out = alpha_mixture(df, alpha=0.0).collect()
+    per_source = {}
+    for r in out:
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+    # alpha=0 pushes toward 50/50: 'b' (natural 20%) is replicated toward
+    # 'a''s realized volume, total stays ~2000 in expectation
+    assert 0.4 < per_source["b"] / (per_source["a"] + per_source["b"]) < 0.6
+    assert abs(len(out) - 2000) < 200
+
+
 def test_vocab_stats_exact_values(spark):
     from transmog_spark.operators.corpus import vocab_stats
 

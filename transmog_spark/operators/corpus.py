@@ -598,6 +598,84 @@ def epoch_mixture(
     return df.withColumn("epoch", F.explode(copies))
 
 
+def alpha_mixture_weights(
+    df: DataFrame,
+    strata_col: str = "source",
+    *,
+    alpha: float = 0.3,
+    budget_factor: float = 1.0,
+) -> DataFrame:
+    """Temperature-scaled mixture weights from natural source shares — the
+    multilingual α-sampling rule (mT5 §3.2, XLM-R): sample stratum ``s``
+    with probability ``q_s ∝ p_s^α`` where ``p_s`` is its natural share.
+    α = 1 keeps the natural mix, α → 0 approaches uniform; 0.3 is the mT5
+    default that upweights tail sources without drowning the head.
+
+    Returns one row per stratum: (``strata_col``, n_docs, p_nat, q_target,
+    weight) where ``weight = budget_factor · q_s / p_s`` is the fractional
+    epoch multiplier that realizes the target mix — feed it straight into
+    ``epoch_mixture`` (Σ n_s·weight_s = budget_factor · N in expectation,
+    so the default preserves corpus size while reshaping shares).
+
+    ``N^α`` cancels in ``q_s = n_s^α / Σ n_t^α``, so everything is exact
+    integer counts plus one pow per stratum. Scale shape: one map-side-
+    combined count per stratum, totals broadcast back as a single-row
+    frame — no driver action, no shuffle beyond the |strata|-row agg.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    powa = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    scored = counts.withColumn("__powa", powa)
+    totals = scored.agg(
+        F.sum("n_docs").alias("__n"), F.sum("__powa").alias("__s")
+    )
+    return (
+        scored.crossJoin(F.broadcast(totals))
+        .select(
+            strata_col,
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("__n"), 6).alias("p_nat"),
+            F.round(F.col("__powa") / F.col("__s"), 6).alias("q_target"),
+            F.round(
+                F.lit(float(budget_factor))
+                * F.col("__powa")
+                * F.col("__n")
+                / (F.col("__s") * F.col("n_docs")),
+                6,
+            ).alias("weight"),
+        )
+    )
+
+
+def alpha_mixture(
+    df: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    *,
+    alpha: float = 0.3,
+    budget_factor: float = 1.0,
+    seed: str = "mix",
+) -> DataFrame:
+    """Apply the α-sampling mix: derive per-stratum weights with
+    ``alpha_mixture_weights`` and replicate/subsample via
+    ``epoch_mixture``'s fractional-epoch semantics.
+
+    The weights frame is |strata| rows by construction — the one driver
+    collect here is bounded by the number of sources in the corpus, the
+    same contract as every mixture table in this family.
+    """
+    w = {
+        r[strata_col]: float(r["weight"])
+        for r in alpha_mixture_weights(
+            df, strata_col, alpha=alpha, budget_factor=budget_factor
+        ).collect()
+    }
+    return epoch_mixture(
+        df, strata_col, id_col, weights=w, default_weight=0.0, seed=seed
+    )
+
+
 def vocab_stats(
     df: DataFrame,
     strata_col: str = "source",

@@ -734,6 +734,64 @@ WHERE rank <= {k}
 """
 
 
+def hybrid_topk_sql(
+    *,
+    query_terms: list[str],
+    query_vec_id: int,
+    doc_table: str = "documents",
+    vec_table: str = "embeddings",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    depth: int = 20,
+    rrf_k: int = 60,
+    lexical_weight: float = 1.0,
+    semantic_weight: float = 1.0,
+) -> str:
+    """Mirror of operators.fusion.hybrid_topk: BM25 top-``depth`` fused by
+    reciprocal-rank fusion with the exact-cosine top-``depth`` around the
+    query document.  Same scaled-integer contribution grid
+    (``round(w·10^6/(rrf_k+rank))`` summed as BIGINT — addition-order
+    independent), same round(·,6) semantic rank keys with id tie-breaks,
+    same (score DESC, id) fused ordering."""
+    lex = bm25_topk_sql(
+        query_terms=query_terms,
+        table=doc_table,
+        id_col=id_col,
+        text_col=text_col,
+        k=depth,
+    )
+    return f"""
+WITH lex AS (SELECT doc_id, rank FROM ({lex})),
+e AS (SELECT {vec_id_col} AS nid, {vec_col}::DOUBLE[] AS v FROM {vec_table}),
+q AS (SELECT v AS qv FROM e WHERE nid = {query_vec_id}),
+sem_scored AS (
+  SELECT c.nid AS doc_id, round(list_cosine_similarity(c.v, q.qv), 6) AS cos
+  FROM e c, q WHERE c.nid <> {query_vec_id}),
+sem AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
+    FROM sem_scored) WHERE rank <= {depth}),
+contrib AS (
+  SELECT doc_id,
+         CAST(round({lexical_weight * 1_000_000.0} / ({rrf_k} + rank)) AS BIGINT) AS c
+  FROM lex
+  UNION ALL
+  SELECT doc_id,
+         CAST(round({semantic_weight * 1_000_000.0} / ({rrf_k} + rank)) AS BIGINT) AS c
+  FROM sem),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS DOUBLE) / 1000000.0 AS score,
+         count(*) AS n_lists
+  FROM contrib GROUP BY 1)
+SELECT doc_id, round(score, 6) AS rrf_score, n_lists, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM agg)
+WHERE rank <= {k}
+"""
+
+
 def hash_sample_sql(
     *,
     table: str = "documents",
@@ -1660,6 +1718,28 @@ SELECT {source_col}, CAST(seq_id AS BIGINT) AS seq_id, {id_col},
        CAST(least(tok_start + n_tok, seq_id * {budget} + {budget})
             - greatest(tok_start, seq_id * {budget}) AS BIGINT) AS span_len
 FROM spans
+"""
+
+
+def alpha_mixture_weights_sql(
+    *,
+    table: str = "documents",
+    strata_col: str = "source",
+    alpha: float = 0.3,
+    budget_factor: float = 1.0,
+) -> str:
+    """Mirror of operators.corpus.alpha_mixture_weights: same
+    ``q_s = n_s^α / Σ n_t^α`` (N^α cancelled), same round(·,6) outputs."""
+    return f"""
+WITH counts AS (
+  SELECT {strata_col}, count(*) AS n_docs, pow(count(*), {alpha}) AS powa
+  FROM {table} GROUP BY 1),
+tot AS (SELECT sum(n_docs) AS n, sum(powa) AS s FROM counts)
+SELECT {strata_col}, n_docs,
+       round(n_docs / n, 6) AS p_nat,
+       round(powa / s, 6) AS q_target,
+       round({budget_factor} * powa * n / (s * n_docs), 6) AS weight
+FROM counts CROSS JOIN tot
 """
 
 
