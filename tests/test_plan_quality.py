@@ -606,3 +606,20 @@ def test_bm25_tfidf_df_reuses_tf_shuffle(spark, sf_dir):
             final = final[:cut]
         assert final.count("FileScan") <= 2, (name, final[:2000])
         assert final.count("ReusedExchange") >= 1, (name, final[:2000])
+
+
+def test_hybrid_topk_take_ordered_and_broadcast_tiers(spark, sf_dir):
+    # both tiers' global top-depth are TakeOrdered (per-partition top-k +
+    # driver merge), never a corpus-wide single-partition ranking window;
+    # the final fused top-k is TakeOrdered likewise -> 3 total
+    plan = _plan(spark, sf_dir, "hybrid_topk")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("TakeOrderedAndProject") == 3
+    # the only Windows are rank assignments over already-collected top-R
+    # rows (one per tier, one fused) -- each sits above its TakeOrdered
+    assert tree.count("Window") == 3
+    # the semantic tier's single query vector rides a BroadcastExchange
+    # into the embeddings scan: the corpus is never shuffled to meet it
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastExchange" in plan
+    for ex in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in ex.group(1)
