@@ -22,6 +22,10 @@ sketch-sized aggregates, and writes a profile directory:
                                blended corpus (the domain-shift monitor:
                                compare across snapshots to spot a source
                                whose scrape quality changed).
+* ``<out>/mixture_weights/`` — α-sampling (temperature) mixture table:
+                               natural share, target share q ∝ p^α, and the
+                               fractional-epoch multiplier that realizes it
+                               (feed straight into epoch_mixture).
 * ``<out>/_PROFILE.json``    — corpus-level scalars: doc count, token sum,
                                HLL distinct-token estimate, parameters.
 
@@ -67,6 +71,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--cms-width", type=int, default=4096)
     p.add_argument("--cms-threshold", type=int, default=1000)
     p.add_argument("--quality-floor", type=float, default=0.5)
+    p.add_argument("--mix-alpha", type=float, default=0.3)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     return p.parse_args(argv)
 
@@ -131,6 +136,14 @@ def main(argv: list[str] | None = None) -> int:
         ).alias("low_quality_rate"),
     ).write.mode("overwrite").parquet(os.path.join(out, "quality"))
 
+    # reuses the persisted narrow projection: the weights table costs one
+    # |sources|-row aggregate, not another corpus scan
+    from transmog_spark.operators.corpus import alpha_mixture_weights
+
+    alpha_mixture_weights(base, src, alpha=args.mix_alpha).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "mixture_weights"))
+
     cms_heavy_hitters(
         docs, sid, txt, width=args.cms_width, threshold=args.cms_threshold
     ).write.mode("overwrite").parquet(os.path.join(out, "heavy_terms"))
@@ -159,6 +172,7 @@ def main(argv: list[str] | None = None) -> int:
             "cms_width": args.cms_width,
             "cms_threshold": args.cms_threshold,
             "quality_floor": args.quality_floor,
+            "mix_alpha": args.mix_alpha,
         },
         "sections": [
             "source_stats",
@@ -167,6 +181,7 @@ def main(argv: list[str] | None = None) -> int:
             "quality",
             "heavy_terms",
             "vocab_drift",
+            "mixture_weights",
         ],
     }
     tmp = os.path.join(out, "_PROFILE.json.tmp")

@@ -67,6 +67,13 @@ def test_profile_job_end_to_end(spark, sf_dir, tmp_path):
     for r in heavy:
         assert r["overcount"] >= 0  # CMS never undercounts
 
+    mix = spark.read.parquet(os.path.join(out, "mixture_weights")).collect()
+    assert len(mix) == n_sources
+    assert abs(sum(r["p_nat"] for r in mix) - 1.0) < 1e-4
+    assert abs(sum(r["q_target"] for r in mix) - 1.0) < 1e-4
+    # the default alpha=0.3 preserves expected corpus size
+    assert abs(sum(r["n_docs"] * r["weight"] for r in mix) - n_docs) < 1.0
+
     drift = spark.read.parquet(os.path.join(out, "vocab_drift")).collect()
     assert len(drift) == n_sources
     assert sum(r["n_tokens"] for r in drift) == summary["sum_tokens"]
