@@ -1150,6 +1150,25 @@ def _q_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (operators/similarity.py:mmr_topk —
+    Carbonell & Goldstein 1998): exact brute-force top-20 candidates →
+    greedy maximal-marginal-relevance selection of 5 (λ=0.7), so
+    near-duplicate neighbors don't crowd the result list. The pool is
+    |Q|·R broadcast-joined rows (zero corpus shuffle); the sequential
+    greedy runs per-query inside one applyInPandas pass."""
+    from transmog_spark.operators.similarity import mmr_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    out = mmr_topk(
+        e, q, id_col="vec_id", vec_col="embedding", k=5, fetch_r=20, lam=0.7
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("mmr", 4).alias("mmr"), "rank"
+    )
+
+
 _ANN_INDEX_CACHE: dict[tuple[str, str], str] = {}
 
 
@@ -1819,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-stable basics (green since round 1-2) trail.  Rotate per round.
     return {
         # -- round-5 surface -------------------------------------------
+        "mmr_topk": _q_mmr_topk,
         "hybrid_topk": _q_hybrid_topk,
         "alpha_mixture": _q_alpha_mixture,
         "nb_classify": _q_nb_classify,
@@ -1973,6 +1993,7 @@ def oracle_sql() -> dict[str, str]:
         ivfpq_topk_sql,
         pq_topk_sql,
         rerank_topk_sql,
+        mmr_topk_sql,
         stratified_sample_sql,
         ngram_jaccard_pairs_sql,
         simhash_pairs_sql,
@@ -2395,6 +2416,9 @@ FROM documents GROUP BY 1
         "embedding_topk_ivfpq": ivfpq_topk_sql(
             query_filter="vec_id < 10", k=5, dim=64, nlist=16, nprobe=4,
             m=8, ksub=8, pq_refine_iterations=1,
+        ),
+        "mmr_topk": mmr_topk_sql(
+            query_filter="vec_id < 10", k=5, fetch_r=20, lam=0.7
         ),
         "rerank_topk": rerank_topk_sql(
             ivfpq_topk_sql(

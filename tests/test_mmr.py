@@ -1,0 +1,84 @@
+"""MMR-diversified top-k: diversity behavior, degenerate λ, determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from transmog_spark.operators.similarity import brute_force_topk, mmr_topk
+
+
+def _toy(spark):
+    # query points along x; A1/A2 near-identical high-relevance pair, B a
+    # moderately relevant but diverse third direction
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.99, 0.14, 0.0, 0.0]),  # A1: rel ~0.990
+            (2, [0.99, 0.141, 0.0, 0.0]),  # A2: ~A1 (sim ~1.0)
+            (3, [0.70, 0.0, 0.71, 0.0]),  # B:  rel ~0.702, sim(A,B) ~0.70
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    return corpus, queries
+
+
+def test_mmr_prefers_diverse_over_near_duplicate(spark):
+    """After picking A1, the near-duplicate A2 is penalized by its ~1.0
+    similarity to the selected set, so the diverse B wins rank 2 — the
+    whole point of the operator; plain relevance rank would return A1, A2."""
+    corpus, queries = _toy(spark)
+    got = {
+        r["rank"]: r["neighbor_id"]
+        for r in mmr_topk(corpus, queries, k=2, fetch_r=3, lam=0.5).collect()
+    }
+    assert got == {1: 1, 2: 3}
+
+
+def test_mmr_lambda_one_is_relevance_rank(spark):
+    """λ=1 zeroes the diversity term: the selection order must equal the
+    relevance order, near-duplicates and all."""
+    corpus, queries = _toy(spark)
+    got = {
+        r["rank"]: r["neighbor_id"]
+        for r in mmr_topk(corpus, queries, k=2, fetch_r=3, lam=1.0).collect()
+    }
+    assert got == {1: 1, 2: 2}
+
+
+def test_mmr_explicit_candidates_match_default(spark):
+    """Composability: feeding the default tier's candidate frame explicitly
+    (the rerank_topk calling convention) reproduces the default output."""
+    corpus, queries = _toy(spark)
+    cand = brute_force_topk(corpus, queries, k=3)
+    via_default = mmr_topk(corpus, queries, k=2, fetch_r=3, lam=0.5).collect()
+    via_explicit = mmr_topk(
+        corpus, queries, k=2, lam=0.5, candidates=cand
+    ).collect()
+    assert sorted(map(tuple, via_default)) == sorted(map(tuple, via_explicit))
+
+
+def test_mmr_deterministic_across_partitionings(spark):
+    from tests.test_pq import _clustered
+
+    q = _clustered(spark).where(F.col("vec_id") < 3)
+    out = [
+        sorted(
+            map(
+                tuple,
+                mmr_topk(
+                    _clustered(spark).repartition(n), q, k=5, fetch_r=12, lam=0.7
+                ).collect(),
+            )
+        )
+        for n in (1, 16)
+    ]
+    assert out[0] == out[1]
+    # 5 full ranks per query, no repeats within a query
+    per_q: dict = {}
+    for query_id, neighbor_id, _mmr, rank in out[0]:
+        per_q.setdefault(query_id, []).append((rank, neighbor_id))
+    for query_id, rows in per_q.items():
+        assert sorted(r for r, _ in rows) == [1, 2, 3, 4, 5]
+        assert len({n for _, n in rows}) == 5

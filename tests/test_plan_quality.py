@@ -361,6 +361,19 @@ def test_rerank_broadcasts_candidates_zero_corpus_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_mmr_pool_broadcasts_greedy_is_arrow_batched(spark, sf_dir):
+    # same pool shape as rerank_topk: candidate ids and query vectors
+    # broadcast into the corpus scan (zero corpus shuffle); the greedy
+    # selection is ONE FlatMapGroupsInPandas over |Q| groups of R rows —
+    # its group-by exchange (|Q|·R rows) is the only data shuffle
+    plan = _plan(spark, sf_dir, "mmr_topk")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) >= 2
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+
+
 def test_ann_indexed_prunes_cells_broadcasts_probes(spark, sf_dir):
     # persisted IVF index: the vectors scan prunes to the probed cells'
     # partitions, the (|Q|·nprobe)-row probe frame broadcasts — the corpus

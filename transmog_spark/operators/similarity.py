@@ -144,6 +144,125 @@ def rerank_topk(
     )
 
 
+def _round_half_up_np(x, nd: int):
+    # HALF_UP on the round-`nd` decimal grid, matching Spark's F.round and
+    # DuckDB's round() (both half-away-from-zero) — numpy's own np.round is
+    # half-even and would diverge at exact .5e-nd boundaries.
+    import numpy as np
+
+    p = 10.0**nd
+    return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    k: int = 5,
+    fetch_r: int = 20,
+    lam: float = 0.7,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-``k`` (Carbonell &
+    Goldstein 1998): greedily pick, per query, the candidate maximizing
+    ``lam * rel(q, c) - (1 - lam) * max_sim(c, selected)`` — the standard
+    diversification stage over any retrieval tier, so near-duplicate
+    neighbors don't crowd the result list. ``lam = 1`` degenerates to plain
+    relevance rank; lower ``lam`` trades relevance for diversity.
+
+    ``candidates`` is any tier's per-query top-R frame (``brute_force_topk``
+    / ``ivf_topk`` / ``rerank_topk`` output — only (query_id, neighbor_id)
+    is read); default is an exact brute-force top-``fetch_r``.
+
+    Scale shape: the pool is |Q|·R rows built exactly like ``rerank_topk``
+    (candidate ids and query vectors broadcast into the corpus scan — zero
+    corpus shuffle); the inherently sequential greedy loop runs inside ONE
+    ``applyInPandas`` pass, one group of R rows per query — O(k·R·dim) work
+    per query, embarrassingly parallel across queries, no driver collect.
+
+    Determinism across engines (the DuckDB mirror is a recursive CTE):
+    relevance lands on Spark's round-6 grid before the pandas stage;
+    pairwise sims and the composite score are re-rounded HALF_UP to the
+    same grid (``_round_half_up_np``); every argmax tie-breaks on ascending
+    neighbor id.
+    """
+    from pyspark.sql import types as T
+
+    qid = query_id_col or id_col
+    if candidates is None:
+        candidates = brute_force_topk(
+            corpus, queries, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, k=fetch_r,
+        )
+    cand = candidates.select("query_id", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    pool = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("__qv"), F.col("__cv")), 6).alias("rel"),
+            F.col("__cv").alias("v"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", pool.schema["query_id"].dataType),
+            T.StructField("neighbor_id", pool.schema["neighbor_id"].dataType),
+            T.StructField("mmr", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    onelam = 1.0 - lam
+
+    def _greedy(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        rel = pdf["rel"].to_numpy(dtype=np.float64)
+        ids = pdf["neighbor_id"].to_numpy()
+        V = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        norms = np.sqrt(np.einsum("ij,ij->i", V, V))
+        S = _round_half_up_np(V @ V.T / np.outer(norms, norms), 6)
+        chosen: list[int] = []
+        scores: list[float] = []
+        for _ in range(min(k, n)):
+            if chosen:
+                maxsim = S[:, chosen].max(axis=1)
+                score = _round_half_up_np(lam * rel - onelam * maxsim, 6)
+            else:
+                score = _round_half_up_np(lam * rel, 6)
+            mask = np.ones(n, dtype=bool)
+            mask[chosen] = False
+            best_val = score[mask].max()
+            ties = [i for i in np.nonzero(mask)[0] if score[i] == best_val]
+            best = min(ties, key=lambda i: ids[i])
+            chosen.append(int(best))
+            scores.append(float(score[best]))
+        return pd.DataFrame(
+            {
+                "query_id": [pdf["query_id"].iloc[0]] * len(chosen),
+                "neighbor_id": [ids[i] for i in chosen],
+                "mmr": scores,
+                "rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+            }
+        )
+
+    return pool.groupBy("query_id").applyInPandas(_greedy, schema=out_schema)
+
+
 def _fold_norm(cv: list[float]) -> float:
     # EXACT mirror of cosine_sim's left fold (same IEEE op order) so the
     # plan-time constant equals what the engine would compute in-row

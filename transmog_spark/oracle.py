@@ -602,6 +602,73 @@ SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM (
 """
 
 
+def mmr_topk_sql(
+    candidates_sql: str | None = None,
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str = "vec_id < 10",
+    k: int = 5,
+    fetch_r: int = 20,
+    lam: float = 0.7,
+) -> str:
+    """Mirror of operators.similarity.mmr_topk: greedy maximal-marginal-
+    relevance selection as a recursive CTE — the base case picks the
+    max-relevance candidate per query; each recursive step scores the
+    remaining pool against the accumulated ``sel`` list (correlated
+    ``max(sim)`` over the pairwise-sims CTE) and keeps the per-query argmax
+    via a window. Same round-6 grids and ascending-id tie-breaks as the
+    engine. ``candidates_sql`` is any topk oracle query returning
+    (query_id, neighbor_id, …); default is the exact brute-force
+    top-``fetch_r`` (raw-cosine ordering — the ``embedding_topk`` pair)."""
+    onelam = 1.0 - lam
+    if candidates_sql is None:
+        candidates_sql = f"""
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.qid AS query_id, c.nid AS neighbor_id,
+           row_number() OVER (PARTITION BY p.qid
+             ORDER BY list_cosine_similarity(p.qv, c.v) DESC, c.nid) AS rn
+    FROM q p CROSS JOIN e c WHERE c.nid <> p.qid) WHERE rn <= {fetch_r}"""
+    return f"""
+WITH RECURSIVE
+e AS (SELECT {id_col} AS nid, {vec_col}::DOUBLE[] AS v FROM {table}),
+q AS (SELECT nid AS qid, v AS qv FROM e WHERE {query_filter.replace(id_col, 'nid')}),
+cand AS MATERIALIZED ({candidates_sql}),
+pool AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_cosine_similarity(c.v, p.qv), 6) AS rel
+  FROM cand JOIN e c ON c.nid = cand.neighbor_id
+            JOIN q p ON p.qid = cand.query_id),
+sims AS (
+  SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j,
+         round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+  FROM pool a JOIN pool b
+    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+  JOIN e ea ON ea.nid = a.neighbor_id JOIN e eb ON eb.nid = b.neighbor_id),
+step(query_id, rank, sel, nid, mmr) AS (
+  SELECT query_id, 1, [neighbor_id], neighbor_id, round({lam!r} * rel, 6) FROM (
+    SELECT query_id, neighbor_id, rel,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY rel DESC, neighbor_id) AS rn
+    FROM pool) WHERE rn = 1
+  UNION ALL
+  SELECT query_id, rank + 1, list_append(sel, nid2), nid2, mmr2 FROM (
+    SELECT z.*, row_number() OVER (PARTITION BY z.query_id
+             ORDER BY z.mmr2 DESC, z.nid2) AS rn
+    FROM (
+      SELECT s.query_id, s.rank, s.sel, p.neighbor_id AS nid2,
+             round({lam!r} * p.rel - {onelam!r} * coalesce(
+               (SELECT max(x.sim) FROM sims x
+                WHERE x.query_id = s.query_id AND x.i = p.neighbor_id
+                  AND list_contains(s.sel, x.j)), 0.0), 6) AS mmr2
+      FROM step s JOIN pool p
+        ON p.query_id = s.query_id AND NOT list_contains(s.sel, p.neighbor_id)
+      WHERE s.rank < {k}) z) WHERE rn = 1)
+SELECT query_id, nid AS neighbor_id, round(mmr, 4) AS mmr, rank FROM step
+"""
+
+
 def lsh_topk_sql(
     *,
     table: str = "embeddings",
