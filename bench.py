@@ -65,6 +65,9 @@ HEADLINE = [
     "embedding_topk_ivfpq",
     # the two-stage retrieval stack: ivfpq top-40 -> exact cosine rerank
     "rerank_topk",
+    # MMR diversification: brute top-20 -> greedy diverse top-5 (one
+    # applyInPandas pass over |Q| groups)
+    "mmr_topk",
     # hybrid retrieval: BM25 top-20 + exact-cosine top-20 fused by RRF
     "hybrid_topk",
     # persisted incremental IVF index: first run builds + memoizes, best-of-N
