@@ -1068,6 +1068,33 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diverse representative sampling (operators/similarity.py:
+    diverse_sample — SemDeDup's dual): greedy MMR inside each embedding
+    cluster picks the 5 most representative-yet-diverse members (λ=0.5,
+    relevance = centroid similarity) — budgeted coreset selection that
+    covers the embedding space instead of oversampling its dense modes.
+    Shares the session-cached semdedup assignment frame (same centroids,
+    same persist); the greedy is ONE applyInPandas pass grouped by
+    cluster, incremental max-sim form (no s×s matrix)."""
+    from transmog_spark.operators.similarity import diverse_sample, semdedup_assign
+
+    e = _t(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SEMDEDUP_ASSIGN_CACHE:
+        _SEMDEDUP_ASSIGN_CACHE[key] = semdedup_assign(
+            e, id_col="vec_id", vec_col="embedding", dim=64, nlist=16,
+            refine_iterations=1,
+        ).persist()
+    out = diverse_sample(
+        e, id_col="vec_id", vec_col="embedding", dim=64, nlist=16,
+        per_cell=5, lam=0.5, assigned=_SEMDEDUP_ASSIGN_CACHE[key],
+    )
+    return out.select(
+        "cluster_id", "vec_id", F.round("mmr", 4).alias("mmr"), "rank"
+    )
+
+
 def _q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN (operators/similarity.py:pq_topk — Jégou et
     al. 2011): 8 subspaces x 8-centroid codebooks (one Lloyd pass), ADC
@@ -1839,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-5 surface -------------------------------------------
         "mmr_topk": _q_mmr_topk,
+        "diverse_sample": _q_diverse_sample,
         "hybrid_topk": _q_hybrid_topk,
         "alpha_mixture": _q_alpha_mixture,
         "nb_classify": _q_nb_classify,
@@ -1994,6 +2022,7 @@ def oracle_sql() -> dict[str, str]:
         pq_topk_sql,
         rerank_topk_sql,
         mmr_topk_sql,
+        diverse_sample_sql,
         stratified_sample_sql,
         ngram_jaccard_pairs_sql,
         simhash_pairs_sql,
@@ -2419,6 +2448,9 @@ FROM documents GROUP BY 1
         ),
         "mmr_topk": mmr_topk_sql(
             query_filter="vec_id < 10", k=5, fetch_r=20, lam=0.7
+        ),
+        "diverse_sample": diverse_sample_sql(
+            nlist=16, refine_iterations=1, dim=64, per_cell=5, lam=0.5
         ),
         "rerank_topk": rerank_topk_sql(
             ivfpq_topk_sql(

@@ -59,6 +59,79 @@ def test_mmr_explicit_candidates_match_default(spark):
     assert sorted(map(tuple, via_default)) == sorted(map(tuple, via_explicit))
 
 
+def test_diverse_sample_lambda_one_is_centrality_rank(spark):
+    """λ=1 zeroes the diversity term, so per-cluster picks must be exactly
+    the top-per_cell members by (cent_sim DESC, id ASC) of the same
+    assignment frame — an oracle-independent equivalence."""
+    from tests.test_pq import DIM, _clustered
+    from transmog_spark.operators.similarity import diverse_sample, semdedup_assign
+
+    c = _clustered(spark)
+    assigned = semdedup_assign(c, dim=DIM, nlist=4)
+    got = diverse_sample(c, dim=DIM, nlist=4, per_cell=3, lam=1.0, assigned=assigned)
+    by_cell: dict = {}
+    for r in got.collect():
+        by_cell.setdefault(r["cluster_id"], []).append((r["rank"], r["vec_id"]))
+    expect: dict = {}
+    for r in assigned.collect():
+        expect.setdefault(r["cluster_id"], []).append(
+            (-round(r["cent_sim"], 6), r["vec_id"])
+        )
+    assert by_cell
+    for cell, rows in by_cell.items():
+        want = [vid for _, vid in sorted(expect[cell])[:3]]
+        assert [vid for _, vid in sorted(rows)] == want
+
+
+def test_diverse_sample_structure_and_membership(spark):
+    """per_cell ranked picks per cluster, unique ids, and every pick is a
+    member of its own cluster in the assignment."""
+    from tests.test_pq import DIM, _clustered
+    from transmog_spark.operators.similarity import diverse_sample, semdedup_assign
+
+    c = _clustered(spark)
+    assigned = semdedup_assign(c, dim=DIM, nlist=4)
+    member = {
+        (r["cluster_id"], r["vec_id"]) for r in assigned.collect()
+    }
+    rows = diverse_sample(
+        c, dim=DIM, nlist=4, per_cell=5, lam=0.5, assigned=assigned
+    ).collect()
+    by_cell: dict = {}
+    for r in rows:
+        assert (r["cluster_id"], r["vec_id"]) in member
+        by_cell.setdefault(r["cluster_id"], []).append(r)
+    all_ids = [r["vec_id"] for r in rows]
+    assert len(all_ids) == len(set(all_ids))  # a doc is picked at most once
+    for cell, cell_rows in by_cell.items():
+        assert sorted(r["rank"] for r in cell_rows) == list(
+            range(1, len(cell_rows) + 1)
+        )
+        assert len(cell_rows) <= 5
+
+
+def test_diverse_sample_deterministic_across_partitionings(spark):
+    from tests.test_pq import DIM, _clustered
+    from transmog_spark.operators.similarity import diverse_sample
+
+    out = [
+        sorted(
+            map(
+                tuple,
+                diverse_sample(
+                    _clustered(spark).repartition(n),
+                    dim=DIM,
+                    nlist=4,
+                    per_cell=4,
+                    lam=0.3,
+                ).collect(),
+            )
+        )
+        for n in (1, 16)
+    ]
+    assert out[0] == out[1]
+
+
 def test_mmr_deterministic_across_partitionings(spark):
     from tests.test_pq import _clustered
 

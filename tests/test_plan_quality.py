@@ -374,6 +374,16 @@ def test_mmr_pool_broadcasts_greedy_is_arrow_batched(spark, sf_dir):
     assert "BatchEvalPython" not in plan  # never row-at-a-time Python
 
 
+def test_diverse_sample_single_pandas_pass_no_joins(spark, sf_dir):
+    # the coreset pick is the cached assignment frame -> ONE cluster-keyed
+    # FlatMapGroupsInPandas; no join, no cartesian, no per-row Python
+    plan = _plan(spark, sf_dir, "diverse_sample")
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_ann_indexed_prunes_cells_broadcasts_probes(spark, sf_dir):
     # persisted IVF index: the vectors scan prunes to the probed cells'
     # partitions, the (|Q|·nprobe)-row probe frame broadcasts — the corpus

@@ -154,6 +154,60 @@ def _round_half_up_np(x, nd: int):
     return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
 
 
+def _mmr_greedy_fn(k: int, lam: float):
+    """applyInPandas greedy MMR selector over one group (columns ``__g``,
+    ``__i``, ``rel``, ``v`` → ``__g``, ``__i``, ``mmr``, ``rank``).
+
+    Incremental max-sim form: after each pick only sims against the picked
+    vector are computed and folded into a running per-row max — O(k·n·dim)
+    time and O(n·dim) memory per group, never an n×n similarity matrix, so
+    group size is bounded by the vectors themselves (the applyInPandas
+    floor), not by a quadratic intermediate. ``max`` of round-6 sims equals
+    round-6 of the max, so this is value-identical to the pairwise form the
+    DuckDB mirror uses.
+    """
+    onelam = 1.0 - lam
+
+    def _greedy(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        rel = pdf["rel"].to_numpy(dtype=np.float64)
+        ids = pdf["__i"].to_numpy()
+        V = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        norms = np.sqrt(np.einsum("ij,ij->i", V, V))
+        maxsim = None  # max cosine vs the selected set; None ≡ empty set
+        sel = np.zeros(n, dtype=bool)
+        chosen: list[int] = []
+        scores: list[float] = []
+        for _ in range(min(k, n)):
+            if maxsim is None:
+                score = _round_half_up_np(lam * rel, 6)
+            else:
+                score = _round_half_up_np(lam * rel - onelam * maxsim, 6)
+            masked = np.where(sel, -np.inf, score)
+            best_val = masked.max()
+            ties = np.nonzero(masked == best_val)[0]
+            best = min(ties, key=lambda i: ids[i]) if len(ties) > 1 else ties[0]
+            best = int(best)
+            sel[best] = True
+            chosen.append(best)
+            scores.append(float(score[best]))
+            simp = _round_half_up_np(V @ V[best] / (norms * norms[best]), 6)
+            maxsim = simp if maxsim is None else np.maximum(maxsim, simp)
+        return pd.DataFrame(
+            {
+                "__g": [pdf["__g"].iloc[0]] * len(chosen),
+                "__i": [ids[i] for i in chosen],
+                "mmr": scores,
+                "rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+            }
+        )
+
+    return _greedy
+
+
 def mmr_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -210,57 +264,94 @@ def mmr_topk(
         c.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .select(
-            "query_id",
-            "neighbor_id",
+            F.col("query_id").alias("__g"),
+            F.col("neighbor_id").alias("__i"),
             F.round(cosine_sim(F.col("__qv"), F.col("__cv")), 6).alias("rel"),
             F.col("__cv").alias("v"),
         )
     )
     out_schema = T.StructType(
         [
-            T.StructField("query_id", pool.schema["query_id"].dataType),
-            T.StructField("neighbor_id", pool.schema["neighbor_id"].dataType),
+            T.StructField("__g", pool.schema["__g"].dataType),
+            T.StructField("__i", pool.schema["__i"].dataType),
             T.StructField("mmr", T.DoubleType()),
             T.StructField("rank", T.IntegerType()),
         ]
     )
-    onelam = 1.0 - lam
-
-    def _greedy(pdf):
-        import numpy as np
-        import pandas as pd
-
-        n = len(pdf)
-        rel = pdf["rel"].to_numpy(dtype=np.float64)
-        ids = pdf["neighbor_id"].to_numpy()
-        V = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
-        norms = np.sqrt(np.einsum("ij,ij->i", V, V))
-        S = _round_half_up_np(V @ V.T / np.outer(norms, norms), 6)
-        chosen: list[int] = []
-        scores: list[float] = []
-        for _ in range(min(k, n)):
-            if chosen:
-                maxsim = S[:, chosen].max(axis=1)
-                score = _round_half_up_np(lam * rel - onelam * maxsim, 6)
-            else:
-                score = _round_half_up_np(lam * rel, 6)
-            mask = np.ones(n, dtype=bool)
-            mask[chosen] = False
-            best_val = score[mask].max()
-            ties = [i for i in np.nonzero(mask)[0] if score[i] == best_val]
-            best = min(ties, key=lambda i: ids[i])
-            chosen.append(int(best))
-            scores.append(float(score[best]))
-        return pd.DataFrame(
-            {
-                "query_id": [pdf["query_id"].iloc[0]] * len(chosen),
-                "neighbor_id": [ids[i] for i in chosen],
-                "mmr": scores,
-                "rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
-            }
+    return (
+        pool.groupBy("__g")
+        .applyInPandas(_mmr_greedy_fn(k, lam), schema=out_schema)
+        .select(
+            F.col("__g").alias("query_id"),
+            F.col("__i").alias("neighbor_id"),
+            "mmr",
+            "rank",
         )
+    )
 
-    return pool.groupBy("query_id").applyInPandas(_greedy, schema=out_schema)
+
+def diverse_sample(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    nlist: int = 16,
+    per_cell: int = 5,
+    lam: float = 0.5,
+    refine_iterations: int = 0,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Diverse representative sampling — SemDeDup's dual: instead of
+    DROPPING near-duplicates inside each embedding cluster, PICK the
+    ``per_cell`` most representative-yet-diverse members per cluster
+    (greedy MMR with relevance = similarity to the cluster centroid,
+    ``lam`` trading centrality for spread). The coreset-selection shape
+    for training-data curation: a budgeted subset that covers the
+    embedding space instead of oversampling its dense modes.
+
+    Scale shape: one k-means assignment pass (``semdedup_assign`` — the
+    same cached stage SemDeDup uses; pass ``assigned`` to share it), then
+    ONE applyInPandas pass grouped by cluster. The greedy is the
+    incremental max-sim form (O(k·s·dim) per cluster, no s×s matrix), so
+    per-task memory is the cluster's vectors themselves — ``nlist`` is the
+    knob that bounds cluster size, exactly as in SemDeDup.
+
+    Output: (cluster_id, ``id_col``, mmr, rank) — ``rank`` 1..per_cell
+    within each cluster; deterministic across runs, engines, and
+    partitionings (round-6 grids, ascending-id tie-breaks).
+    """
+    from pyspark.sql import types as T
+
+    if assigned is None:
+        assigned = semdedup_assign(
+            corpus, id_col=id_col, vec_col=vec_col, dim=dim, nlist=nlist,
+            refine_iterations=refine_iterations,
+        )
+    pool = assigned.select(
+        F.col("cluster_id").alias("__g"),
+        F.col("vec_id").alias("__i"),
+        F.col("cent_sim").alias("rel"),
+        F.col("__cv").cast("array<double>").alias("v"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("__g", pool.schema["__g"].dataType),
+            T.StructField("__i", pool.schema["__i"].dataType),
+            T.StructField("mmr", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    return (
+        pool.groupBy("__g")
+        .applyInPandas(_mmr_greedy_fn(per_cell, lam), schema=out_schema)
+        .select(
+            F.col("__g").alias("cluster_id"),
+            F.col("__i").alias(id_col),
+            "mmr",
+            "rank",
+        )
+    )
 
 
 def _fold_norm(cv: list[float]) -> float:

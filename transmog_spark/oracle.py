@@ -351,6 +351,62 @@ FROM cs LEFT JOIN dup d ON cs.nid = d.nid
 """
 
 
+def diverse_sample_sql(
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    refine_iterations: int = 0,
+    dim: int = 64,
+    per_cell: int = 5,
+    lam: float = 0.5,
+) -> str:
+    """Mirror of operators.similarity.diverse_sample: the semdedup
+    assignment CTEs, then per-cluster greedy MMR as a recursive CTE in the
+    engine's own incremental max-sim form — each level scores the remaining
+    candidates (coalesce(maxsim, 0.0) makes the first level plain
+    relevance), picks the per-cluster argmax via a window, and folds
+    sim-to-the-pick into every survivor's running max with a
+    ``first_value`` window over the same ordering (one recursive reference,
+    no quadratic pairwise CTE). Same round-6 grids and ascending-id
+    tie-breaks as the engine."""
+    ctes, prev = _ivf_assignment_ctes(
+        table=table, id_col=id_col, vec_col=vec_col, nlist=nlist,
+        refine_iterations=refine_iterations, dim=dim,
+    )
+    onelam = 1.0 - lam
+    return f"""
+WITH RECURSIVE {ctes},
+pool AS (
+  SELECT a.cid, a.nid, round(list_cosine_similarity(a.v, c.cv), 6) AS rel, a.v
+  FROM assigned a JOIN {prev} c ON a.cid = c.cid),
+step(it, cid, nid, rel, v, maxsim, picked, score) AS (
+  SELECT 0, cid, nid, rel, v, CAST(NULL AS DOUBLE), FALSE, CAST(NULL AS DOUBLE)
+  FROM pool
+  UNION ALL
+  SELECT it + 1, cid, nid, rel, v,
+         CASE WHEN rn = 1 THEN maxsim
+              ELSE greatest(coalesce(maxsim, -2.0),
+                            round(list_cosine_similarity(v, pv), 6)) END,
+         rn = 1, sc
+  FROM (
+    SELECT z.*,
+           row_number() OVER (PARTITION BY z.cid
+             ORDER BY z.sc DESC, z.nid) AS rn,
+           first_value(z.v) OVER (PARTITION BY z.cid
+             ORDER BY z.sc DESC, z.nid) AS pv
+    FROM (
+      SELECT s.it, s.cid, s.nid, s.rel, s.v, s.maxsim,
+             round({lam!r} * s.rel
+                   - {onelam!r} * coalesce(s.maxsim, 0.0), 6) AS sc
+      FROM step s WHERE NOT s.picked AND s.it < {per_cell}) z) w)
+SELECT cid AS cluster_id, nid AS {id_col}, round(score, 4) AS mmr,
+       CAST(it AS INTEGER) AS rank
+FROM step WHERE picked
+"""
+
+
 def pq_topk_sql(
     *,
     table: str = "embeddings",
