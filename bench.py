@@ -68,6 +68,8 @@ HEADLINE = [
     # MMR diversification: brute top-20 -> greedy diverse top-5 (one
     # applyInPandas pass over |Q| groups)
     "mmr_topk",
+    # per-cluster MMR coreset pick over the (memoized) semdedup assignment
+    "diverse_sample",
     # hybrid retrieval: BM25 top-20 + exact-cosine top-20 fused by RRF
     "hybrid_topk",
     # persisted incremental IVF index: first run builds + memoizes, best-of-N
