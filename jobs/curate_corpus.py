@@ -70,6 +70,20 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "class — the GPT-3-style quality filter stage",
     )
     p.add_argument("--classifier-margin", type=float, default=0.0)
+    p.add_argument(
+        "--embeddings", default=None,
+        help="parquet of (vec_id, embedding) aligned with --id-col; "
+        "required by the coreset stage",
+    )
+    p.add_argument(
+        "--coreset-per-cell", type=int, default=0,
+        help=">0 keeps only the per-cluster diverse MMR picks after "
+        "curation (budget = coreset-nlist x coreset-per-cell docs; size "
+        "--coreset-nlist to the budget at scale)",
+    )
+    p.add_argument("--coreset-nlist", type=int, default=16)
+    p.add_argument("--coreset-lam", type=float, default=0.5)
+    p.add_argument("--coreset-dim", type=int, default=64)
     p.add_argument("--n-shards", type=int, default=4)
     p.add_argument("--seed", default="")
     p.add_argument("--shuffle-partitions", type=int, default=None)
@@ -144,6 +158,31 @@ def main(argv: list[str] | None = None) -> int:
         near_threshold=args.near_threshold,
         persisted=persisted,
     )
+    if args.coreset_per_cell > 0:
+        # budgeted coreset stage: per-embedding-cluster greedy MMR picks
+        # the representative-yet-diverse survivors (diverse_sample —
+        # SemDeDup's dual). The pick frame is nlist x per_cell rows, so
+        # the admission semi-join broadcasts.
+        if not args.embeddings:
+            raise SystemExit("--coreset-per-cell requires --embeddings")
+        from transmog_spark.operators.similarity import diverse_sample
+
+        emb = spark.read.parquet(args.embeddings).select(
+            F.col("vec_id").alias(args.id_col), "embedding"
+        )
+        surviving = emb.join(kept.select(args.id_col), args.id_col)
+        picks = diverse_sample(
+            surviving, id_col=args.id_col, vec_col="embedding",
+            dim=args.coreset_dim, nlist=args.coreset_nlist,
+            per_cell=args.coreset_per_cell, lam=args.coreset_lam,
+        ).select(args.id_col)
+        kept = kept.join(F.broadcast(picks), args.id_col)
+        print(
+            f"[curate] coreset stage: <= "
+            f"{args.coreset_nlist * args.coreset_per_cell} docs "
+            f"(nlist={args.coreset_nlist} x per_cell={args.coreset_per_cell}, "
+            f"lam={args.coreset_lam})"
+        )
     order = training_order(
         kept, args.id_col, n_shards=args.n_shards, seed=args.seed,
         ntok_col="n_tok",

@@ -143,3 +143,44 @@ def test_curate_job_classifier_gate(spark, sf_dir, tmp_path):
     # every written doc passed the admission gate; gate ran before the
     # rest of the chain, which may drop more (dedup, quality, spans)
     assert written and written <= admitted
+
+
+def test_curate_job_coreset_stage(spark, sf_dir, tmp_path):
+    """--coreset-per-cell keeps only the per-cluster diverse MMR picks: the
+    written docs equal diverse_sample over the curated survivors' embedding
+    slice, within the nlist x per_cell budget."""
+    from transmog_spark.operators.similarity import diverse_sample
+    from transmog_spark.streaming.curation import curate_batch
+    from transmog_spark.streaming.quality import train_reference_model
+
+    out, _ = _run(
+        spark, sf_dir, tmp_path, "coreset",
+        [
+            "--embeddings", os.path.join(sf_dir, "embeddings.parquet"),
+            "--coreset-per-cell", "3",
+            "--coreset-nlist", "4",
+        ],
+    )
+    data = spark.read.parquet(os.path.join(out, "data"))
+    written = {r["doc_id"] for r in data.select("doc_id").collect()}
+    assert 0 < len(written) <= 4 * 3
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    bench = docs.where("doc_id % 97 = 0")
+    corpus = docs.where("NOT (doc_id % 97 = 0)")
+    model = train_reference_model(corpus, train_pct=80)
+    kept = curate_batch(corpus, lm_model=model, benchmark=bench)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    surviving = emb.join(kept.select("doc_id"), "doc_id")
+    expected = {
+        r["doc_id"]
+        for r in diverse_sample(
+            surviving, id_col="doc_id", vec_col="embedding", dim=64,
+            nlist=4, per_cell=3, lam=0.5,
+        ).collect()
+    }
+    assert written == expected
+    for frame in model:
+        frame.unpersist()
