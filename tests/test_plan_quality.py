@@ -361,17 +361,19 @@ def test_rerank_broadcasts_candidates_zero_corpus_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_mmr_pool_broadcasts_greedy_is_arrow_batched(spark, sf_dir):
-    # same pool shape as rerank_topk: candidate ids and query vectors
-    # broadcast into the corpus scan (zero corpus shuffle); the greedy
-    # selection is ONE FlatMapGroupsInPandas over |Q| groups of R rows —
-    # its group-by exchange (|Q|·R rows) is the only data shuffle
+def test_mmr_fused_single_corpus_scan_greedy_arrow_batched(spark, sf_dir):
+    # fused default path: queries broadcast into ONE scoring pass over the
+    # corpus (the intentional |C|·|Q| nested-loop, same as embedding_topk),
+    # vectors carried through the top-R window — no brute-stage-then-rejoin
+    # double scan; the greedy is ONE FlatMapGroupsInPandas keyed like the
+    # window, so query_id partitioning is reused
     plan = _plan(spark, sf_dir, "mmr_topk")
-    assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
-    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) >= 2
-    assert "FlatMapGroupsInPandas" in plan
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1
     assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+    # one full corpus scan + the pushed-filter query scan, nothing else
+    assert len(re.findall(r"Location: InMemoryFileIndex", plan)) <= 2
 
 
 def test_diverse_sample_single_pandas_pass_no_joins(spark, sf_dir):

@@ -246,12 +246,6 @@ def mmr_topk(
     from pyspark.sql import types as T
 
     qid = query_id_col or id_col
-    if candidates is None:
-        candidates = brute_force_topk(
-            corpus, queries, id_col=id_col, vec_col=vec_col,
-            query_id_col=query_id_col, k=fetch_r,
-        )
-    cand = candidates.select("query_id", "neighbor_id")
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
@@ -260,16 +254,48 @@ def mmr_topk(
         F.col(qid).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
     )
-    pool = (
-        c.join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            F.col("query_id").alias("__g"),
-            F.col("neighbor_id").alias("__i"),
-            F.round(cosine_sim(F.col("__qv"), F.col("__cv")), 6).alias("rel"),
-            F.col("__cv").alias("v"),
+    if candidates is None:
+        # fused candidate stage: score the corpus ONCE and carry the vector
+        # through the top-R window — one corpus scan instead of the
+        # brute-stage-then-rejoin pair (scan-audit: embeddings x4 -> x2).
+        # Raw-cosine ordering with id tie-break = brute_force_topk's exact
+        # candidate set (the proven embedding_topk oracle pair); the
+        # staged select evaluates the fold once per row.
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine_sim(F.col("__qv"), F.col("__cv")).alias("__cos"),
+                F.col("__cv"),
+            )
         )
-    )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("__cos").desc(), F.col("neighbor_id").asc()
+        )
+        pool = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= fetch_r)
+            .select(
+                F.col("query_id").alias("__g"),
+                F.col("neighbor_id").alias("__i"),
+                F.round(F.col("__cos"), 6).alias("rel"),
+                F.col("__cv").alias("v"),
+            )
+        )
+    else:
+        cand = candidates.select("query_id", "neighbor_id")
+        pool = (
+            c.join(F.broadcast(cand), "neighbor_id")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                F.col("query_id").alias("__g"),
+                F.col("neighbor_id").alias("__i"),
+                F.round(cosine_sim(F.col("__qv"), F.col("__cv")), 6).alias("rel"),
+                F.col("__cv").alias("v"),
+            )
+        )
     out_schema = T.StructType(
         [
             T.StructField("__g", pool.schema["__g"].dataType),
