@@ -810,6 +810,41 @@ def _q_dedupe_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupe_near(d, _minhash_pairs_cached(spark, sf_dir))
 
 
+def _q_dedupe_near_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup keep/drop with the MERIT keep rule (operators/dedup.py:
+    dedupe_near rank_by): inside each duplicate cluster the longest member
+    (n_chars desc, id tie-break) survives instead of the min-id one — keep
+    the most complete copy, the FineWeb-style production rule."""
+    from transmog_spark.operators.dedup import dedupe_near
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return dedupe_near(
+        d, _minhash_pairs_cached(spark, sf_dir), rank_by=F.col("n_chars")
+    )
+
+
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive negative mining (operators/similarity.py:hard_negatives):
+    per query, top-5 most-similar NON-positive docs (hard) + 5 seeded-md5
+    uniform negatives beyond the hard set (random); labeled positives here
+    are the deterministic mod-101 bucket mates, anti-joined out."""
+    from transmog_spark.operators.similarity import hard_negatives
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    pos = (
+        e.select(F.col("vec_id").alias("neighbor_id"), (F.col("vec_id") % 101).alias("__m"))
+        .join(
+            q.select(F.col("vec_id").alias("query_id"), (F.col("vec_id") % 101).alias("__m")),
+            "__m",
+        )
+        .select("query_id", "neighbor_id")
+    )
+    return hard_negatives(
+        e, q, pos, id_col="vec_id", vec_col="embedding", k_hard=5, k_rand=5, seed="hn"
+    )
+
+
 def _q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter incremental exact dedup (operators/bloom.py — Bloom
     1970): the even-id half of the corpus is the 'historical' set; every
@@ -1865,6 +1900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-stable basics (green since round 1-2) trail.  Rotate per round.
     return {
         # -- round-5 surface -------------------------------------------
+        "hard_negatives": _q_hard_negatives,
+        "dedupe_near_best": _q_dedupe_near_best,
         "mmr_topk": _q_mmr_topk,
         "diverse_sample": _q_diverse_sample,
         "hybrid_topk": _q_hybrid_topk,
@@ -1988,6 +2025,7 @@ def oracle_sql() -> dict[str, str]:
         bm25_sql,
         components_sql,
         dedupe_near_sql,
+        hard_negatives_sql,
         bloom_dedup_sql,
         leakage_safe_split_sql,
         curation_pipeline_sql,
@@ -2069,6 +2107,20 @@ SELECT p.event_id, p.user_id, p.ts, c.click_value
 FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts {op} c.ts
 """
     return {
+        "hard_negatives": hard_negatives_sql(
+            query_filter="vec_id < 10",
+            positives_cond="c.vec_id % 101 = q.vec_id % 101",
+            k_hard=5,
+            k_rand=5,
+            seed="hn",
+        ),
+        "dedupe_near_best": dedupe_near_sql(
+            minhash_pairs_sql(
+                shingle_n=3, num_hashes=8, bands=4, threshold=0.2, max_bucket=500
+            ),
+            select_cols="doc_id, source, n_chars",
+            rank_by="n_chars",
+        ),
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,

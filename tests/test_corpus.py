@@ -189,6 +189,35 @@ def test_dedupe_near_keeps_one_representative(spark):
     assert kept == [0, 1, 4, 5, 6, 7, 9]
 
 
+def test_dedupe_near_merit_keep_rule(spark):
+    from pyspark.sql import functions as F
+
+    from transmog_spark.operators.dedup import dedupe_near
+
+    df = spark.createDataFrame(
+        [(0, 5), (1, 10), (2, 99), (3, 10), (7, 4), (8, 4), (9, 1)],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    # {1,2,3}: merit 10/99/10 -> keep 2 (not min-id 1); {7,8}: tie at 4 ->
+    # id tie-break keeps 7; 0 and 9 unclustered pass through
+    kept = sorted(
+        r.doc_id
+        for r in dedupe_near(df, pairs, rank_by=F.col("n_chars")).collect()
+    )
+    assert kept == [0, 2, 7, 9]
+    # ascending merit flips the {1,2,3} keeper to the min-merit min-id (1)
+    kept_asc = sorted(
+        r.doc_id
+        for r in dedupe_near(
+            df, pairs, rank_by=F.col("n_chars"), descending=False
+        ).collect()
+    )
+    assert kept_asc == [0, 1, 7, 9]
+
+
 def test_epoch_mixture_fractional_weights(spark):
     from transmog_spark.operators.corpus import epoch_mixture
 

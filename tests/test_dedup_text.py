@@ -132,6 +132,51 @@ def test_brute_force_topk_ranks_by_cosine(spark):
     assert ranked == [(1, 3), (2, 1)]  # 3 is closer to 0 than 1; 2 excluded
 
 
+def test_hard_negatives_excludes_positives_and_self(spark):
+    from transmog_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.99, 0.01]),   # most similar to 0 — but it's the positive
+        (2, [0.9, 0.1]),
+        (3, [0.5, 0.5]),
+        (4, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") == 0)
+    pos = spark.createDataFrame([(0, 1)], "query_id long, neighbor_id long")
+    out = hard_negatives(df, q, pos, k_hard=2, k_rand=0).collect()
+    got = sorted((r.rank, r.neighbor_id, r.kind) for r in out)
+    # positive 1 and self 0 are excluded: hards are 2 then 3
+    assert got == [(1, 2, "hard"), (2, 3, "hard")]
+    assert all(r.cosine_e6 is not None for r in out)
+
+
+def test_hard_negatives_random_tier_is_deterministic(spark):
+    from transmog_spark.operators.similarity import hard_negatives
+
+    rows = [(i, [float(i % 7 + 1), float((i * 3) % 5 + 1)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") == 0)
+    pos = spark.createDataFrame([(0, 1), (0, 2)], "query_id long, neighbor_id long")
+    a = hard_negatives(df, q, pos, k_hard=3, k_rand=4, seed="s1").collect()
+    b = hard_negatives(df, q, pos, k_hard=3, k_rand=4, seed="s1").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    kinds = {r.kind for r in a}
+    assert kinds == {"hard", "random"}
+    hard_ids = {r.neighbor_id for r in a if r.kind == "hard"}
+    rand_ids = {r.neighbor_id for r in a if r.kind == "random"}
+    # tiers are disjoint, positives and self never appear in either
+    assert not hard_ids & rand_ids
+    assert not {0, 1, 2} & (hard_ids | rand_ids)
+    assert len(hard_ids) == 3 and len(rand_ids) == 4
+    # a different seed redraws the random tier (27 candidates, P(collision) tiny)
+    c = hard_negatives(df, q, pos, k_hard=3, k_rand=4, seed="s2").collect()
+    rand_c = {r.neighbor_id for r in c if r.kind == "random"}
+    assert {r.neighbor_id for r in c if r.kind == "hard"} == hard_ids
+    assert rand_c != rand_ids
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

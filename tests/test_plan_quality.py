@@ -648,3 +648,38 @@ def test_hybrid_topk_take_ordered_and_broadcast_tiers(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in tree or "BroadcastExchange" in plan
     for ex in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "embedding" not in ex.group(1)
+
+
+def test_hard_negatives_single_pass_two_tiers(spark, sf_dir):
+    # hard (score order) and random (seeded-md5 order) tiers are selected
+    # in ONE windowed pass over ONE corpus scan: a union of two rank
+    # filters would duplicate the scored subplan and re-scan the corpus
+    plan = _plan(spark, sf_dir, "hard_negatives")
+    tree = plan.split("\n\n")[0]
+    assert "Union" not in tree
+    # one Exchange carries the scored stream (query_id partitioning); the
+    # only other Exchange is the contract-small positives distinct
+    assert _exchanges(plan) <= 2
+    # queries and positives broadcast into the corpus scan
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in tree
+    assert "BroadcastHashJoin LeftAnti BuildRight" in tree
+    # both window orders run over the same partitioning -> exactly 2 Sorts
+    assert _sorts(plan) == 2
+
+
+def test_dedupe_near_best_windows_clustered_slice_only(spark, sf_dir):
+    # the merit keep rule broadcasts the (tiny) components frame INTO the
+    # corpus scan (static plan already BroadcastHashJoin Inner), the
+    # per-cluster argmax window runs over the clustered slice only, and the
+    # final keep/drop anti join lands as broadcast once AQE sees the drops
+    # side's true (tiny) size at runtime
+    df = entrymod.queries()["dedupe_near_best"](spark, sf_dir)
+    static = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin Inner BuildRight" in static  # merit lookup
+    df.collect()  # AQE finalizes the anti join with runtime stats
+    final = df._jdf.queryExecution().executedPlan().toString()
+    final = final.split("== Initial Plan ==")[0]  # AQE's pre-stats plan trails
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", final)
+    assert "SortMergeJoin" not in final

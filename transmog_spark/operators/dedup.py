@@ -622,9 +622,21 @@ def dedupe_near(
     *,
     max_iterations: int = 25,
     algorithm: str = "label",
+    rank_by: Column | None = None,
+    descending: bool = True,
 ) -> DataFrame:
     """Apply near-dup clustering to the corpus: keep ONE representative per
-    duplicate cluster (the min-id member) and every unclustered document.
+    duplicate cluster and every unclustered document.
+
+    Default keep rule is the min-id member. With ``rank_by`` (a Column over
+    ``df``, e.g. a quality score or ``n_chars``) the keeper is instead the
+    cluster member with the BEST merit (largest when ``descending``,
+    smallest otherwise; ties break on ascending id) — the production rule:
+    when near-duplicates differ, keep the cleanest/most complete copy, not
+    the one that happened to get the smallest id (Penedo et al. 2024
+    FineWeb keeps by quality within dup clusters). For engine-exact
+    replay, pass a merit that is integer or already rounded to a fixed
+    grid — raw doubles can flip ties between engines.
 
     This is the ``dedupe_exact`` analog for near-duplicates — the step every
     dedup user actually ends at: ``pairs`` (from ``minhash_lsh_pairs`` /
@@ -633,13 +645,32 @@ def dedupe_near(
     to the corpus (only clustered docs appear in it), so the keep/drop
     decision is one LEFT ANTI join against the non-representative members —
     broadcast-eligible whenever the dup set fits, shuffle-join otherwise.
+    With ``rank_by`` the merit lookup broadcasts the components INTO the
+    corpus scan (inner broadcast-hash join keeps only clustered rows), so
+    the per-cluster argmax window runs over the tiny clustered slice, never
+    the corpus.
     """
     comps = duplicate_components(
         pairs, id_a, id_b, max_iterations=max_iterations, algorithm=algorithm
     )
-    drops = comps.where(F.col("doc_id") != F.col("cluster_id")).select(
-        F.col("doc_id").alias(id_col)
-    )
+    if rank_by is None:
+        drops = comps.where(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
+    else:
+        members = df.select(
+            F.col(id_col).alias("__m_id"), rank_by.alias("__merit")
+        ).join(
+            F.broadcast(comps.select(F.col("doc_id").alias("__m_id"), "cluster_id")),
+            "__m_id",
+        )
+        order = F.col("__merit").desc() if descending else F.col("__merit").asc()
+        w = Window.partitionBy("cluster_id").orderBy(order, F.col("__m_id").asc())
+        drops = (
+            members.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") > 1)
+            .select(F.col("__m_id").alias(id_col))
+        )
     return df.join(drops, id_col, "left_anti")
 
 

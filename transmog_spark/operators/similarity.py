@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from transmog_spark.functions.hashing import md5_long
 from transmog_spark.operators.dedup import _hyperplane_signature, cosine_sim
 
 
@@ -141,6 +142,121 @@ def rerank_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    k_hard: int = 5,
+    k_rand: int = 0,
+    seed: int | str = 0,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Negative mining for contrastive/embedding-model training data: for
+    each query, the ``k_hard`` most-cosine-similar corpus documents that
+    are NOT known positives (kind='hard' — the DPR/ANCE in-batch-plus-hard
+    recipe, Karpukhin et al. 2020 §3.2), plus ``k_rand`` deterministic
+    uniform negatives drawn from the remaining non-positive corpus
+    (kind='random' — the easy-negative floor). ``positives`` is any frame
+    with (query_id, neighbor_id) rows naming the labeled relevant docs;
+    they are anti-joined out so the miner can never emit a false negative
+    that is actually a labeled positive.
+
+    Determinism: scoring on the scaled-integer e6 grid
+    (``round(cos·10⁶)`` as BIGINT — the lm-family idiom; a second decimal
+    rounding of a grid-forced double hits the x.xxxx5 boundary ~1/100 rows
+    and flips between Java BigDecimal and C libm rounding), hard ranking
+    by that integer with an id tie-break; random ranking on the seeded
+    60-bit md5 of ``seed#query#neighbor`` — no RNG state, same sample on
+    any cluster size or engine.
+
+    Scale shape: ONE corpus scan — queries and positives are
+    contract-small (a probe/training batch) and broadcast; scoring is
+    JVM-side zip_with; the two tiers are selected in a single windowed
+    pass (hard = row_number on the score order; random = conditional
+    cumulative count on the md5 order — a union of two rank filters would
+    duplicate the whole scored subplan and scan the corpus twice), so the
+    scored frame crosses exactly one Exchange. At 100 TB the corpus never
+    shuffles and never materializes more than the |Q|·|C| scored stream
+    that brute-force scoring itself requires; swap the scoring stage for
+    an ANN tier (ivf/ivfpq + rerank) when |C| makes exact scoring
+    unaffordable — the anti-join and sampling stages are tier-agnostic.
+
+    Output: (query_id, neighbor_id, cosine_e6, kind, rank) — rank 1..k
+    within each (query, kind); ``cosine_e6`` is the integer-grid score
+    (divide by 10⁶ for the float value).
+    """
+    qid = query_id_col or id_col
+    q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    pos = positives.select("query_id", "neighbor_id").distinct()
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
+    joined = joined.join(F.broadcast(pos), ["query_id", "neighbor_id"], "left_anti")
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_sim(F.col("__qv"), F.col("__cv")) * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("cosine_e6"),
+    )
+    w_hard = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_e6").desc(), F.col("neighbor_id").asc()
+    )
+    scored = scored.withColumn("__hr", F.row_number().over(w_hard))
+    if k_rand <= 0:
+        # pure hard path: plain rank filter keeps the WindowGroupLimit
+        # (map-side top-k) pushdown available
+        return scored.where(F.col("__hr") <= k_hard).select(
+            "query_id",
+            "neighbor_id",
+            "cosine_e6",
+            F.lit("hard").alias("kind"),
+            F.col("__hr").alias("rank"),
+        )
+    # random negatives draw from the corpus BEYOND the hard set (standard:
+    # hards are informative, randoms calibrate the easy floor). Their rank
+    # is a CONDITIONAL CUMULATIVE COUNT of non-hard rows in seeded-md5
+    # order — identical to row_number over the filtered subset (filtering
+    # preserves relative order) but computed in the SAME windowed pass, so
+    # the union-of-two-rank-filters plan (which re-scans the corpus per
+    # branch) never exists; both windows share the query_id Exchange.
+    u = md5_long(
+        F.concat(
+            F.lit(f"{seed}#"),
+            F.col("query_id").cast("string"),
+            F.lit("#"),
+            F.col("neighbor_id").cast("string"),
+        )
+    )
+    w_rand = (
+        Window.partitionBy("query_id")
+        .orderBy(u.asc(), F.col("neighbor_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rr = F.sum(F.when(F.col("__hr") > k_hard, 1).otherwise(0)).over(w_rand)
+    out = scored.withColumn("__rr", rr).where(
+        (F.col("__hr") <= k_hard)
+        | ((F.col("__hr") > k_hard) & (F.col("__rr") <= k_rand))
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "cosine_e6",
+        F.when(F.col("__hr") <= k_hard, F.lit("hard"))
+        .otherwise(F.lit("random"))
+        .alias("kind"),
+        F.when(F.col("__hr") <= k_hard, F.col("__hr"))
+        .otherwise(F.col("__rr"))
+        .cast("int")
+        .alias("rank"),
     )
 
 

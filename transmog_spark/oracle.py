@@ -970,16 +970,67 @@ def dedupe_near_sql(
     table: str = "documents",
     id_col: str = "doc_id",
     select_cols: str = "doc_id, source",
+    rank_by: str | None = None,
+    descending: bool = True,
 ) -> str:
     """Near-dup keep/drop application (operators/dedup.py:dedupe_near):
     connected components over the pair query, then the corpus filtered to
-    one representative (the min-id member) per cluster."""
+    one representative per cluster — the min-id member by default, or the
+    best-merit member (``rank_by`` column, ``descending`` order, id
+    tie-break) mirroring the operator's merit keep rule."""
     comp = components_sql(pairs_sql)
+    if rank_by is None:
+        drops = "SELECT doc_id AS drop_id FROM comps WHERE doc_id <> cluster_id"
+    else:
+        direction = "DESC" if descending else "ASC"
+        drops = f"""SELECT doc_id AS drop_id FROM (
+  SELECT c.doc_id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY m.{rank_by} {direction}, c.doc_id) AS r
+  FROM comps c JOIN {table} m ON m.{id_col} = c.doc_id) WHERE r > 1"""
     return f"""
 WITH comps AS ({comp}),
-drops AS (SELECT doc_id AS drop_id FROM comps WHERE doc_id <> cluster_id)
+drops AS ({drops})
 SELECT {select_cols} FROM {table} t
 WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.drop_id = t.{id_col})
+"""
+
+
+def hard_negatives_sql(
+    *,
+    query_filter: str = "vec_id < 10",
+    positives_cond: str = "c.vec_id % 101 = q.vec_id % 101",
+    k_hard: int = 5,
+    k_rand: int = 5,
+    seed: int | str = 0,
+) -> str:
+    """Mirror of operators/similarity.py:hard_negatives — per-query top
+    ``k_hard`` non-positive cosine neighbors (scaled-integer e6 score
+    grid, id tie-break) plus ``k_rand`` seeded-md5 uniform negatives from
+    beyond the hard set. ``positives_cond`` names the labeled positives as
+    a predicate over corpus alias ``c`` and query alias ``q``."""
+    u = duck_md5_long(
+        f"'{seed}#' || CAST(query_id AS VARCHAR) || '#' || CAST(neighbor_id AS VARCHAR)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE {query_filter}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(round(list_cosine_similarity(c.v, q.v) * 1000000) AS BIGINT) AS cosine_e6
+  FROM e c, q
+  WHERE c.vec_id <> q.vec_id AND NOT ({positives_cond})),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_e6 DESC, neighbor_id) AS hr
+  FROM scored)
+SELECT query_id, neighbor_id, cosine_e6, 'hard' AS kind, hr AS rank
+FROM ranked WHERE hr <= {k_hard}
+UNION ALL
+SELECT query_id, neighbor_id, cosine_e6, 'random' AS kind, rr AS rank
+FROM (
+  SELECT query_id, neighbor_id, cosine_e6,
+         row_number() OVER (PARTITION BY query_id ORDER BY {u}, neighbor_id) AS rr
+  FROM ranked WHERE hr > {k_hard}) WHERE rr <= {k_rand}
 """
 
 
