@@ -44,6 +44,9 @@ HEADLINE = [
     "dedup_exact",
     "minhash_pairs",
     "dedup_clusters",
+    # near-dup application with the merit keep rule (keep longest, not
+    # min-id) — reuses the memoized pairs cache like dedup_clusters
+    "dedupe_near_best",
     "bm25",
     "bm25_topk",
     # first run builds the memoized term-partitioned index, best-of-N then
@@ -72,6 +75,9 @@ HEADLINE = [
     "diverse_sample",
     # hybrid retrieval: BM25 top-20 + exact-cosine top-20 fused by RRF
     "hybrid_topk",
+    # contrastive negative mining: per-query hard + seeded-random tiers in
+    # one windowed pass over one corpus scan
+    "hard_negatives",
     # persisted incremental IVF index: first run builds + memoizes, best-of-N
     # times the partition-pruned indexed query path
     "embedding_topk_indexed",
