@@ -823,6 +823,27 @@ def _q_dedupe_near_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup telemetry (operators/dedup.py:dedup_report): docs /
+    clustered / would-drop counts and the round-4 drop rate per source over
+    the memoized MinHash pair set — ONE corpus scan with the components
+    broadcast in, the per-dump report CCNet/FineWeb publish."""
+    from transmog_spark.operators.dedup import dedup_report
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return dedup_report(d, _minhash_pairs_cached(spark, sf_dir))
+
+
+def _q_dup_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution (operators/dedup.py:
+    cluster_size_histogram): (cluster_size, n_clusters) over the memoized
+    pair set — the over-merge early-warning (a giant cluster = template
+    page or too-loose LSH threshold about to mass-delete)."""
+    from transmog_spark.operators.dedup import cluster_size_histogram
+
+    return cluster_size_histogram(_minhash_pairs_cached(spark, sf_dir))
+
+
 def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive negative mining (operators/similarity.py:hard_negatives):
     per query, top-5 most-similar NON-positive docs (hard) + 5 seeded-md5
@@ -1900,6 +1921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-stable basics (green since round 1-2) trail.  Rotate per round.
     return {
         # -- round-5 surface -------------------------------------------
+        "dedup_report": _q_dedup_report,
+        "dup_size_hist": _q_dup_size_hist,
         "hard_negatives": _q_hard_negatives,
         "dedupe_near_best": _q_dedupe_near_best,
         "mmr_topk": _q_mmr_topk,
@@ -2025,6 +2048,8 @@ def oracle_sql() -> dict[str, str]:
         bm25_sql,
         components_sql,
         dedupe_near_sql,
+        dedup_report_sql,
+        cluster_size_histogram_sql,
         hard_negatives_sql,
         bloom_dedup_sql,
         leakage_safe_split_sql,
@@ -2107,6 +2132,16 @@ SELECT p.event_id, p.user_id, p.ts, c.click_value
 FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts {op} c.ts
 """
     return {
+        "dedup_report": dedup_report_sql(
+            minhash_pairs_sql(
+                shingle_n=3, num_hashes=8, bands=4, threshold=0.2, max_bucket=500
+            )
+        ),
+        "dup_size_hist": cluster_size_histogram_sql(
+            minhash_pairs_sql(
+                shingle_n=3, num_hashes=8, bands=4, threshold=0.2, max_bucket=500
+            )
+        ),
         "hard_negatives": hard_negatives_sql(
             query_filter="vec_id < 10",
             positives_cond="c.vec_id % 101 = q.vec_id % 101",

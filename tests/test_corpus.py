@@ -218,6 +218,43 @@ def test_dedupe_near_merit_keep_rule(spark):
     assert kept_asc == [0, 1, 7, 9]
 
 
+def test_dedup_report_per_source_counts(spark):
+    from transmog_spark.operators.dedup import dedup_report
+
+    df = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "a"), (3, "b"), (7, "b"), (8, "b"), (9, "c")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    # cluster {1,2,3} keeps 1 (drops 2 in a, 3 in b); {7,8} keeps 7 (drops 8)
+    got = {
+        r.source: (r.n_docs, r.n_clustered, r.n_dropped, r.drop_rate)
+        for r in dedup_report(df, pairs).collect()
+    }
+    assert got == {
+        "a": (3, 2, 1, 0.3333),
+        "b": (3, 3, 2, 0.6667),
+        "c": (1, 0, 0, 0.0),
+    }
+
+
+def test_cluster_size_histogram(spark):
+    from transmog_spark.operators.dedup import cluster_size_histogram
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    # clusters: {1,2,3} size 3, {7,8} size 2, {10,11} size 2, {20..23} size 4
+    got = {
+        r.cluster_size: r.n_clusters
+        for r in cluster_size_histogram(pairs).collect()
+    }
+    assert got == {2: 2, 3: 1, 4: 1}
+
+
 def test_epoch_mixture_fractional_weights(spark):
     from transmog_spark.operators.corpus import epoch_mixture
 

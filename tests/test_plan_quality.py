@@ -667,6 +667,20 @@ def test_hard_negatives_single_pass_two_tiers(spark, sf_dir):
     assert _sorts(plan) == 2
 
 
+def test_dedup_report_single_scan_broadcast_comps(spark, sf_dir):
+    # per-source telemetry costs ONE corpus scan: components broadcast in
+    # as a left join (never a shuffle join against the corpus), counts are
+    # conditional sums inside a map-side-combined aggregate (exactly one
+    # shuffle: the |sources| groupBy)
+    plan = _plan(spark, sf_dir, "dedup_report")
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert "BroadcastHashJoin LeftOuter BuildRight" in tree
+    assert "SortMergeJoin" not in tree
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2  # partial+final
+    assert _exchanges(plan) == 1
+
+
 def test_dedupe_near_best_windows_clustered_slice_only(spark, sf_dir):
     # the merit keep rule broadcasts the (tiny) components frame INTO the
     # corpus scan (static plan already BroadcastHashJoin Inner), the

@@ -674,6 +674,86 @@ def dedupe_near(
     return df.join(drops, id_col, "left_anti")
 
 
+def dedup_report(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    max_iterations: int = 25,
+    algorithm: str = "label",
+) -> DataFrame:
+    """Per-group near-dup telemetry — the report every production dedup run
+    emits before anyone trusts its output: for each ``group_col`` value
+    (source/domain/shard), how many documents exist, how many sit inside a
+    duplicate cluster, how many the min-id keep rule would drop, and the
+    resulting drop rate. A source whose drop_rate spikes between crawls is
+    the standard early signal of a scraper loop or a mirror site entering
+    the crawl (the telemetry CCNet/FineWeb publish per dump).
+
+    Scale shape: ONE corpus scan — the components frame (clustered docs
+    only, tiny by contract) broadcasts into it as a LEFT join, then a
+    map-side-combined groupBy on ``group_col``; counts are conditional
+    sums so no second pass or join ever touches the corpus. Output is
+    |groups| rows.
+
+    Output: (group_col, n_docs, n_clustered, n_dropped, drop_rate) with
+    drop_rate on the round-4 grid for engine-exact replay.
+    """
+    comps = duplicate_components(
+        pairs, id_a, id_b, max_iterations=max_iterations, algorithm=algorithm
+    )
+    tagged = df.select(F.col(id_col), F.col(group_col)).join(
+        F.broadcast(
+            comps.select(F.col("doc_id").alias(id_col), "cluster_id")
+        ),
+        id_col,
+        "left",
+    )
+    clustered = F.col("cluster_id").isNotNull()
+    dropped = clustered & (F.col(id_col) != F.col("cluster_id"))
+    return tagged.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(clustered, 1).otherwise(0)).alias("n_clustered"),
+        F.sum(F.when(dropped, 1).otherwise(0)).alias("n_dropped"),
+        F.round(
+            F.sum(F.when(dropped, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("drop_rate"),
+    )
+
+
+def cluster_size_histogram(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iterations: int = 25,
+    algorithm: str = "label",
+) -> DataFrame:
+    """Duplicate-cluster size distribution: (cluster_size, n_clusters).
+
+    The other half of the dedup report: a long tail of size-2 clusters is
+    healthy near-dup noise; a single size-10⁶ cluster means a template
+    page or an over-aggressive LSH threshold is about to delete a million
+    documents — inspect before applying ``dedupe_near``. Two tiny
+    map-side-combined aggregations over the components frame (clustered
+    docs only); the corpus is never touched.
+    """
+    comps = duplicate_components(
+        pairs, id_a, id_b, max_iterations=max_iterations, algorithm=algorithm
+    )
+    sizes = comps.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
 def hyperplane_weights(dim: int, n_planes: int) -> list[list[float]]:
     """Deterministic hyperplanes from md5 (no RNG state): w in [-1, 1].
 

@@ -996,6 +996,44 @@ WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.drop_id = t.{id_col})
 """
 
 
+def dedup_report_sql(
+    pairs_sql: str,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> str:
+    """Per-group dedup telemetry (operators/dedup.py:dedup_report):
+    components over the pair query LEFT-joined to the corpus, conditional
+    counts per group, min-id drop rule on the round-4 rate grid."""
+    comp = components_sql(pairs_sql)
+    dropped = "c.cluster_id IS NOT NULL AND j.did <> c.cluster_id"
+    return f"""
+WITH comps AS ({comp}),
+j AS (SELECT t.{group_col} AS grp, t.{id_col} AS did FROM {table} t)
+SELECT grp AS {group_col},
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN c.cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+       CAST(sum(CASE WHEN {dropped} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       round(CAST(sum(CASE WHEN {dropped} THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS drop_rate
+FROM j LEFT JOIN comps c ON c.doc_id = j.did
+GROUP BY grp
+"""
+
+
+def cluster_size_histogram_sql(pairs_sql: str) -> str:
+    """Duplicate-cluster size distribution (operators/dedup.py:
+    cluster_size_histogram): component sizes, then counts per size."""
+    comp = components_sql(pairs_sql)
+    return f"""
+WITH comps AS ({comp}),
+sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM comps GROUP BY cluster_id)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size
+"""
+
+
 def hard_negatives_sql(
     *,
     query_filter: str = "vec_id < 10",
