@@ -47,6 +47,8 @@ HEADLINE = [
     # near-dup application with the merit keep rule (keep longest, not
     # min-id) — reuses the memoized pairs cache like dedup_clusters
     "dedupe_near_best",
+    # per-source dedup telemetry: one corpus scan + broadcast components
+    "dedup_report",
     "bm25",
     "bm25_topk",
     # first run builds the memoized term-partitioned index, best-of-N then
