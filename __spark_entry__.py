@@ -823,6 +823,27 @@ def _q_dedupe_near_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality monitor (operators/similarity.py:retrieval_recall):
+    per-query recall@5 of the IVF tier (nlist=16, nprobe=4 — the
+    embedding_topk_ivf configuration) against the exact brute-force top-5
+    over the same query set; the BENCH/ann.md recall matrix as a
+    first-class, continuously runnable operator."""
+    from transmog_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        retrieval_recall,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(e, q, id_col="vec_id", vec_col="embedding", k=5)
+    approx = ivf_topk(
+        e, q, id_col="vec_id", vec_col="embedding", k=5, nlist=16, nprobe=4
+    )
+    return retrieval_recall(approx, exact)
+
+
 def _q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dedup telemetry (operators/dedup.py:dedup_report): docs /
     clustered / would-drop counts and the round-4 drop rate per source over
@@ -1921,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-stable basics (green since round 1-2) trail.  Rotate per round.
     return {
         # -- round-5 surface -------------------------------------------
+        "ann_recall": _q_ann_recall,
         "dedup_report": _q_dedup_report,
         "dup_size_hist": _q_dup_size_hist,
         "hard_negatives": _q_hard_negatives,
@@ -2050,6 +2072,7 @@ def oracle_sql() -> dict[str, str]:
         dedupe_near_sql,
         dedup_report_sql,
         cluster_size_histogram_sql,
+        retrieval_recall_sql,
         hard_negatives_sql,
         bloom_dedup_sql,
         leakage_safe_split_sql,
@@ -2131,7 +2154,24 @@ p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
 SELECT p.event_id, p.user_id, p.ts, c.click_value
 FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts {op} c.ts
 """
+    # exact brute-force top-5 (identical to the embedding_topk entry) —
+    # the ground-truth CTE for ann_recall
+    brute5_sql = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(c.v, q.v) AS cos
+  FROM e c, q WHERE c.vec_id <> q.vec_id)
+SELECT query_id, neighbor_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
     return {
+        "ann_recall": retrieval_recall_sql(
+            ivf_topk_sql(query_filter="vec_id < 10", k=5, nlist=16, nprobe=4),
+            brute5_sql,
+        ),
         "dedup_report": dedup_report_sql(
             minhash_pairs_sql(
                 shingle_n=3, num_hashes=8, bands=4, threshold=0.2, max_bucket=500

@@ -132,6 +132,24 @@ def test_brute_force_topk_ranks_by_cosine(spark):
     assert ranked == [(1, 3), (2, 1)]  # 3 is closer to 0 than 1; 2 excluded
 
 
+def test_retrieval_recall_counts_misses_and_short_results(spark):
+    from transmog_spark.operators.similarity import retrieval_recall
+
+    exact = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 7), (2, 5)],
+        "query_id long, neighbor_id long",
+    )
+    # query 0: 1/3 hit; query 1: 1/1; query 2: approx returned nothing
+    approx = spark.createDataFrame(
+        [(0, 2), (0, 9), (1, 7), (1, 8)], "query_id long, neighbor_id long"
+    )
+    got = {
+        r.query_id: (r.n_exact, r.n_hit, r.recall)
+        for r in retrieval_recall(approx, exact).collect()
+    }
+    assert got == {0: (3, 1, 0.3333), 1: (1, 1, 1.0), 2: (1, 0, 0.0)}
+
+
 def test_hard_negatives_excludes_positives_and_self(spark):
     from transmog_spark.operators.similarity import hard_negatives
 

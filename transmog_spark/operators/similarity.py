@@ -145,6 +145,48 @@ def rerank_topk(
     )
 
 
+def retrieval_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    *,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall of an approximate retrieval against exact ground
+    truth — the index-quality monitor that belongs IN the pipeline, not in
+    a one-off script: every ANN deployment re-checks recall@k whenever the
+    corpus distribution drifts or an index is rebuilt (the BENCH/ann.md
+    matrix as a first-class operator). ``exact`` is the ground-truth top-k
+    frame (e.g. ``brute_force_topk`` on a sampled query set), ``approx``
+    any tier's result (ivf/ivfpq/lsh/sq8/pq, indexed or not) over the same
+    queries.
+
+    Output: (query_col, n_exact, n_hit, recall) — recall = |approx ∩
+    exact| / |exact| per query, on the round-4 grid. Aggregate across
+    queries downstream (mean, min, per-slice) as needed.
+
+    Scale shape: both inputs are |Q|·k rows by construction — the corpus
+    never enters; one equi-join on (query, neighbor) and one
+    map-side-combined groupBy. Unmatched ground-truth rows LEFT-join to
+    NULL and count as misses, so an approx tier that returns fewer than k
+    rows (empty probe buckets) is scored honestly, not skipped.
+    """
+    ex = exact.select(F.col(query_col), F.col(id_col))
+    ap = approx.select(
+        F.col(query_col), F.col(id_col), F.lit(1).alias("__hit")
+    )
+    hits = F.coalesce(F.sum("__hit"), F.lit(0)).cast("long")
+    return (
+        ex.join(ap, [query_col, id_col], "left")
+        .groupBy(query_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            hits.alias("n_hit"),
+            F.round(hits.cast("double") / F.count(F.lit(1)), 4).alias("recall"),
+        )
+    )
+
+
 def hard_negatives(
     corpus: DataFrame,
     queries: DataFrame,

@@ -996,6 +996,25 @@ WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.drop_id = t.{id_col})
 """
 
 
+def retrieval_recall_sql(approx_sql: str, exact_sql: str) -> str:
+    """Mirror of operators.similarity.retrieval_recall: per-query recall of
+    the approx tier against exact ground truth, both given as complete
+    (query_id, neighbor_id, …) SELECTs embedded as CTEs; LEFT join so
+    short approx result sets score as misses."""
+    hit = "CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END"
+    return f"""
+WITH ap AS ({approx_sql}),
+ex AS ({exact_sql})
+SELECT ex.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum({hit}) AS BIGINT) AS n_hit,
+       round(CAST(sum({hit}) AS DOUBLE) / count(*), 4) AS recall
+FROM ex LEFT JOIN ap
+  ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+GROUP BY ex.query_id
+"""
+
+
 def dedup_report_sql(
     pairs_sql: str,
     *,
