@@ -240,6 +240,23 @@ def test_dedup_report_per_source_counts(spark):
     }
 
 
+def test_dedup_report_totals_match_dedupe_near(spark):
+    # cross-operator invariant: the report's per-source survivor counts
+    # (n_docs - n_dropped) must sum to exactly what dedupe_near keeps
+    from transmog_spark.operators.dedup import dedup_report, dedupe_near
+
+    docs = [(i, "s%d" % (i % 3)) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, source string")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 20, 2)] + [(30, 35), (35, 38)],
+        "id_a long, id_b long",
+    )
+    rep = dedup_report(df, pairs).collect()
+    survivors = sum(r.n_docs - r.n_dropped for r in rep)
+    assert survivors == dedupe_near(df, pairs).count()
+    assert sum(r.n_docs for r in rep) == 40
+
+
 def test_cluster_size_histogram(spark):
     from transmog_spark.operators.dedup import cluster_size_histogram
 

@@ -150,6 +150,21 @@ def test_retrieval_recall_counts_misses_and_short_results(spark):
     assert got == {0: (3, 1, 0.3333), 1: (1, 1, 1.0), 2: (1, 0, 0.0)}
 
 
+def test_retrieval_recall_perfect_on_identical_tiers(spark):
+    from transmog_spark.operators.similarity import (
+        brute_force_topk,
+        retrieval_recall,
+    )
+
+    rows = [(i, [float(i % 5 + 1), float((i * 7) % 11 + 1)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") < 3)
+    exact = brute_force_topk(df, q, id_col="vec_id", vec_col="embedding", k=4)
+    out = retrieval_recall(exact, exact).collect()
+    assert len(out) == 3
+    assert all(r.recall == 1.0 and r.n_hit == r.n_exact == 4 for r in out)
+
+
 def test_hard_negatives_excludes_positives_and_self(spark):
     from transmog_spark.operators.similarity import hard_negatives
 
