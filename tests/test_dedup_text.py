@@ -150,6 +150,22 @@ def test_retrieval_recall_counts_misses_and_short_results(spark):
     assert got == {0: (3, 1, 0.3333), 1: (1, 1, 1.0), 2: (1, 0, 0.0)}
 
 
+def test_retrieval_recall_dedups_repeated_candidate_rows(spark):
+    from transmog_spark.operators.similarity import retrieval_recall
+
+    exact = spark.createDataFrame(
+        [(0, 1), (0, 2)], "query_id long, neighbor_id long"
+    )
+    # a multi-probe tier emitting (0,1) three times must count as ONE hit,
+    # and repeated ground-truth rows must not inflate n_exact
+    approx = spark.createDataFrame(
+        [(0, 1), (0, 1), (0, 1)], "query_id long, neighbor_id long"
+    )
+    dup_exact = exact.union(exact)
+    (r,) = retrieval_recall(approx, dup_exact).collect()
+    assert (r.n_exact, r.n_hit, r.recall) == (2, 1, 0.5)
+
+
 def test_retrieval_recall_perfect_on_identical_tiers(spark):
     from transmog_spark.operators.similarity import (
         brute_force_topk,

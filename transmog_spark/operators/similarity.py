@@ -169,12 +169,16 @@ def retrieval_recall(
     never enters; one equi-join on (query, neighbor) and one
     map-side-combined groupBy. Unmatched ground-truth rows LEFT-join to
     NULL and count as misses, so an approx tier that returns fewer than k
-    rows (empty probe buckets) is scored honestly, not skipped.
+    rows (empty probe buckets) is scored honestly, not skipped. Both
+    sides are projected DISTINCT on (query, neighbor) first — a caller
+    passing a frame with repeated rows (e.g. a multi-probe tier that
+    emits a candidate once per probe) would otherwise inflate n_exact and
+    n_hit through join multiplicity.
     """
-    ex = exact.select(F.col(query_col), F.col(id_col))
+    ex = exact.select(F.col(query_col), F.col(id_col)).distinct()
     ap = approx.select(
-        F.col(query_col), F.col(id_col), F.lit(1).alias("__hit")
-    )
+        F.col(query_col), F.col(id_col)
+    ).distinct().withColumn("__hit", F.lit(1))
     hits = F.coalesce(F.sum("__hit"), F.lit(0)).cast("long")
     return (
         ex.join(ap, [query_col, id_col], "left")
