@@ -216,6 +216,18 @@ def test_dedupe_near_merit_keep_rule(spark):
         ).collect()
     )
     assert kept_asc == [0, 1, 7, 9]
+    # NULL merit ranks WORST on either order (desc_nulls_last/asc_nulls_last,
+    # mirrored as NULLS LAST in the oracle): nulling 2's merit hands the
+    # {1,2,3} cluster to the remaining best (1 and 3 tie at 10 -> id keeps 1)
+    df_null = df.withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") == 2, F.lit(None)).otherwise(F.col("n_chars")),
+    )
+    kept_null = sorted(
+        r.doc_id
+        for r in dedupe_near(df_null, pairs, rank_by=F.col("n_chars")).collect()
+    )
+    assert kept_null == [0, 1, 7, 9]
 
 
 def test_dedup_report_per_source_counts(spark):

@@ -664,7 +664,14 @@ def dedupe_near(
             F.broadcast(comps.select(F.col("doc_id").alias("__m_id"), "cluster_id")),
             "__m_id",
         )
-        order = F.col("__merit").desc() if descending else F.col("__merit").asc()
+        # NULL merit always ranks WORST (a null-scored doc never beats a
+        # scored one) — pinned explicitly because Spark's desc() is
+        # NULLS LAST while DuckDB/Postgres DESC is NULLS FIRST
+        order = (
+            F.col("__merit").desc_nulls_last()
+            if descending
+            else F.col("__merit").asc_nulls_last()
+        )
         w = Window.partitionBy("cluster_id").orderBy(order, F.col("__m_id").asc())
         drops = (
             members.withColumn("__r", F.row_number().over(w))

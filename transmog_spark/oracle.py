@@ -983,10 +983,11 @@ def dedupe_near_sql(
         drops = "SELECT doc_id AS drop_id FROM comps WHERE doc_id <> cluster_id"
     else:
         direction = "DESC" if descending else "ASC"
+        # NULLS LAST pinned: engine ranks null merit worst on both orders
         drops = f"""SELECT doc_id AS drop_id FROM (
   SELECT c.doc_id,
          row_number() OVER (PARTITION BY c.cluster_id
-                            ORDER BY m.{rank_by} {direction}, c.doc_id) AS r
+                            ORDER BY m.{rank_by} {direction} NULLS LAST, c.doc_id) AS r
   FROM comps c JOIN {table} m ON m.{id_col} = c.doc_id) WHERE r > 1"""
     return f"""
 WITH comps AS ({comp}),
