@@ -150,6 +150,22 @@ def test_retrieval_recall_counts_misses_and_short_results(spark):
     assert got == {0: (3, 1, 0.3333), 1: (1, 1, 1.0), 2: (1, 0, 0.0)}
 
 
+def test_hard_negatives_pure_random_tier(spark):
+    # k_hard=0: every negative comes from the seeded uniform tier, still
+    # excluding positives and self
+    from transmog_spark.operators.similarity import hard_negatives
+
+    rows = [(i, [float(i + 1), 1.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") == 0)
+    pos = spark.createDataFrame([(0, 1)], "query_id long, neighbor_id long")
+    out = hard_negatives(df, q, pos, k_hard=0, k_rand=3, seed="pr").collect()
+    assert len(out) == 3
+    assert {r.kind for r in out} == {"random"}
+    assert sorted(r.rank for r in out) == [1, 2, 3]
+    assert not {0, 1} & {r.neighbor_id for r in out}
+
+
 def test_retrieval_recall_dedups_repeated_candidate_rows(spark):
     from transmog_spark.operators.similarity import retrieval_recall
 
