@@ -26,6 +26,11 @@ sketch-sized aggregates, and writes a profile directory:
                                natural share, target share q ∝ p^α, and the
                                fractional-epoch multiplier that realizes it
                                (feed straight into epoch_mixture).
+* ``<out>/dedup_stats/``     — (``--dedup-report`` only) per-source near-dup
+                               drop rates; ``<out>/dup_size_hist/`` the
+                               cluster-size distribution. The one optional
+                               section whose cost is corpus-shaped (a full
+                               MinHash-LSH pass), hence opt-in.
 * ``<out>/_PROFILE.json``    — corpus-level scalars: doc count, token sum,
                                HLL distinct-token estimate, parameters.
 
@@ -72,6 +77,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--cms-threshold", type=int, default=1000)
     p.add_argument("--quality-floor", type=float, default=0.5)
     p.add_argument("--mix-alpha", type=float, default=0.3)
+    p.add_argument(
+        "--dedup-report",
+        action="store_true",
+        help="add near-dup telemetry sections (runs MinHash LSH over the "
+        "corpus — the one optional section whose cost is corpus-shaped, "
+        "off by default)",
+    )
+    p.add_argument("--dedup-threshold", type=float, default=0.5)
+    p.add_argument("--dedup-num-hashes", type=int, default=16)
+    p.add_argument("--dedup-bands", type=int, default=4)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     return p.parse_args(argv)
 
@@ -154,6 +169,32 @@ def main(argv: list[str] | None = None) -> int:
         os.path.join(out, "vocab_drift")
     )
 
+    # optional near-dup telemetry: per-source drop rates + cluster-size
+    # distribution (the CCNet/FineWeb per-dump dedup report). The pairs
+    # frame is persisted so the two sections share ONE LSH pass.
+    if args.dedup_report:
+        from transmog_spark.operators.dedup import (
+            cluster_size_histogram,
+            dedup_report,
+            minhash_near_duplicates,
+        )
+
+        pairs = minhash_near_duplicates(
+            docs,
+            sid,
+            txt,
+            num_hashes=args.dedup_num_hashes,
+            bands=args.dedup_bands,
+            threshold=args.dedup_threshold,
+        ).persist()
+        dedup_report(
+            docs.select(sid, src), pairs, id_col=sid, group_col=src
+        ).write.mode("overwrite").parquet(os.path.join(out, "dedup_stats"))
+        cluster_size_histogram(pairs).write.mode("overwrite").parquet(
+            os.path.join(out, "dup_size_hist")
+        )
+        pairs.unpersist()
+
     totals = base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("sum_tokens")
     ).collect()[0]
@@ -182,7 +223,8 @@ def main(argv: list[str] | None = None) -> int:
             "heavy_terms",
             "vocab_drift",
             "mixture_weights",
-        ],
+        ]
+        + (["dedup_stats", "dup_size_hist"] if args.dedup_report else []),
     }
     tmp = os.path.join(out, "_PROFILE.json.tmp")
     with open(tmp, "w") as fh:

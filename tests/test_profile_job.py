@@ -80,3 +80,38 @@ def test_profile_job_end_to_end(spark, sf_dir, tmp_path):
     for r in drift:
         # KL >= 0 up to the 1e-4 ln-grid rounding of individual terms
         assert r["kl"] >= -1e-3, r
+    # opt-in sections absent by default
+    assert not os.path.exists(os.path.join(out, "dedup_stats"))
+
+
+def test_profile_job_dedup_report_sections(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "profile_dedup")
+    rc = profile_main(
+        [
+            "--input", os.path.join(sf_dir, "documents.parquet"),
+            "--output", out,
+            "--shuffle-partitions", "8",
+            "--dedup-report",
+            "--dedup-threshold", "0.2",
+        ]
+    )
+    assert rc == 0
+    with open(os.path.join(out, "_PROFILE.json")) as fh:
+        summary = json.load(fh)
+    assert "dedup_stats" in summary["sections"]
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+
+    stats = spark.read.parquet(os.path.join(out, "dedup_stats")).collect()
+    assert sum(r["n_docs"] for r in stats) == n_docs
+    for r in stats:
+        assert 0 <= r["n_dropped"] <= r["n_clustered"] <= r["n_docs"]
+        assert 0.0 <= r["drop_rate"] <= 1.0
+
+    hist = spark.read.parquet(os.path.join(out, "dup_size_hist")).collect()
+    # every cluster has >= 2 members by construction, and the histogram's
+    # member total equals the corpus-wide clustered-doc count
+    assert all(r["cluster_size"] >= 2 for r in hist)
+    assert sum(r["cluster_size"] * r["n_clusters"] for r in hist) == sum(
+        r["n_clustered"] for r in stats
+    )
