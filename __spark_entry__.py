@@ -483,6 +483,18 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(d, "doc_id", "text")
 
 
+def _q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split (operators/lm.py:ppl_buckets): per-source
+    equal-count perplexity tertiles over the bigram-LM score — the
+    CCNet/LLaMA data-recipe selection knob (train on head+middle, drop
+    tail). Exact ntile path here (oracle parity); the no-sort
+    percentile-cutoff path is the 100 TB variant."""
+    from transmog_spark.operators.lm import ppl_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    return ppl_buckets(d, "doc_id", "text", group_col="source")
+
+
 def _q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite Gopher/CCNet quality verdict (operators/quality.py):
     length/word-shape/punctuation/stopword/repetition/perplexity/PII rules
@@ -1942,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-stable basics (green since round 1-2) trail.  Rotate per round.
     return {
         # -- round-5 surface -------------------------------------------
+        "ppl_buckets": _q_ppl_buckets,
         "ann_recall": _q_ann_recall,
         "dedup_report": _q_dedup_report,
         "dup_size_hist": _q_dup_size_hist,
@@ -2119,6 +2132,7 @@ def oracle_sql() -> dict[str, str]:
         importance_sql,
         domain_weights_sql,
         lm_perplexity_sql,
+        ppl_buckets_sql,
         pii_scan_sql,
         quality_gate_sql,
         text_profile_sql,
@@ -2400,6 +2414,7 @@ FROM docs GROUP BY 1
 """,
         "text_profile": text_profile_sql(),
         "lm_perplexity": lm_perplexity_sql(),
+        "ppl_buckets": ppl_buckets_sql(),
         "importance": importance_sql(),
         "domain_weights": domain_weights_sql(),
         "bpe_tokenize": bpe_tokenize_sql(),

@@ -99,6 +99,8 @@ HEADLINE = [
     "vocab_kl",
     # multinomial NB source classifier: fused train+score (plan-pinned)
     "nb_classify",
+    # CCNet head/middle/tail: per-source ppl tertiles over the LM score
+    "ppl_buckets",
     # packing-efficiency telemetry over the greedy packing
     "pack_stats",
     # stage boundaries persist on first execution (see the entry docstring);

@@ -262,3 +262,102 @@ def test_vocab_kl_partitioning_independent(spark):
     one = sorted(map(tuple, vocab_kl(df).collect()))
     many = sorted(map(tuple, vocab_kl(df.repartition(13)).collect()))
     assert one == many  # exact long sums: no addition-order drift
+
+
+def _bucket_df(spark, rows, **kw):
+    from transmog_spark.operators.lm import ppl_buckets
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = ppl_buckets(df, "doc_id", "text", group_col="source", **kw)
+    return {r.doc_id: (r.source, r.bucket, r.ppl) for r in out.collect()}
+
+
+def test_ppl_buckets_exact_tertiles(spark):
+    """Per-source equal-count split; head = lowest perplexity; ntile sizes
+    larger-first; <2-token docs absent; exact path vs a hand-derived rank."""
+    # one source, 7 scoreable docs -> ntile(3) sizes 3/2/2; doc 99 absent
+    rows = [
+        (0, "the cat sat on the mat", "a"),
+        (1, "the cat sat on the hat", "a"),
+        (2, "the dog sat on the mat", "a"),
+        (3, "a completely different sentence here", "a"),
+        (4, "the cat the cat the cat", "a"),
+        (5, "xyzzy plugh quux", "a"),
+        (6, "the cat sat on the mat again", "a"),
+        (99, "single", "a"),
+    ]
+    got = _bucket_df(spark, rows, train_pct=100)
+    assert 99 not in got
+    assert len(got) == 7
+    from collections import Counter
+
+    sizes = Counter(b for _, b, _ in got.values())
+    assert sizes == {"head": 3, "middle": 2, "tail": 2}
+    # bucket order must follow perplexity: max ppl in head <= min ppl in
+    # middle <= ... (ties broken by id cannot cross a ppl inversion)
+    by_bucket = {
+        lab: sorted(p for _, b, p in got.values() if b == lab)
+        for lab in ("head", "middle", "tail")
+    }
+    assert by_bucket["head"][-1] <= by_bucket["middle"][0] + 1e-9
+    assert by_bucket["middle"][-1] <= by_bucket["tail"][0] + 1e-9
+
+
+def test_ppl_buckets_group_isolation_and_labels(spark):
+    """Buckets are assigned within each source independently; custom label
+    count respected."""
+    rows = []
+    for s, base in (("a", 0), ("b", 100)):
+        rows += [
+            (base + 0, "the cat sat on the mat", s),
+            (base + 1, "the cat sat on the hat", s),
+            (base + 2, "xyzzy plugh quux", s),
+            (base + 3, "a completely different sentence here", s),
+        ]
+    got = _bucket_df(spark, rows, train_pct=100, labels=("keep", "drop"))
+    from collections import Counter
+
+    for s in ("a", "b"):
+        sizes = Counter(b for src, b, _ in got.values() if src == s)
+        assert sizes == {"keep": 2, "drop": 2}
+
+
+def test_ppl_buckets_approx_agrees_on_separated_data(spark):
+    """The no-sort percentile-cutoff path assigns every doc a valid label
+    and matches the exact path when scores are well separated."""
+    rows = [
+        (0, "the cat sat on the mat", "a"),
+        (1, "the cat sat on the hat", "a"),
+        (2, "the dog sat on the mat", "a"),
+        (3, "a completely different sentence here", "a"),
+        (4, "the cat the cat the cat", "a"),
+        (5, "xyzzy plugh quux", "a"),
+    ]
+    exact = _bucket_df(spark, rows, train_pct=100)
+    approx = _bucket_df(spark, rows, train_pct=100, cutoffs="approx")
+    assert set(approx) == set(exact)
+    assert all(b in ("head", "middle", "tail") for _, b, _ in approx.values())
+    # count-split (ntile) and value-threshold buckets may disagree AT the
+    # boundaries; the contract is monotonicity — walking docs by ascending
+    # perplexity, the bucket index never decreases — plus the extremes:
+    order = {"head": 0, "middle": 1, "tail": 2}
+    by_ppl = sorted(approx.values(), key=lambda t: t[2])
+    idx = [order[b] for _, b, _ in by_ppl]
+    assert idx == sorted(idx)
+    assert idx[0] == 0  # best doc always in head
+    # on a tiny stratum the lowest cutoff can equal the stratum minimum
+    # (documented value-threshold semantics) — but buckets never collapse
+    # to one when scores differ:
+    assert len(set(idx)) >= 2
+
+
+def test_ppl_buckets_validation(spark):
+    from transmog_spark.operators.lm import ppl_buckets
+
+    df = spark.createDataFrame(
+        [(0, "a b", "s")], "doc_id long, text string, source string"
+    )
+    with pytest.raises(ValueError):
+        ppl_buckets(df, labels=("only",))
+    with pytest.raises(ValueError):
+        ppl_buckets(df, cutoffs="nope")

@@ -446,3 +446,82 @@ def vocab_kl(
             F.col("__skl").cast("double") / F.col("__ts") / F.lit(10000.0), 4
         ).alias("kl"),
     )
+
+
+def ppl_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    group_col: str = "source",
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    train_pct: int = 80,
+    k: float = LM_K,
+    model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    cutoffs: str = "exact",
+) -> DataFrame:
+    """CCNet's head/middle/tail perplexity split (Wenzek et al. 2020 §4.3):
+    within each ``group_col`` stratum (language / dump / source), rank
+    documents by bigram-LM quality and cut the stratum into
+    ``len(labels)`` equal-count buckets — ``labels[0]`` ("head") is the
+    lowest-perplexity (highest-quality) slice. This is the selection knob
+    the CCNet/LLaMA data recipes expose: train on head+middle, drop tail,
+    or α-sample across buckets.
+
+    Ranking key: ``avg_logp`` DESC (ppl = exp(-avg_logp), so descending
+    avg_logp is ascending perplexity), tie-broken by ``id_col`` —
+    avg_logp is the exact 1e-4-grid integer ``lm_score`` derives in BIGINT
+    arithmetic on both engines, so the order (and hence every bucket
+    boundary) is engine-identical; no floating-point rank flip can move a
+    doc across a cut. Docs with < 2 tokens have no bigrams and are absent
+    (same contract as ``lm_score``).
+
+    ``cutoffs='exact'`` (default, the oracle-parity path) assigns buckets
+    with ``ntile`` over a per-group sort — one exchange on ``group_col``
+    plus an in-partition sort, the same shape CCNet's own per-language
+    shard sort has. At 100 TB strata a full per-group sort is the
+    expensive-but-honest option; ``cutoffs='approx'`` instead aggregates
+    per-group ``percentile_approx`` cut values of avg_logp (a tiny
+    |groups|·(n-1) frame, broadcast back) and labels by stateless
+    comparison — no sort, one extra map-side-combined agg, at the cost of
+    count-exactness when ties straddle a cut (ties share a bucket instead
+    of splitting ntile-style). Value-threshold corollary: on a tiny
+    stratum the lowest cut can equal the stratum minimum and leave the
+    last bucket empty; assignment stays monotone in perplexity either
+    way, and at production stratum sizes the two paths differ by at most
+    the docs sitting exactly on a cut value.
+
+    Output: (id, group, ppl, bucket).
+    """
+    if len(labels) < 2:
+        raise ValueError("ppl_buckets needs at least 2 labels")
+    if cutoffs not in ("exact", "approx"):
+        raise ValueError(f"cutoffs must be 'exact' or 'approx', got {cutoffs!r}")
+    scored = lm_score(
+        df, id_col, text_col, train_pct=train_pct, k=k, model=model
+    )
+    j = scored.join(df.select(id_col, group_col), id_col)
+    n = len(labels)
+    label_arr = F.array(*[F.lit(lab) for lab in labels])
+    if cutoffs == "exact":
+        w = Window.partitionBy(group_col).orderBy(
+            F.col("avg_logp").desc(), F.col(id_col).asc()
+        )
+        bucket = F.element_at(label_arr, F.ntile(n).over(w))
+    else:
+        fracs = [1.0 - i / n for i in range(1, n)]  # descending avg_logp cuts
+        cuts = j.groupBy(group_col).agg(
+            F.percentile_approx("avg_logp", fracs, 100000).alias("__cuts")
+        )
+        j = j.join(F.broadcast(cuts), group_col)
+        # labels[0] iff avg_logp >= cuts[0] (the (n-1)/n percentile), …;
+        # unrolled at plan time (labels is a python tuple)
+        bucket = F.lit(labels[-1])
+        for i in range(n - 2, -1, -1):
+            bucket = F.when(
+                F.col("avg_logp") >= F.element_at(F.col("__cuts"), i + 1),
+                F.lit(labels[i]),
+            ).otherwise(bucket)
+    return j.select(
+        F.col(id_col), F.col(group_col), F.col("ppl"), bucket.alias("bucket")
+    )

@@ -2129,6 +2129,45 @@ FROM final
 """
 
 
+def ppl_buckets_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    train_pct: int = 80,
+    k: float = 0.5,
+) -> str:
+    """CCNet head/middle/tail perplexity split (operators/lm.py:ppl_buckets,
+    cutoffs='exact'): the full lm_perplexity query as a CTE, joined back to
+    the corpus for the stratum column, then ntile(n) per stratum ordered by
+    avg_logp DESC, id ASC. avg_logp is the exact 1e-4-grid integer-derived
+    double on both engines and ntile's larger-groups-first split is SQL
+    standard in both, so bucket boundaries are engine-identical."""
+    lm = lm_perplexity_sql(
+        table=table, id_col=id_col, text_col=text_col, train_pct=train_pct, k=k
+    )
+    lab_list = ", ".join("'" + lab.replace("'", "''") + "'" for lab in labels)
+    n = len(labels)
+    return f"""
+WITH lm AS (
+{lm}
+),
+j AS (
+  SELECT lm.{id_col} AS {id_col}, d.{group_col} AS {group_col},
+         lm.ppl, lm.avg_logp
+  FROM lm JOIN {table} d USING ({id_col})
+)
+SELECT {id_col}, {group_col}, ppl,
+       ([{lab_list}])[
+         ntile({n}) OVER (PARTITION BY {group_col}
+                          ORDER BY avg_logp DESC, {id_col})
+       ] AS bucket
+FROM j
+"""
+
+
 def nb_classify_sql(
     *,
     table: str = "documents",
