@@ -1538,6 +1538,92 @@ def _q_media_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize leg, NON-stub: deterministic 12x8 P6 PPMs (pixel
+    (x,y,c) of doc d = (d*31 + y*17 + x*5 + c*11) % 256) are really
+    encoded (codecs.encode_ppm), resized to 5x3 through the Arrow-batched
+    resize_media operator (nearest-neighbor ppm_resize_nn, exact integer
+    source mapping x*W DIV out_w), then really re-decoded; the oracle
+    recomputes the same mapping in SQL. The position-weighted checksum
+    (sum of value*(idx+1)) breaks on any stride/transpose/header bug."""
+    import pandas as pd
+
+    from transmog_spark.operators.codecs import decode_ppm, encode_ppm
+    from transmog_spark.operators.multimodal import resize_media
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64).select("doc_id")
+    W, H, W2, H2 = 12, 8, 5, 3
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pix = bytes(
+                    (did * 31 + y * 17 + x * 5 + c * 11) % 256
+                    for y in range(H)
+                    for x in range(W)
+                    for c in range(3)
+                )
+                payloads.append(encode_ppm(pix, W, H))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype(str), "payload": payloads}
+            )
+
+    media = d.mapInPandas(synth, schema="media_id string, payload binary")
+    resized = resize_media(media, W2, H2)
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _mx, pix = decode_ppm(bytes(payload))
+                sums = [0, 0, 0]
+                chk = 0
+                for i, v in enumerate(pix):
+                    sums[i % 3] += v
+                    chk += v * (i + 1)
+                rows.append((mid, w, h, sums[0], sums[1], sums[2], chk))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height",
+                    "sum_r", "sum_g", "sum_b", "checksum",
+                ],
+            )
+
+    return resized.mapInPandas(
+        stats,
+        schema=(
+            "media_id string, width int, height int, "
+            "sum_r long, sum_g long, sum_b long, checksum long"
+        ),
+    )
+
+
+MEDIA_RESIZE_SQL = """
+WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+px AS (
+  SELECT d.doc_id, y2.y, x2.x, c.c,
+         -- nearest-neighbor source mapping of the 12x8 -> 5x3 resize
+         (d.doc_id * 31 + ((y2.y * 8) // 3) * 17
+          + ((x2.x * 12) // 5) * 5 + c.c * 11) % 256 AS v,
+         (y2.y * 5 + x2.x) * 3 + c.c AS idx
+  FROM docs d,
+       (SELECT unnest(range(3)) AS y) y2,
+       (SELECT unnest(range(5)) AS x) x2,
+       (SELECT unnest(range(3)) AS c) c
+)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       5 AS width, 3 AS height,
+       CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b,
+       CAST(sum(v * (idx + 1)) AS BIGINT) AS checksum
+FROM px GROUP BY doc_id
+"""
+
+
 MEDIA_WAV_SQL = """
 WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 64),
 samples AS (
@@ -1955,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-5 surface -------------------------------------------
         "ppl_buckets": _q_ppl_buckets,
+        "media_resize": _q_media_resize,
         "ann_recall": _q_ann_recall,
         "dedup_report": _q_dedup_report,
         "dup_size_hist": _q_dup_size_hist,
@@ -2436,6 +2523,7 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id,
 FROM documents
 """,
         "media_wav_features": MEDIA_WAV_SQL,
+        "media_resize": MEDIA_RESIZE_SQL,
         "embedding_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),

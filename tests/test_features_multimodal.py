@@ -214,3 +214,57 @@ def test_extract_features_real_wav_decoder(spark):
     }
     for k, v in payloads.items():
         assert got[k] == wav_feature_vector(v)
+
+
+def test_ppm_resize_nn_known_mapping():
+    """2x2 -> 4x4 upscale replicates each source pixel into a 2x2 block;
+    4x4 -> 2x2 downscale keeps the top-left of each block (floor rule)."""
+    from transmog_spark.operators.codecs import decode_ppm, encode_ppm, ppm_resize_nn
+
+    # distinct RGB per pixel: pixel k has bytes (3k, 3k+1, 3k+2)
+    src = encode_ppm(bytes(range(2 * 2 * 3)), 2, 2)
+    up = ppm_resize_nn(src, 4, 4)
+    w, h, mx, pix = decode_ppm(up)
+    assert (w, h, mx) == (4, 4, 255)
+    # output (x,y) samples source (x*2//4, y*2//4) = (x//2, y//2)
+    for y in range(4):
+        for x in range(4):
+            sk = (y // 2) * 2 + (x // 2)
+            assert pix[(y * 4 + x) * 3 : (y * 4 + x) * 3 + 3] == bytes(
+                (3 * sk, 3 * sk + 1, 3 * sk + 2)
+            )
+    # round-trip down: floor rule picks source (x*4//2, y*4//2) = (2x, 2y)
+    down = ppm_resize_nn(up, 2, 2)
+    assert decode_ppm(down)[3] == decode_ppm(src)[3]
+
+
+def test_ppm_resize_nn_identity_and_validation():
+    from transmog_spark.operators.codecs import decode_ppm, encode_ppm, ppm_resize_nn
+
+    src = encode_ppm(bytes((7,) * 3 * 3 * 3), 3, 3)
+    assert decode_ppm(ppm_resize_nn(src, 3, 3))[3] == decode_ppm(src)[3]
+    import pytest
+
+    with pytest.raises(ValueError):
+        ppm_resize_nn(src, 0, 3)
+    with pytest.raises(ValueError):
+        ppm_resize_nn(b"P6\n0 0\n255\n", 2, 2)
+
+
+def test_resize_media_composes_with_extract_features(spark):
+    """Binary->binary Arrow stage composes with the feature extractor
+    downstream without a shuffle; feature means match the resized raster."""
+    from transmog_spark.operators.codecs import encode_ppm, ppm_feature_vector
+    from transmog_spark.operators.multimodal import extract_features, resize_media
+
+    rows = [
+        ("a", encode_ppm(bytes([255, 0, 0] * 4), 2, 2)),   # all red
+        ("b", encode_ppm(bytes([0, 255, 0] * 9), 3, 3)),   # all green
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = extract_features(
+        resize_media(df, 4, 4), decode_fn=ppm_feature_vector
+    ).collect()
+    got = {r.media_id: r.feature for r in out}
+    assert got["a"][:2] == [4.0, 4.0] and got["a"][2] == 1.0 and got["a"][3] == 0.0
+    assert got["b"][3] == 1.0 and got["b"][2] == 0.0

@@ -158,3 +158,29 @@ def ppm_feature_vector(payload: bytes) -> list[float]:
         mb,
         0.299 * mr + 0.587 * mg + 0.114 * mb,
     ]
+
+
+def ppm_resize_nn(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a P6 PPM raster, dependency-free.
+
+    Standard NN index rule: output pixel (x, y) samples source pixel
+    (x*W DIV out_w, y*H DIV out_h) — exact integer floor division, so the
+    mapping (and therefore every output byte) is engine-reproducible; the
+    DuckDB oracle recomputes the same mapping in SQL. Upscales and
+    downscales alike; preserves maxval.
+    """
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("output dimensions must be positive")
+    width, height, maxval, pixels = decode_ppm(payload)
+    if width == 0 or height == 0:
+        raise ValueError("cannot resize an empty raster")
+    out = bytearray(out_w * out_h * 3)
+    pos = 0
+    for y in range(out_h):
+        sy = (y * height) // out_h
+        row = sy * width
+        for x in range(out_w):
+            src = (row + (x * width) // out_w) * 3
+            out[pos : pos + 3] = pixels[src : src + 3]
+            pos += 3
+    return encode_ppm(bytes(out), out_w, out_h, maxval)

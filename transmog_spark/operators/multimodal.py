@@ -102,3 +102,42 @@ def frame_sample_plan(
             )
         ).alias("frame_ts_ms"),
     )
+
+
+def resize_media(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize image payloads via Arrow-batched mapInPandas — the third leg
+    of the multimodal plumbing (decode / feature-extract / RESIZE /
+    frame-sample). Partition-preserving, binary in -> binary out, so it
+    composes with ``extract_features`` downstream without a shuffle.
+
+    Default codec is the dependency-free nearest-neighbor PPM resize
+    (operators/codecs.py:ppm_resize_nn — exact integer source mapping,
+    byte-reproducible); pass ``resize_fn`` to swap in a real image library
+    where one is installed (PIL/OpenCV are not in this container).
+    """
+    from transmog_spark.operators.codecs import ppm_resize_nn
+
+    fn = resize_fn or ppm_resize_nn
+    out_schema = f"{id_col} string, payload binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype(str),
+                    "payload": pdf[payload_col].map(
+                        lambda p: fn(bytes(p), out_w, out_h)
+                    ),
+                }
+            )
+
+    src = df.select(F.col(id_col).cast("string").alias(id_col), F.col(payload_col))
+    return src.mapInPandas(run, schema=out_schema)
