@@ -495,6 +495,27 @@ def _q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppl_buckets(d, "doc_id", "text", group_col="source")
 
 
+def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source filter-ablation table (operators/quality.py:
+    quality_report): which quality rule rejects how much of each source."""
+    from transmog_spark.operators.quality import quality_report
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_report(d, "doc_id", "text", source_col="source")
+
+
+def _q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source benchmark-contamination audit (operators/corpus.py:
+    contamination_report): benchmark = doc_id % 97 == 0 slice, 3-grams,
+    flagged above contamination 0."""
+    from transmog_spark.operators.corpus import contamination_report
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    return contamination_report(corpus, bench, n=3)
+
+
 def _q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite Gopher/CCNet quality verdict (operators/quality.py):
     length/word-shape/punctuation/stopword/repetition/perplexity/PII rules
@@ -2042,6 +2063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 surface -------------------------------------------
         "ppl_buckets": _q_ppl_buckets,
         "media_resize": _q_media_resize,
+        "quality_report": _q_quality_report,
+        "contamination_report": _q_contamination_report,
         "ann_recall": _q_ann_recall,
         "dedup_report": _q_dedup_report,
         "dup_size_hist": _q_dup_size_hist,
@@ -2220,6 +2243,8 @@ def oracle_sql() -> dict[str, str]:
         domain_weights_sql,
         lm_perplexity_sql,
         ppl_buckets_sql,
+        quality_report_sql,
+        contamination_report_sql,
         pii_scan_sql,
         quality_gate_sql,
         text_profile_sql,
@@ -2502,6 +2527,8 @@ FROM docs GROUP BY 1
         "text_profile": text_profile_sql(),
         "lm_perplexity": lm_perplexity_sql(),
         "ppl_buckets": ppl_buckets_sql(),
+        "quality_report": quality_report_sql(),
+        "contamination_report": contamination_report_sql(shingle_n=3, bench_mod=97),
         "importance": importance_sql(),
         "domain_weights": domain_weights_sql(),
         "bpe_tokenize": bpe_tokenize_sql(),

@@ -68,3 +68,56 @@ def test_keep_fraction_nontrivial_on_corpus(spark, sf_dir):
     }
     total = sum(counts.values())
     assert 0 < counts.get("keep", 0) < total
+
+
+def test_quality_report_covers_every_doc_and_sums(spark):
+    """Every doc lands in exactly one (source, verdict) cell — empty and
+    1-token docs included — and per-source fracs sum to 1."""
+    from transmog_spark.operators.quality import quality_report
+
+    long_ok = (
+        "the quick brown fox jumps over the lazy dog because it is a "
+        "fine day today and tomorrow will be better than yesterday was"
+    )
+    rows = [
+        (0, "", "a"),
+        (1, "one", "a"),
+        (2, long_ok, "a"),
+        (3, long_ok, "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = quality_report(df).collect()
+    assert sum(r.n for r in out) == 4
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    for src, cells in by_src.items():
+        assert sum(c.n for c in cells) == cells[0].n_source
+        assert abs(sum(c.frac for c in cells) - 1.0) < 1e-6
+    a = {r.verdict: r.n for r in by_src["a"]}
+    assert a["too_short"] == 2 and a.get("keep") == 1
+
+
+def test_contamination_report_short_docs_count_clean(spark):
+    """Docs with < n tokens emit no n-grams but still appear in the
+    denominator as clean; flagged = contamination > threshold."""
+    from transmog_spark.operators.corpus import contamination_report
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta", "bench")],
+        "doc_id long, text string, source string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon", "a"),  # contaminated
+            (1, "zz yy xx ww vv uu", "a"),               # clean
+            (2, "hi", "a"),                               # gram-less
+            (3, "alpha beta gamma", "b"),                 # exact bench 3-gram
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in contamination_report(corpus, bench, n=3).collect()}
+    assert out["a"].n_docs == 3 and out["a"].n_flagged == 1
+    assert abs(out["a"].flag_rate - round(1 / 3, 4)) < 1e-9
+    assert out["b"].n_docs == 1 and out["b"].n_flagged == 1
+    assert out["b"].max_contamination == 1.0

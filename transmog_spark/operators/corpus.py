@@ -1039,3 +1039,48 @@ def cap_tokens_per_source(
         cum.alias("cum_tokens"),
         (cum <= F.lit(int(budget))).alias("kept"),
     )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    source_col: str = "source",
+    n: int = 5,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Per-source benchmark-contamination telemetry: how much of each
+    source trips the n-gram decontamination filter — the hygiene-audit
+    table that accompanies the per-doc ``decontaminate`` verdicts (GPT-3
+    §C reports exactly this per dataset).
+
+    Docs that emit no n-grams (fewer than ``n`` tokens) are counted as
+    clean — the spine left-joins the decontamination frame and coalesces
+    contamination to 0, so short docs can never vanish from the
+    denominator (the same hazard the streaming gate fixed). Flagged =
+    contamination strictly above ``threshold`` on the round-4 grid.
+
+    Scale shape: ``decontaminate``'s documented one-pass shape (broadcast
+    benchmark grams) plus one id-keyed join and a |sources|-row agg.
+    Output: (source, n_docs, n_flagged, flag_rate, max_contamination).
+    """
+    dec = decontaminate(corpus, benchmark, id_col, text_col, n=n)
+    spine = corpus.select(F.col(id_col), F.col(source_col))
+    j = spine.join(dec, id_col, "left").select(
+        F.col(source_col),
+        F.coalesce(F.col("contamination"), F.lit(0.0)).alias("__c"),
+    )
+    return j.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("__c") > threshold, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.round(
+            F.sum(F.when(F.col("__c") > threshold, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("flag_rate"),
+        F.round(F.max("__c"), 4).alias("max_contamination"),
+    )

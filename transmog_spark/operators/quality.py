@@ -228,3 +228,40 @@ def quality_gate(
         F.col("__n_pii").cast("long").alias("n_pii"),
         verdict.alias("verdict"),
     )
+
+
+def quality_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    source_col: str = "source",
+    **gate_kwargs,
+) -> DataFrame:
+    """Per-source quality-gate telemetry: which rule rejects how much of
+    each source — the FineWeb/CCNet-style filter-ablation table that turns
+    a per-doc verdict column into the number a pipeline owner actually
+    reads ("source X loses 40% to stopword_ratio; retune or drop X").
+
+    One row per (source, verdict): n docs, the source's total, and the
+    exact-fraction share (round-4 of BIGINT/BIGINT — engine-identical).
+    Scale shape: the gate's own documented scans plus one id-keyed join to
+    the (id, source) spine and two map-side-combined aggs over
+    |sources|x|rules| rows; the report adds no corpus-wide shuffle beyond
+    the gate's.
+    """
+    gated = quality_gate(df, id_col, text_col, **gate_kwargs)
+    j = gated.select(F.col(id_col), "verdict").join(
+        df.select(F.col(id_col), F.col(source_col)), id_col
+    )
+    per = j.groupBy(source_col, "verdict").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = per.groupBy(source_col).agg(F.sum("n").cast("long").alias("n_source"))
+    return per.join(tot, source_col).select(
+        F.col(source_col),
+        F.col("verdict"),
+        F.col("n"),
+        F.col("n_source"),
+        F.round(F.col("n") / F.col("n_source"), 4).alias("frac"),
+    )

@@ -2129,6 +2129,80 @@ FROM final
 """
 
 
+def quality_report_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> str:
+    """Per-source quality-gate verdict histogram (operators/quality.py:
+    quality_report): the full quality_gate query as a CTE, joined to the
+    (id, source) spine, then the exact-fraction share per (source,
+    verdict) — round-4 of BIGINT/BIGINT on both engines."""
+    qg = quality_gate_sql(table=table, id_col=id_col, text_col=text_col)
+    return f"""
+WITH qg AS (
+{qg}
+),
+j AS (
+  SELECT d.{source_col} AS {source_col}, qg.verdict
+  FROM qg JOIN {table} d USING ({id_col})
+),
+per AS (
+  SELECT {source_col}, verdict, CAST(count(*) AS BIGINT) AS n
+  FROM j GROUP BY 1, 2
+),
+tot AS (
+  SELECT {source_col}, CAST(sum(n) AS BIGINT) AS n_source
+  FROM per GROUP BY 1
+)
+SELECT per.{source_col}, per.verdict, per.n, tot.n_source,
+       round(CAST(per.n AS DOUBLE) / tot.n_source, 4) AS frac
+FROM per JOIN tot USING ({source_col})
+"""
+
+
+def contamination_report_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    shingle_n: int = 3,
+    bench_mod: int = 97,
+    threshold: float = 0.0,
+) -> str:
+    """Per-source contamination telemetry (operators/corpus.py:
+    contamination_report): the decontaminate query as a CTE, left-joined
+    from the corpus spine (short gram-less docs count as clean), flagged
+    strictly above the round-4 threshold."""
+    dec = decontaminate_sql(
+        table=table, id_col=id_col, text_col=text_col,
+        shingle_n=shingle_n, bench_mod=bench_mod,
+    )
+    return f"""
+WITH dec AS (
+{dec}
+),
+spine AS (
+  SELECT {id_col}, {source_col} FROM {table} WHERE {id_col} % {bench_mod} <> 0
+),
+j AS (
+  SELECT spine.{source_col} AS {source_col},
+         coalesce(dec.contamination, 0.0) AS c
+  FROM spine LEFT JOIN dec USING ({id_col})
+)
+SELECT {source_col},
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN c > {threshold} THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       round(CAST(sum(CASE WHEN c > {threshold} THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS flag_rate,
+       round(max(c), 4) AS max_contamination
+FROM j GROUP BY 1
+"""
+
+
 def ppl_buckets_sql(
     *,
     table: str = "documents",
