@@ -944,6 +944,16 @@ def _q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(d, _minhash_pairs_cached(spark, sf_dir))
 
 
+def _q_leakage_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware k-fold CV assignment (operators/corpus.py:
+    leakage_folds): fold hash keys on the duplicate-cluster representative
+    so near-duplicates always share a fold — leakage_safe_split, k ways."""
+    from transmog_spark.operators.corpus import leakage_folds
+
+    d = _t(spark, sf_dir, "documents")
+    return leakage_folds(d, _minhash_pairs_cached(spark, sf_dir))
+
+
 def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transmog_spark.operators.similarity import brute_force_topk
 
@@ -2065,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": _q_media_resize,
         "quality_report": _q_quality_report,
         "contamination_report": _q_contamination_report,
+        "leakage_folds": _q_leakage_folds,
         "ann_recall": _q_ann_recall,
         "dedup_report": _q_dedup_report,
         "dup_size_hist": _q_dup_size_hist,
@@ -2199,6 +2210,7 @@ def oracle_sql() -> dict[str, str]:
         hard_negatives_sql,
         bloom_dedup_sql,
         leakage_safe_split_sql,
+        leakage_folds_sql,
         curation_pipeline_sql,
         decontaminate_sql,
         decontaminate_fuzzy_sql,
@@ -2687,6 +2699,11 @@ FROM documents GROUP BY 1
         ),
         "bloom_dedup": bloom_dedup_sql(),
         "leakage_split": leakage_safe_split_sql(
+            minhash_pairs_sql(
+                shingle_n=3, num_hashes=8, bands=4, threshold=0.2, max_bucket=500
+            )
+        ),
+        "leakage_folds": leakage_folds_sql(
             minhash_pairs_sql(
                 shingle_n=3, num_hashes=8, bands=4, threshold=0.2, max_bucket=500
             )

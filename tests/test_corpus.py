@@ -726,3 +726,42 @@ def test_decontaminate_fuzzy_dilution_beats_aggregate_gate(spark):
     assert fz.bench_id == 1000 and fz.containment == 1.0
     assert fz.jaccard == pytest.approx(3 / 203, abs=1e-4)  # Jaccard dilutes
     assert fz.contaminated == 1
+
+
+def test_leakage_folds_groups_near_dups_and_balances(spark):
+    from transmog_spark.operators.corpus import leakage_folds
+
+    docs = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(3, 4), (4, 5), (10, 150)], "id_a long, id_b long"
+    )
+    rows = {r["doc_id"]: r for r in leakage_folds(docs, pairs, n_folds=5).collect()}
+    assert len(rows) == 300
+    # cluster members share the representative AND the fold
+    assert rows[3]["fold"] == rows[4]["fold"] == rows[5]["fold"]
+    assert rows[3]["split_key"] == rows[5]["split_key"] == 3
+    assert rows[10]["fold"] == rows[150]["fold"]
+    # every fold populated, roughly balanced at this size
+    from collections import Counter
+
+    sizes = Counter(r["fold"] for r in rows.values())
+    assert set(sizes) == {0, 1, 2, 3, 4}
+    assert min(sizes.values()) > 30
+    # all folds in range
+    assert all(0 <= f < 5 for f in sizes)
+
+
+def test_leakage_folds_seed_redraw_and_validation(spark):
+    import pytest
+
+    from transmog_spark.operators.corpus import leakage_folds
+
+    docs = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    a = {r["doc_id"]: r["fold"] for r in leakage_folds(docs, empty).collect()}
+    b = {r["doc_id"]: r["fold"] for r in leakage_folds(docs, empty).collect()}
+    c = {r["doc_id"]: r["fold"] for r in leakage_folds(docs, empty, seed="other").collect()}
+    assert a == b  # deterministic
+    assert a != c  # seed redraws
+    with pytest.raises(ValueError):
+        leakage_folds(docs, empty, n_folds=1)

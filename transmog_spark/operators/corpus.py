@@ -1084,3 +1084,61 @@ def contamination_report(
         ).alias("flag_rate"),
         F.round(F.max("__c"), 4).alias("max_contamination"),
     )
+
+
+def leakage_folds(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    n_folds: int = 5,
+    seed: str = "folds",
+    max_iterations: int = 25,
+    algorithm: str = "label",
+) -> DataFrame:
+    """Near-dup-aware k-fold assignment: ``leakage_safe_split`` generalized
+    from a train/val cut to cross-validation — the fold hash keys on the
+    duplicate-cluster representative, so near-duplicates always share a
+    fold and no fold's held-out slice ever scores another fold's memorized
+    text (the Lee et al. 2022 §6 contamination mode, k ways).
+
+    Returns (``id_col``, split_key, fold) with fold ∈ [0, n_folds) — a
+    verdict table; callers pick fold i's train set with one ``fold != i``
+    filter. Deterministic across runs, engines and partitionings (seeded
+    60-bit md5 of the cluster key), and changing ``seed`` redraws every
+    assignment.
+
+    Scale shape: identical to ``leakage_safe_split`` — bounded component
+    rounds over the (tiny) duplicate edge set, one broadcast-eligible left
+    join, stateless per-row fold expression.
+    """
+    if n_folds < 2:
+        raise ValueError("n_folds must be >= 2")
+    from transmog_spark.operators.dedup import duplicate_components
+
+    comps = duplicate_components(
+        pairs, max_iterations=max_iterations, algorithm=algorithm
+    ).withColumnsRenamed({"doc_id": "__cid_doc", "cluster_id": "__cluster"})
+    keyed = df.select(F.col(id_col)).join(
+        comps, F.col(id_col) == F.col("__cid_doc"), "left"
+    )
+    # string-form hash key: long-casting a string id would NULL out and
+    # collapse every unclustered doc into fold hash(NULL) — same hazard
+    # leakage_safe_split documents
+    key_str = F.coalesce(
+        F.col("__cluster").cast("string"), F.col(id_col).cast("string")
+    )
+    from pyspark.sql import types as T
+
+    id_numeric = isinstance(df.schema[id_col].dataType, T.NumericType)
+    split_key = (
+        F.coalesce(F.col("__cluster"), F.col(id_col).cast("long"))
+        if id_numeric
+        else key_str
+    )
+    h = md5_long(F.concat(F.lit(f"{seed}#"), key_str))
+    return keyed.select(
+        F.col(id_col),
+        split_key.alias("split_key"),
+        F.pmod(h, F.lit(n_folds)).cast("int").alias("fold"),
+    )

@@ -1161,6 +1161,30 @@ FROM keyed
 """
 
 
+def leakage_folds_sql(
+    pairs_sql: str,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    n_folds: int = 5,
+    seed: str = "folds",
+) -> str:
+    """k-fold near-dup-aware assignment mirror (operators/corpus.py:
+    leakage_folds): connected components over the pair query, fold =
+    seeded 60-bit md5 of the cluster representative mod n_folds."""
+    comp = components_sql(pairs_sql)
+    h = duck_md5_long(f"'{seed}#' || CAST(split_key AS VARCHAR)")
+    return f"""
+WITH comps AS ({comp}),
+keyed AS (
+  SELECT t.{id_col}, coalesce(c.cluster_id, t.{id_col}) AS split_key
+  FROM {table} t LEFT JOIN comps c ON c.doc_id = t.{id_col})
+SELECT {id_col}, CAST(split_key AS BIGINT) AS split_key,
+       CAST({h} % {n_folds} AS INTEGER) AS fold
+FROM keyed
+"""
+
+
 def token_pipeline_sql(
     *,
     n_docs: int = 2000,
