@@ -568,6 +568,16 @@ def _q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_tokenize(d, list(seed_merges()), "doc_id", "text")
 
 
+def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer QA (operators/bpe.py:tokenizer_fertility):
+    subword fertility (pieces/word) and compression (chars/token) of the
+    seed BPE merge table against each source."""
+    from transmog_spark.operators.bpe import seed_merges, tokenizer_fertility
+
+    d = _t(spark, sf_dir, "documents")
+    return tokenizer_fertility(d, list(seed_merges()), "doc_id", "text")
+
+
 def _q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM subword tokenization (operators/unigram.py — Kudo 2018
     Viterbi-EM form): the fixed seed vocabulary's integer piece costs
@@ -2076,6 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_report": _q_quality_report,
         "contamination_report": _q_contamination_report,
         "leakage_folds": _q_leakage_folds,
+        "tokenizer_fertility": _q_tokenizer_fertility,
         "ann_recall": _q_ann_recall,
         "dedup_report": _q_dedup_report,
         "dup_size_hist": _q_dup_size_hist,
@@ -2250,6 +2261,7 @@ def oracle_sql() -> dict[str, str]:
         simhash_sql,
         bpe_chunks_sql,
         bpe_tokenize_sql,
+        tokenizer_fertility_sql,
         unigram_tokenize_sql,
         importance_sql,
         domain_weights_sql,
@@ -2544,6 +2556,7 @@ FROM docs GROUP BY 1
         "importance": importance_sql(),
         "domain_weights": domain_weights_sql(),
         "bpe_tokenize": bpe_tokenize_sql(),
+        "tokenizer_fertility": tokenizer_fertility_sql(),
         "unigram_tokenize": unigram_tokenize_sql(_unigram_seed_vocab()),
         "bpe_chunks": bpe_chunks_sql(),
         "pii_scan": pii_scan_sql(),

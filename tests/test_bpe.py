@@ -115,3 +115,30 @@ def test_seed_merges_compress(spark):
     # common seed words become single tokens
     assert encode_word("the", ranks) == ["the"]
     assert encode_word(" the", ranks) == [" the"]
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    """Exact word/token/char sums per source; a zero-word source reports
+    NULL fertility instead of a division error."""
+    from transmog_spark.operators.bpe import tokenizer_fertility
+
+    # merge table that joins 't'+'h' then 'th'+'e' -> "the" is 1 token,
+    # any other word splits to characters
+    merges = [("t", "h"), ("th", "e")]
+    rows = [
+        # GPT-2-style pretokens: "the the" -> ["the", " the"]; the second
+        # word carries its leading space, which no merge covers, so it
+        # encodes as [' ', 'the'] — 3 tokens total for doc 0
+        (0, "the the", "a"),   # 2 words, 3 tokens, 7 chars
+        (1, "cat", "a"),       # 1 word, 3 tokens (c,a,t), 3 chars
+        (2, "", "b"),          # 0 words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in tokenizer_fertility(df, merges).collect()}
+    a = got["a"]
+    assert (a.n_docs, a.n_words, a.n_tokens) == (2, 3, 6)
+    assert a.fertility == round(6 / 3, 4)
+    assert a.chars_per_token == round(10 / 6, 4)
+    b = got["b"]
+    assert (b.n_docs, b.n_words, b.n_tokens) == (1, 0, 0)
+    assert b.fertility is None and b.chars_per_token is None

@@ -283,3 +283,57 @@ def seed_merges(num_merges: int = SEED_NUM_MERGES) -> tuple[tuple[str, str], ...
     for m in _re.finditer(r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+", _SEED_TEXT):
         counts[m.group(0)] += 1
     return tuple(train_bpe(dict(counts), num_merges, min_count=2))
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source tokenizer-QA report: fertility (subword pieces per word
+    — the standard "is this tokenizer a good fit for this domain" number;
+    multilingual BERT's ~1.1-2.8 range made it famous) and compression
+    (characters per token). A domain whose fertility spikes is getting
+    shredded into char-level pieces — retrain the merges or re-balance the
+    training corpus before paying 2x the sequence length at pre-training.
+
+    All aggregates are exact BIGINT sums (word/token/char counts from the
+    Arrow-batched encoder), divisions round-4 on identical integers —
+    engine-identical. Sources with zero words report NULL fertility
+    rather than a division error. Scale shape: the encoder's one
+    partition-preserving pass plus one id-keyed join to the (id, source,
+    chars) projection and a |sources|-row agg.
+
+    Output: (source, n_docs, n_words, n_tokens, fertility,
+    chars_per_token).
+    """
+    toks = bpe_tokenize(df, merges, id_col, text_col)
+    spine = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.length(F.col(text_col)).cast("long").alias("__chars"),
+    )
+    j = toks.join(spine, id_col)
+    agg = j.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("__chars").cast("long").alias("__sum_chars"),
+    )
+    return agg.select(
+        F.col(source_col),
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.col("n_tokens") / F.col("n_words"), 4),
+        ).alias("fertility"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("__sum_chars") / F.col("n_tokens"), 4),
+        ).alias("chars_per_token"),
+    )

@@ -2505,6 +2505,42 @@ FROM {table} d LEFT JOIN agg a USING ({id_col})
 """
 
 
+def tokenizer_fertility_sql(
+    *, table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    source_col: str = "source",
+) -> str:
+    """Per-source tokenizer fertility/compression mirror (operators/bpe.py:
+    tokenizer_fertility): the full recursive-CTE BPE encoder as a CTE,
+    joined to the (id, source, chars) projection, exact BIGINT sums,
+    round-4 divisions on identical integers."""
+    bt = bpe_tokenize_sql(table=table, id_col=id_col, text_col=text_col)
+    return f"""
+WITH bt AS (
+{bt}
+),
+spine AS (
+  SELECT {id_col}, {source_col},
+         CAST(length({text_col}) AS BIGINT) AS chars
+  FROM {table}
+),
+agg AS (
+  SELECT spine.{source_col} AS {source_col},
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(bt.n_words) AS BIGINT) AS n_words,
+         CAST(sum(bt.n_tokens) AS BIGINT) AS n_tokens,
+         CAST(sum(spine.chars) AS BIGINT) AS sum_chars
+  FROM bt JOIN spine USING ({id_col})
+  GROUP BY 1
+)
+SELECT {source_col}, n_docs, n_words, n_tokens,
+       CASE WHEN n_words > 0
+            THEN round(CAST(n_tokens AS DOUBLE) / n_words, 4) END AS fertility,
+       CASE WHEN n_tokens > 0
+            THEN round(CAST(sum_chars AS DOUBLE) / n_tokens, 4) END AS chars_per_token
+FROM agg
+"""
+
+
 def bpe_chunks_sql(
     *,
     table: str = "documents",
