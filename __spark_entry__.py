@@ -703,6 +703,23 @@ def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_rollup(e, "event_type", ts="ts", value="value", resolutions=("hour", "day"))
 
 
+def _q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 validity intervals (operators/temporal.py:scd2_intervals):
+    each user's 'view' state (floor of the max value at that ts) becomes
+    (user_id, state, valid_from, valid_to) runs with consecutive no-op
+    writes collapsed — the slowly-changing feature table interval_join /
+    asof_join read point-in-time. One Exchange + one Sort total."""
+    from transmog_spark.operators.temporal import scd2_intervals
+
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.floor(F.max("value")).cast("long").alias("state"))
+    )
+    return scd2_intervals(v, "user_id", ts="ts", tracked=["state"])
+
+
 def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance per (doc, term): explode-once, two partial-agg
     groupBys, term-keyed join, broadcast global stats."""
@@ -2081,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-stable basics (green since round 1-2) trail.  Rotate per round.
     return {
         # -- round-5 surface -------------------------------------------
+        "scd2_intervals": _q_scd2_intervals,
         "ppl_buckets": _q_ppl_buckets,
         "media_resize": _q_media_resize,
         "quality_report": _q_quality_report,
@@ -2550,6 +2568,22 @@ FROM docs GROUP BY 1
 """,
         "text_profile": text_profile_sql(),
         "lm_perplexity": lm_perplexity_sql(),
+        "scd2_intervals": """
+WITH v AS (
+  SELECT user_id, ts, CAST(floor(max(value)) AS BIGINT) AS state
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+c AS (
+  SELECT user_id, ts, state,
+         lag(state) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM v),
+k AS (
+  SELECT user_id, ts, state FROM c
+  WHERE rn = 1 OR prev IS DISTINCT FROM state)
+SELECT user_id, state, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+FROM k
+""",
         "ppl_buckets": ppl_buckets_sql(),
         "quality_report": quality_report_sql(),
         "contamination_report": contamination_report_sql(shingle_n=3, bench_mod=97),

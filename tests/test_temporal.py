@@ -96,3 +96,79 @@ def test_time_rollup_day_equals_sum_of_hours(spark, sf_dir):
     assert a == b
     # totals match the raw table
     assert hours.agg(F.sum("n_events")).collect()[0][0] == e.count()
+
+# ---------------------------------------------------------------------------
+# scd2_intervals
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def changelog(spark):
+    from transmog_spark.operators.temporal import scd2_intervals
+
+    rows = [
+        (1, 10, "a"), (1, 20, "a"), (1, 30, "b"), (1, 40, "b"), (1, 50, "a"),
+        (2, 5, None), (2, 7, None), (2, 9, "x"),
+        (3, 1, "only"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, state string")
+    return df, scd2_intervals
+
+
+def test_scd2_collapse_and_chain(changelog):
+    df, scd2_intervals = changelog
+    out = scd2_intervals(df, "user_id", tracked=["state"])
+    got = sorted(map(tuple, out.collect()), key=lambda t: (t[0], t[2]))
+    assert got == [
+        (1, "a", 10, 30), (1, "b", 30, 50), (1, "a", 50, None),
+        (2, None, 5, 9), (2, "x", 9, None),
+        (3, "only", 1, None),
+    ]
+    # intervals tile each entity's timeline: next valid_from == valid_to
+    by_user = {}
+    for u, _s, vf, vt in got:
+        by_user.setdefault(u, []).append((vf, vt))
+    for runs in by_user.values():
+        runs.sort()
+        for (_pf, prev_to), (nxt_from, _nt) in zip(runs, runs[1:]):
+            assert prev_to == nxt_from
+
+
+def test_scd2_no_collapse_keeps_every_change(changelog):
+    df, scd2_intervals = changelog
+    out = scd2_intervals(df, "user_id", tracked=["state"], collapse=False)
+    assert out.count() == df.count()
+
+
+def test_scd2_single_window_spine(changelog):
+    """Collapse lag + closing lead share ONE Exchange + ONE Sort."""
+    df, scd2_intervals = changelog
+    plan = scd2_intervals(df, "user_id", tracked=["state"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort ") == 1
+
+
+def test_scd2_point_in_time_lookup_roundtrip(changelog):
+    """interval_join over the built intervals reproduces as-of semantics."""
+    df, scd2_intervals = changelog
+    from transmog_spark.operators.temporal import interval_join
+
+    iv = scd2_intervals(df, "user_id", tracked=["state"]).withColumn(
+        "start_ts", F.timestamp_seconds(F.col("valid_from"))
+    ).withColumn(
+        # half-open [from, to): subtract 1s from the inclusive-join end
+        "end_ts",
+        F.timestamp_seconds(F.coalesce(F.col("valid_to") - 1, F.lit(10**9))),
+    )
+    pts = df.sparkSession.createDataFrame(
+        [(1, 35), (1, 50), (2, 6), (3, 0)], "user_id long, qts long"
+    ).withColumn("ts", F.timestamp_seconds(F.col("qts")))
+    out = interval_join(pts, iv, "user_id", payload_cols=["state"])
+    got = {(r.user_id, r.qts): r.state for r in out.collect()}
+    assert got == {(1, 35): "b", (1, 50): "a", (2, 6): None}
+
+
+def test_scd2_requires_tracked(changelog):
+    df, scd2_intervals = changelog
+    with pytest.raises(ValueError):
+        scd2_intervals(df.select("user_id", "ts"), "user_id")

@@ -23,7 +23,7 @@ DuckDB oracle compares stably (float summation is order-dependent).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -137,3 +137,60 @@ def time_rollup(
             )
         )
     return out
+
+
+def scd2_intervals(
+    df: DataFrame,
+    keys: str | list[str],
+    *,
+    ts: str = "ts",
+    tracked: list[str] | None = None,
+    collapse: bool = True,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Build SCD type-2 validity intervals from a change-event log: one row
+    per (entity, state) run with ``valid_from`` = the change timestamp and
+    ``valid_to`` = the NEXT change's timestamp (NULL for the current row) —
+    the slowly-changing-dimension table every point-in-time feature store
+    keeps, and the natural left input to ``interval_join`` /
+    ``asof_join`` for leakage-free lookups (a feature read at t joins the
+    interval with valid_from <= t < valid_to).
+
+    ``collapse=True`` (the SCD2 compaction rule) drops a change row whose
+    ``tracked`` values are null-safe-equal to the entity's previous row,
+    so repeated writes of the same state never fragment the interval.
+
+    Scale shape: ONE Exchange on ``keys`` + ONE Sort — the collapse lag,
+    the post-filter, and the closing lead all run over the same window
+    spine (a filter preserves partitioning and ordering, so Catalyst
+    plans the second Window without a new shuffle or sort). No joins, no
+    driver actions; output rows <= input rows.
+
+    Caller contract: (keys, ts) must be unique (pre-aggregate duplicate
+    timestamps first) — with ties the "previous row" is undefined and the
+    interval chain is non-deterministic.
+    """
+    klist = [keys] if isinstance(keys, str) else list(keys)
+    if tracked is None:
+        tracked = [c for c in df.columns if c not in set(klist) | {ts}]
+    if not tracked:
+        raise ValueError("scd2_intervals needs at least one tracked column")
+
+    w = Window.partitionBy(*klist).orderBy(ts)
+    out = df
+    if collapse:
+        changed = F.lit(False)
+        for c in tracked:
+            prev = F.lag(F.col(c)).over(w)
+            changed = changed | ~prev.eqNullSafe(F.col(c))
+        first = F.lag(F.col(ts)).over(w).isNull()
+        out = out.withColumn("__tm_keep", first | changed).where(
+            F.col("__tm_keep")
+        ).drop("__tm_keep")
+    return out.select(
+        *klist,
+        *tracked,
+        F.col(ts).alias(valid_from),
+        F.lead(F.col(ts)).over(w).alias(valid_to),
+    )
