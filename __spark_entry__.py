@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -1827,6 +1827,35 @@ def _q_pack_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed sequences + block-diagonal attention metadata
+    (operators/packing.py:pack_masks): segment_ids / document-continuing
+    position_ids / loss_mask / piece_lens, each scalarized to an
+    order-preserving md5 for the hash gate."""
+    from transmog_spark.operators.packing import pack_masks
+    from transmog_spark.operators.text import tokenize_ids
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", tokenize_ids(F.col("text")).alias("tokens"))
+    pm = pack_masks(toks, budget=256, block_rows=128)
+
+    def _md5(col: str) -> Column:
+        return F.md5(
+            F.concat_ws(",", F.transform(F.col(col), lambda x: x.cast("string")))
+        )
+
+    return pm.select(
+        "source",
+        "seq_id",
+        "seq_len",
+        _md5("tokens").alias("tokens_md5"),
+        _md5("segment_ids").alias("segment_md5"),
+        _md5("position_ids").alias("position_md5"),
+        _md5("loss_mask").alias("loss_md5"),
+        _md5("piece_lens").alias("piece_lens_md5"),
+    )
+
+
 def _q_pack_concat_strkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-then-chunk packing over STRING doc ids (the north-rule
     ``doc_id:string`` contract): hash-ordered blocking defines the packing
@@ -2098,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-stable basics (green since round 1-2) trail.  Rotate per round.
     return {
         # -- round-5 surface -------------------------------------------
+        "pack_masks": _q_pack_masks,
         "scd2_intervals": _q_scd2_intervals,
         "ppl_buckets": _q_ppl_buckets,
         "media_resize": _q_media_resize,
@@ -2255,6 +2285,7 @@ def oracle_sql() -> dict[str, str]:
         hybrid_topk_sql,
         pack_assemble_greedy_sql,
         pack_assemble_sql,
+        pack_masks_sql,
         pack_concat_sql,
         pack_greedy_sql,
         pack_stats_sql,
@@ -2823,6 +2854,7 @@ FROM lagged l JOIN sess s ON l.user_id = s.user_id AND l.session_index = s.sessi
         "pack_greedy": pack_greedy_sql(budget=256, block_rows=128),
         "pack_stats": pack_stats_sql(budget=256, block_rows=128),
         "pack_assemble": pack_assemble_sql(budget=256),
+        "pack_masks": pack_masks_sql(budget=256),
         "pack_assemble_greedy": pack_assemble_greedy_sql(budget=256, block_rows=128),
         "pack_concat_strkey": pack_concat_sql(
             table="(SELECT 'doc' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, text, source FROM documents)", budget=256, hash_blocks=64

@@ -284,3 +284,56 @@ def test_pack_stats_fill_waste_and_oversize(spark):
     t = out["t"]
     assert (t.n_seqs, t.n_docs, t.total_tokens, t.waste_tokens) == (1, 1, 5, 5)
     assert t.fill_rate == pytest.approx(0.5)
+
+
+def test_pack_masks_alignment_and_semantics(spark):
+    """segment/position/loss/piece arrays are token-aligned, positions
+    continue across document splits, loss is masked exactly at document
+    first-tokens, and tokens ≡ pack_assemble's output."""
+    from transmog_spark.operators.packing import pack_assemble, pack_masks
+
+    rows = [
+        ("a", 1, list(range(100, 105))),   # 5 tokens
+        ("a", 2, list(range(200, 204))),   # 4 tokens
+        ("a", 3, list(range(300, 310))),   # 10 tokens -> split at budget 8
+        ("b", 1, list(range(400, 403))),
+    ]
+    docs = spark.createDataFrame(rows, "source string, doc_id long, tokens array<int>")
+    out = {
+        (r.source, r.seq_id): r
+        for r in pack_masks(docs, budget=8, block_rows=2).collect()
+    }
+
+    r = out[("a", 1)]  # doc 2's tail (1 tok) + doc 3's head (7 toks)
+    assert r.tokens == [203] + list(range(300, 307))
+    assert r.segment_ids == [1] + [2] * 7
+    assert r.position_ids == [3, 0, 1, 2, 3, 4, 5, 6]
+    assert r.loss_mask == [1, 0, 1, 1, 1, 1, 1, 1]
+    assert r.piece_lens == [1, 7]
+    # doc 3's final piece continues its own positions in the next sequence
+    r2 = out[("a", 2)]
+    assert r2.tokens == [307, 308, 309]
+    assert r2.position_ids == [7, 8, 9]
+    assert r2.loss_mask == [1, 1, 1]
+
+    for r in out.values():
+        n = len(r.tokens)
+        assert r.seq_len == n
+        assert len(r.segment_ids) == len(r.position_ids) == len(r.loss_mask) == n
+        assert sum(r.piece_lens) == n
+        # segments are 1..len(piece_lens) with the advertised lengths
+        seg_counts = {}
+        for s in r.segment_ids:
+            seg_counts[s] = seg_counts.get(s, 0) + 1
+        assert [seg_counts[i + 1] for i in range(len(r.piece_lens))] == list(
+            r.piece_lens
+        )
+        # loss mask is 0 exactly where a document starts (position 0)
+        assert all((m == 0) == (p == 0) for m, p in zip(r.loss_mask, r.position_ids))
+
+    # token streams identical to pack_assemble (same spans, same assembly)
+    asm = {
+        (r.source, r.seq_id): r.tokens
+        for r in pack_assemble(docs, budget=8, block_rows=2).collect()
+    }
+    assert {k: v.tokens for k, v in out.items()} == asm

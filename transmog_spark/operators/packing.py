@@ -389,6 +389,110 @@ def pack_assemble_greedy(
     )
 
 
+def pack_masks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    source_col: str = "source",
+    *,
+    budget: int = DEFAULT_BUDGET,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    hash_blocks: int = DEFAULT_HASH_BLOCKS,
+) -> DataFrame:
+    """Packed training sequences WITH the per-token attention/loss metadata
+    a trainer needs to treat each packed document independently:
+
+    * ``segment_ids``  — 1-based ordinal of the document piece each token
+      belongs to (the block-diagonal attention mask spec: attend only
+      within your segment; FlashAttention's varlen ``cu_seqlens`` is the
+      prefix sum of ``piece_lens`` below).
+    * ``position_ids`` — the token's position WITHIN ITS DOCUMENT, so a
+      document split across sequences continues counting (piece 2 of a
+      split doc starts at its ``doc_offset``, not 0) and rotary/alibi
+      positions stay faithful to the original document.
+    * ``loss_mask``    — 0 where ``position_ids`` == 0 (a document's first
+      token has no left context inside a block-diagonal mask, so causal LM
+      loss on it is noise), 1 elsewhere.
+    * ``piece_lens``   — per-piece token counts in sequence order
+      (``cu_seqlens`` = exclusive prefix sum with a leading 0).
+
+    Same assembly as ``pack_assemble`` (identical spans, joins, bounded
+    groups); the mask arrays are derived at assembly time from the sorted
+    piece structs, so they are exactly aligned with ``tokens`` by
+    construction. The piece structs are materialized by the aggregation
+    into a real column FIRST and the four flattens projected from it in a
+    separate select — referencing an agg output is a cheap column read,
+    whereas aliasing the sort expression into four lambdas would make
+    Catalyst re-evaluate the sort four times (see CLAUDE.md codegen note).
+
+    Scale shape: identical to ``pack_assemble`` — skinny span plan, token
+    arrays cross exactly two wide shuffles, per-group state bounded by
+    ``budget`` tokens; the mask arrays add O(budget) integers per output
+    row, all JVM-side Column expressions.
+    """
+    skinny = df.select(source_col, id_col, F.size(F.col(tokens_col)).alias("__ntok"))
+    spans = pack_concat(
+        skinny, id_col, "__ntok", source_col,
+        budget=budget, block_rows=block_rows, hash_blocks=hash_blocks,
+    )
+    joined = spans.join(
+        df.select(source_col, id_col, tokens_col), [source_col, id_col]
+    )
+    piece = F.expr(f"slice({tokens_col}, doc_offset + 1, span_len)")
+    parts = joined.select(
+        source_col,
+        "seq_id",
+        F.struct(
+            F.col("seq_offset").alias("o"),
+            F.col("doc_offset").alias("do"),
+            piece.alias("p"),
+        ).alias("__op"),
+    )
+    # array_sort over array<struct> orders by the leading field (seq_offset,
+    # unique within a sequence); the sorted pieces land in a REAL column so
+    # the four projections below each read it instead of re-sorting.
+    assembled = parts.groupBy(source_col, "seq_id").agg(
+        F.array_sort(F.collect_list("__op")).alias("__pieces")
+    )
+    pieces = F.col("__pieces")
+    positions = F.flatten(
+        F.transform(
+            # both sequence() bounds cast to long explicitly — mixed
+            # long/int bounds are a plan-build type error on some versions
+            pieces,
+            lambda s: F.sequence(
+                s["do"].cast("long"),
+                (s["do"] + F.size(s["p"]).cast("long") - 1).cast("long"),
+            ),
+        )
+    )
+    out = assembled.select(
+        source_col,
+        "seq_id",
+        F.flatten(F.transform(pieces, lambda s: s["p"])).alias(tokens_col),
+        F.flatten(
+            F.transform(
+                pieces,
+                lambda s, i: F.array_repeat((i + 1).cast("long"), F.size(s["p"])),
+            )
+        ).alias("segment_ids"),
+        positions.alias("position_ids"),
+        F.transform(pieces, lambda s: F.size(s["p"]).cast("long")).alias("piece_lens"),
+    )
+    return out.select(
+        source_col,
+        "seq_id",
+        F.size(F.col(tokens_col)).cast("long").alias("seq_len"),
+        tokens_col,
+        "segment_ids",
+        "position_ids",
+        F.transform(
+            F.col("position_ids"), lambda p: (p != 0).cast("long")
+        ).alias("loss_mask"),
+        "piece_lens",
+    )
+
+
 def token_chunks(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1491,6 +1491,74 @@ FROM asm
 """
 
 
+def pack_masks_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    vocab: int = 32768,
+    budget: int = 256,
+) -> str:
+    """Packed sequences + per-token attention/loss metadata
+    (operators/packing.py:pack_masks).
+
+    Same span arithmetic as ``pack_assemble_sql``; the piece ordinal is a
+    row_number over seq_offset (Spark's transform-with-index over the
+    sorted piece structs), position_ids continue each document's own
+    offset across splits, loss_mask is 0 exactly where position == 0.
+    All five arrays scalarized to order-preserving md5s."""
+    tok = f"CAST({duck_md5_long('x')} % {vocab} AS INT)"
+    lo = f"seq_id * {budget}"
+    start = f"greatest(tok_start, {lo})"
+    stop = f"least(tok_start + n_tok, {lo} + {budget})"
+
+    def _md5(arr: str) -> str:
+        return (
+            f"md5(array_to_string(list_transform({arr}, "
+            "x -> CAST(x AS VARCHAR)), ','))"
+        )
+
+    return f"""
+WITH docs AS (SELECT {id_col}, {source_col},
+                     list_transform({duck_ws_tokens(text_col)}, x -> {tok}) AS tk
+              FROM {table}),
+d2 AS (SELECT *, len(tk) AS n_tok FROM docs WHERE len(tk) > 0),
+off AS (SELECT *, CAST(COALESCE(SUM(n_tok) OVER (
+          PARTITION BY {source_col} ORDER BY {id_col}
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        FROM d2),
+spans AS (SELECT {source_col}, {id_col}, tk, tok_start, n_tok,
+                 unnest(generate_series(tok_start // {budget},
+                                        (tok_start + n_tok - 1) // {budget})) AS seq_id
+          FROM off),
+pieces AS (SELECT {source_col}, CAST(seq_id AS BIGINT) AS seq_id,
+                  CAST({start} - {lo} AS BIGINT) AS seq_offset,
+                  CAST({start} - tok_start AS BIGINT) AS doc_offset,
+                  list_slice(tk, {start} - tok_start + 1, {stop} - tok_start) AS piece
+           FROM spans),
+ord AS (SELECT *,
+               CAST(row_number() OVER (
+                 PARTITION BY {source_col}, seq_id ORDER BY seq_offset) AS BIGINT) AS seg
+        FROM pieces),
+asm AS (SELECT {source_col}, seq_id,
+               flatten(list(piece ORDER BY seq_offset)) AS tokens,
+               flatten(list(list_transform(piece, x -> seg)
+                            ORDER BY seq_offset)) AS segment_ids,
+               flatten(list(generate_series(doc_offset, doc_offset + len(piece) - 1)
+                            ORDER BY seq_offset)) AS position_ids,
+               list(CAST(len(piece) AS BIGINT) ORDER BY seq_offset) AS piece_lens
+        FROM ord GROUP BY 1, 2)
+SELECT {source_col}, seq_id, CAST(len(tokens) AS BIGINT) AS seq_len,
+       {_md5('tokens')} AS tokens_md5,
+       {_md5('segment_ids')} AS segment_md5,
+       {_md5('position_ids')} AS position_md5,
+       {_md5("list_transform(position_ids, p -> CASE WHEN p = 0 THEN 0 ELSE 1 END)")} AS loss_md5,
+       {_md5('piece_lens')} AS piece_lens_md5
+FROM asm
+"""
+
+
 def pack_assemble_greedy_sql(
     *,
     table: str = "documents",
