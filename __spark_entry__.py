@@ -1827,6 +1827,16 @@ def _q_pack_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle overlap matrix
+    (operators/corpus.py:source_overlap): Jaccard + both containments per
+    source pair — the is-this-source-a-mirror telemetry."""
+    from transmog_spark.operators.corpus import source_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    return source_overlap(d, "doc_id", "text", "source", shingle_n=3)
+
+
 def _q_pack_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packed sequences + block-diagonal attention metadata
     (operators/packing.py:pack_masks): segment_ids / document-continuing
@@ -2128,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-5 surface -------------------------------------------
         "pack_masks": _q_pack_masks,
+        "source_overlap": _q_source_overlap,
         "scd2_intervals": _q_scd2_intervals,
         "ppl_buckets": _q_ppl_buckets,
         "media_resize": _q_media_resize,
@@ -2286,6 +2297,7 @@ def oracle_sql() -> dict[str, str]:
         pack_assemble_greedy_sql,
         pack_assemble_sql,
         pack_masks_sql,
+        source_overlap_sql,
         pack_concat_sql,
         pack_greedy_sql,
         pack_stats_sql,
@@ -2855,6 +2867,7 @@ FROM lagged l JOIN sess s ON l.user_id = s.user_id AND l.session_index = s.sessi
         "pack_stats": pack_stats_sql(budget=256, block_rows=128),
         "pack_assemble": pack_assemble_sql(budget=256),
         "pack_masks": pack_masks_sql(budget=256),
+        "source_overlap": source_overlap_sql(shingle_n=3),
         "pack_assemble_greedy": pack_assemble_greedy_sql(budget=256, block_rows=128),
         "pack_concat_strkey": pack_concat_sql(
             table="(SELECT 'doc' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, text, source FROM documents)", budget=256, hash_blocks=64

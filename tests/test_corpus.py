@@ -765,3 +765,38 @@ def test_leakage_folds_seed_redraw_and_validation(spark):
     assert a != c  # seed redraws
     with pytest.raises(ValueError):
         leakage_folds(docs, empty, n_folds=1)
+
+
+def test_source_overlap_exact_counts(spark):
+    """Hand-computable 3-source overlap: shared/total gram counts, Jaccard
+    and both containments, and pairs appear only where overlap exists."""
+    from transmog_spark.operators.corpus import source_overlap
+
+    rows = [
+        # source a: grams {x y z, y z w} (4 tokens -> 2 shingles)
+        (1, "a", "x y z w"),
+        # source b: doc1 shares 'x y z'; doc2 adds 'p q r'
+        (2, "b", "x y z"),
+        (3, "b", "p q r"),
+        # source c: disjoint from a, shares 'p q r' with b
+        (4, "c", "p q r"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        (r.source_a, r.source_b): r
+        for r in source_overlap(df, shingle_n=3).collect()
+    }
+
+    ab = out[("a", "b")]
+    assert (ab.shared_grams, ab.grams_a, ab.grams_b) == (1, 2, 2)
+    assert ab.jaccard == pytest.approx(1 / 3, abs=1e-4)
+    assert ab.containment_a == pytest.approx(0.5)
+    assert ab.containment_b == pytest.approx(0.5)
+
+    bc = out[("b", "c")]
+    assert (bc.shared_grams, bc.grams_b) == (1, 1)
+    assert bc.containment_b == pytest.approx(1.0)
+
+    # a and c share nothing -> no row at all
+    assert ("a", "c") not in out
+    assert set(out) == {("a", "b"), ("b", "c")}

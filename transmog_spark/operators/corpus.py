@@ -1142,3 +1142,80 @@ def leakage_folds(
         split_key.alias("split_key"),
         F.pmod(h, F.lit(n_folds)).cast("int").alias("fold"),
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    *,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-source n-gram overlap matrix: for every source pair, how much
+    of each source's distinct shingle vocabulary the other one contains.
+
+    The curation question this answers: which sources are re-crawls /
+    mirrors / subsets of each other? Per-document near-dup dedup
+    (``dedupe_near``) removes individual copies; this is the corpus-level
+    telemetry that tells you an ENTIRE source is redundant before you pay
+    to process it (RefinedWeb §5 measures exactly this between CC snapshots).
+
+    Output, one row per unordered pair (source_a < source_b):
+    ``shared_grams``, ``grams_a``, ``grams_b`` (distinct-shingle counts),
+    ``jaccard`` = shared/(a+b-shared), ``containment_a`` = shared/a (how
+    much of a lives inside b), ``containment_b`` = shared/b — rounded to 4
+    (the cross-engine double grid).
+
+    Scale shape: shingles ship as 60-bit md5 longs; ONE wide shuffle — the
+    gram-keyed groupBy with map-side-combined ``collect_set(source)``
+    (state bounded by the number of sources, not documents). Pair
+    expansion is a per-gram double posexplode over that bounded source
+    list (≤ n_sources² rows per gram), and the per-pair/per-source counts
+    are map-side-combined aggs over longs. The totals join is broadcast
+    (one row per source). No driver actions.
+    """
+    from transmog_spark.operators.dedup import word_shingles
+
+    grams = df.select(
+        F.col(source_col).alias("__src"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__g"),
+    ).select("__src", md5_long(F.col("__g")).alias("__gh"))
+    # one shuffle: per-gram distinct source set (bounded by #sources)
+    per_gram = grams.groupBy("__gh").agg(
+        F.sort_array(F.collect_set("__src")).alias("__srcs")
+    )
+    totals = (
+        per_gram.select(F.explode("__srcs").alias("__src"))
+        .groupBy("__src")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    pairs = (
+        per_gram.where(F.size("__srcs") >= 2)
+        .select(F.posexplode("__srcs").alias("__ia", "source_a"), "__srcs")
+        .select(
+            "source_a", "__ia", F.posexplode("__srcs").alias("__ib", "source_b")
+        )
+        .where(F.col("__ia") < F.col("__ib"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    ta = F.broadcast(totals.withColumnsRenamed({"__src": "source_a", "__n": "grams_a"}))
+    tb = F.broadcast(totals.withColumnsRenamed({"__src": "source_b", "__n": "grams_b"}))
+    shared = F.col("shared_grams").cast("double")
+    return (
+        pairs.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            "grams_a",
+            "grams_b",
+            F.round(
+                shared / (F.col("grams_a") + F.col("grams_b") - shared), 4
+            ).alias("jaccard"),
+            F.round(shared / F.col("grams_a"), 4).alias("containment_a"),
+            F.round(shared / F.col("grams_b"), 4).alias("containment_b"),
+        )
+    )

@@ -1016,6 +1016,44 @@ GROUP BY ex.query_id
 """
 
 
+def source_overlap_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    source_col: str = "source",
+    shingle_n: int = 3,
+) -> str:
+    """Cross-source shingle overlap matrix
+    (operators/corpus.py:source_overlap). Distinct (source, gram-hash)
+    pairs, pairwise shared counts via a gram-keyed self-join (the Spark
+    side's bounded posexplode over the per-gram source set computes the
+    same relation), totals per source, Jaccard + both containments on the
+    round-4 grid."""
+    gh = duck_md5_long("s")
+    return f"""
+WITH docs AS (SELECT {source_col} AS src, {duck_ws_tokens(text_col)} AS t
+              FROM {table}),
+g AS (SELECT DISTINCT src, gh FROM (
+        SELECT src,
+               unnest(list_transform({duck_shingles('t', shingle_n)},
+                                     s -> {gh})) AS gh
+        FROM docs)),
+tot AS (SELECT src, count(*) AS n FROM g GROUP BY 1),
+p AS (SELECT a.src AS source_a, b.src AS source_b,
+             count(*) AS shared_grams
+      FROM g a JOIN g b ON a.gh = b.gh AND a.src < b.src
+      GROUP BY 1, 2)
+SELECT source_a, source_b, shared_grams,
+       ta.n AS grams_a, tb.n AS grams_b,
+       round(shared_grams / (ta.n + tb.n - shared_grams), 4) AS jaccard,
+       round(shared_grams / ta.n, 4) AS containment_a,
+       round(shared_grams / tb.n, 4) AS containment_b
+FROM p
+JOIN tot ta ON ta.src = p.source_a
+JOIN tot tb ON tb.src = p.source_b
+"""
+
+
 def dedup_report_sql(
     pairs_sql: str,
     *,
