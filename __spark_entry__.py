@@ -483,6 +483,17 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(d, "doc_id", "text")
 
 
+def _q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (operators/lm.py:kn_score):
+    absolute-discount seen-mass + continuation-probability backoff — the
+    smoothing family CCNet's actual KenLM filter uses, same output schema
+    as lm_score for drop-in comparison."""
+    from transmog_spark.operators.lm import kn_score
+
+    d = _t(spark, sf_dir, "documents")
+    return kn_score(d, "doc_id", "text")
+
+
 def _q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail split (operators/lm.py:ppl_buckets): per-source
     equal-count perplexity tertiles over the bigram-LM score — the
@@ -2139,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 surface -------------------------------------------
         "pack_masks": _q_pack_masks,
         "source_overlap": _q_source_overlap,
+        "kn_perplexity": _q_kn_perplexity,
         "scd2_intervals": _q_scd2_intervals,
         "ppl_buckets": _q_ppl_buckets,
         "media_resize": _q_media_resize,
@@ -2326,6 +2338,7 @@ def oracle_sql() -> dict[str, str]:
         unigram_tokenize_sql,
         importance_sql,
         domain_weights_sql,
+        kn_perplexity_sql,
         lm_perplexity_sql,
         ppl_buckets_sql,
         quality_report_sql,
@@ -2611,6 +2624,7 @@ FROM docs GROUP BY 1
 """,
         "text_profile": text_profile_sql(),
         "lm_perplexity": lm_perplexity_sql(),
+        "kn_perplexity": kn_perplexity_sql(),
         "scd2_intervals": """
 WITH v AS (
   SELECT user_id, ts, CAST(floor(max(value)) AS BIGINT) AS state

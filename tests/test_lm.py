@@ -361,3 +361,108 @@ def test_ppl_buckets_validation(spark):
         ppl_buckets(df, labels=("only",))
     with pytest.raises(ValueError):
         ppl_buckets(df, cutoffs="nope")
+
+
+# ---------------------------------------------------------------------------
+# kn_score (interpolated Kneser-Ney)
+# ---------------------------------------------------------------------------
+
+
+def _py_kn(docs: dict[int, str], train_pct: int = 80, D: float = 0.75, k: float = LM_K):
+    """Independent pure-Python interpolated-KN reference."""
+    toks = {d: [t for t in txt.lower().split() if t] for d, txt in docs.items()}
+    grams = {d: [f"{a} {b}" for a, b in zip(t, t[1:])] for d, t in toks.items()}
+    train = [d for d in docs if _md5_60(str(d)) % 100 < train_pct]
+    bc: dict[str, int] = {}
+    vocab = set()
+    for d in train:
+        vocab.update(toks[d])
+        for g in grams[d]:
+            bc[g] = bc.get(g, 0) + 1
+    c1: dict[str, int] = {}
+    n1fwd: dict[str, int] = {}
+    n1bwd: dict[str, int] = {}
+    for g, c in bc.items():
+        w1, w2 = g.split(" ")
+        c1[w1] = c1.get(w1, 0) + c
+        n1fwd[w1] = n1fwd.get(w1, 0) + 1
+        n1bwd[w2] = n1bwd.get(w2, 0) + 1
+    v, types = max(len(vocab), 1), len(bc)
+    out = {}
+    for d, gs in grams.items():
+        if not gs:
+            continue
+        slp, oov = 0, 0
+        for g in gs:
+            w1, w2 = g.split(" ")
+            c2 = bc.get(g, 0)
+            cw1 = c1.get(w1, 0)
+            if c2 == 0:
+                oov += 1
+            pcont = (n1bwd.get(w2, 0) + k) / (types + k * v)
+            if cw1 > 0:
+                p = max(c2 - D, 0.0) / cw1 + (D * n1fwd[w1] / cw1) * pcont
+            else:
+                p = pcont
+            slp += round(math.log(p) * 10000)
+        n = len(gs)
+        sign = -1 if slp < 0 else 1
+        avg_e4 = sign * ((abs(slp) * 2 + n) // (2 * n))
+        avg = avg_e4 / 10000.0
+        out[d] = (n, oov, avg, round(math.exp(-avg), 2))
+    return out
+
+
+def test_kn_score_matches_reference(spark):
+    from transmog_spark.operators.lm import kn_score
+
+    df = spark.createDataFrame(
+        [(d, t) for d, t in DOCS.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["n_oov"], r["avg_logp"], r["ppl"])
+        for r in kn_score(df).collect()
+    }
+    assert got == _py_kn(DOCS)
+    assert 6 not in got and 7 not in got
+
+
+def test_kn_continuation_beats_raw_frequency(spark):
+    """The Francisco effect: 'francisco' has a HIGH raw unigram count but
+    appears after only one context; 'day' is rarer per-context but
+    completes many contexts, so P_KN(unseen-context -> day) must exceed
+    P_KN(unseen-context -> francisco)."""
+    from transmog_spark.operators.lm import kn_lm_counts, kn_score
+
+    corpus = [
+        (i, "san francisco") for i in range(10)
+    ] + [
+        (100, "nice day"), (101, "good day"), (102, "bad day"),
+        (103, "long day"), (104, "rainy day"),
+    ]
+    # score docs whose CONTEXT is unseen -> pure continuation probability
+    probe = [(200, "zzz francisco"), (201, "zzz day")]
+    train = spark.createDataFrame(corpus, "doc_id long, text string")
+    model = kn_lm_counts(train, train_pct=100)
+    scored = {
+        r["doc_id"]: r["avg_logp"]
+        for r in kn_score(
+            spark.createDataFrame(probe, "doc_id long, text string"), model=model
+        ).collect()
+    }
+    assert scored[201] > scored[200]
+
+
+def test_kn_degenerate_model_stays_finite(spark):
+    from transmog_spark.operators.lm import kn_score
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma delta")],
+        "doc_id long, text string",
+    )
+    # train split that matches nothing -> every context unseen, pure pcont
+    out = kn_score(df, train_pct=0).collect()
+    assert len(out) == 2
+    for r in out:
+        assert math.isfinite(r["avg_logp"]) and math.isfinite(r["ppl"])
+        assert r["n_oov"] == r["n_bigrams"]

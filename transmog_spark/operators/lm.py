@@ -191,6 +191,141 @@ def lm_score(
     )
 
 
+KN_D = 0.75  # absolute discount (Kneser-Ney classic)
+
+
+def kn_lm_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    train_pct: int = 80,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Train the interpolated Kneser-Ney bigram model: returns
+    (bigram_counts, ctx_stats, cont_counts, stats).
+
+    * ``bigram_counts``  — (gram, c2)
+    * ``ctx_stats``      — (w1, c1, n1fwd): context total and the number of
+      DISTINCT continuations of w1 (the interpolation weight's numerator)
+    * ``cont_counts``    — (w2, n1bwd): in how many distinct contexts w2
+      completes a bigram — KN's signature statistic ("how novel is w2 as a
+      continuation", the reason 'Francisco' scores low despite raw
+      frequency)
+    * ``stats``          — single row (vocab_size, n_types): unigram vocab
+      + distinct bigram types (the continuation-distribution denominator)
+
+    Scale shape: everything below the bigram count is a groupBy OF
+    ``bigram_counts`` (distinct-gram volume, partial-agg combined); the
+    corpus is scanned twice (grams + vocab), same as ``ngram_lm_counts``.
+    """
+    toks = _train_split(df, id_col, train_pct).select(
+        ws_tokens(F.col(text_col)).alias("__toks")
+    )
+    grams = toks.select(F.explode(bigram_array(F.col("__toks"))).alias("gram")).where(
+        F.col("gram").isNotNull()
+        & F.substring_index("gram", " ", 1).isNotNull()
+    )
+    bigram_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))
+    ctx_stats = bigram_counts.groupBy(
+        F.substring_index("gram", " ", 1).alias("w1")
+    ).agg(
+        F.sum("c2").alias("c1"),
+        F.count(F.lit(1)).alias("n1fwd"),
+    )
+    cont_counts = bigram_counts.groupBy(
+        F.substring_index("gram", " ", -1).alias("w2")
+    ).agg(F.count(F.lit(1)).alias("n1bwd"))
+    vocab = (
+        toks.select(F.explode("__toks").alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab_size"))
+    )
+    types = bigram_counts.agg(F.count(F.lit(1)).alias("n_types"))
+    stats = vocab.crossJoin(types)
+    return bigram_counts, ctx_stats, cont_counts, stats
+
+
+def kn_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    train_pct: int = 80,
+    discount: float = KN_D,
+    k: float = LM_K,
+    model: tuple[DataFrame, DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Per-document interpolated Kneser-Ney bigram score — the smoothing
+    family CCNet's actual KenLM filter uses (Kneser & Ney 1995; Chen &
+    Goodman 1999 §2.7), upgrading ``lm_score``'s add-k baseline:
+
+        P(w2|w1) = max(c2 - D, 0)/c1 + (D·n1fwd(w1)/c1) · Pcont(w2)
+        Pcont(w2) = (n1bwd(w2) + k) / (n_types + k·|V|)
+
+    with full backoff to ``Pcont`` when the context is unseen (c1 = 0).
+    The add-k floor on the continuation distribution keeps every
+    probability strictly positive (finite log) without a separate OOV
+    class — the same clamp discipline as ``lm_score``.
+
+    Output: (id, n_bigrams, n_oov, avg_logp, ppl) — identical schema to
+    ``lm_score`` so the two scores are drop-in comparable; n_oov counts
+    bigrams unseen in training. Docs with < 2 tokens are absent.
+
+    Scale shape: one doc-gram pass, THREE count joins (gram, w1, w2 — each
+    the AQE-skew posture of BM25's term join), one broadcast scalar frame.
+    Scaled-integer logp sums on the 1e-4 grid, same cross-engine
+    determinism argument as ``lm_score``; the DuckDB mirror
+    (``oracle.kn_perplexity_sql``) writes the probability expression with
+    the identical operation order so ln() sees bit-identical doubles.
+    """
+    bc, ctx, cont, stats = model or kn_lm_counts(
+        df, id_col, text_col, train_pct=train_pct
+    )
+
+    doc_grams = _doc_grams(df, id_col, text_col)
+    scored = (
+        doc_grams.join(bc, "gram", "left")
+        .withColumn("w1", F.substring_index("gram", " ", 1))
+        .withColumn("w2", F.substring_index("gram", " ", -1))
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            "m",
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            F.coalesce("n1fwd", F.lit(0)).alias("n1fwd"),
+            F.coalesce("n1bwd", F.lit(0)).alias("n1bwd"),
+            "vocab_size",
+            "n_types",
+        )
+    )
+    # operation order mirrored verbatim in the SQL oracle
+    pcont = (F.col("n1bwd") + F.lit(k)) / (
+        F.col("n_types") + F.lit(k) * F.greatest(F.col("vocab_size"), F.lit(1))
+    )
+    seen = F.greatest(F.col("c2") - F.lit(discount), F.lit(0.0)) / F.col("c1") + (
+        F.lit(discount) * F.col("n1fwd") / F.col("c1")
+    ) * pcont
+    logp = F.log(F.when(F.col("c1") > 0, seen).otherwise(pcont))
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("m").cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("c2") == 0, F.col("m")).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.sum(F.round(logp * 10000).cast("long") * F.col("m")).alias("__slp"),
+    )
+    per_doc = per_doc.withColumn("__avg_e4", _avg_e4("__slp", "n_bigrams"))
+    avg = F.col("__avg_e4") / F.lit(10000.0)
+    return per_doc.select(
+        F.col(id_col),
+        "n_bigrams",
+        "n_oov",
+        avg.alias("avg_logp"),
+        F.round(F.exp(-avg), 2).alias("ppl"),
+    )
+
+
 def importance_weights(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2259,6 +2259,88 @@ FROM final
 """
 
 
+def kn_perplexity_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_pct: int = 80,
+    discount: float = 0.75,
+    k: float = 0.5,
+) -> str:
+    """Interpolated Kneser-Ney bigram scoring (operators/lm.py:kn_score).
+    Same hash-split, doc-gram, and scaled-integer machinery as
+    ``lm_perplexity_sql``; the probability expression is written with the
+    IDENTICAL operation order as the Spark side so ln() sees bit-identical
+    doubles before the 1e-4 grid."""
+    split = f"{duck_md5_long(f'CAST({id_col} AS VARCHAR)')} % 100 < {train_pct}"
+    pcont = f"(n1bwd + {k}) / (n_types + {k} * greatest(v, 1))"
+    seen = (
+        f"greatest(c2 - {discount}, 0.0) / c1 + "
+        f"({discount} * n1fwd / c1) * ({pcont})"
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, {duck_ws_tokens(text_col)} AS t FROM {table}
+),
+grams AS (
+  SELECT {id_col},
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS gram
+  FROM toks WHERE len(t) >= 2
+),
+bc AS (
+  SELECT gram, count(*) AS c2 FROM grams WHERE {split} GROUP BY gram
+),
+cc AS (
+  SELECT split_part(gram, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1fwd
+  FROM bc GROUP BY 1
+),
+cont AS (
+  SELECT split_part(gram, ' ', -1) AS w2, CAST(count(*) AS BIGINT) AS n1bwd
+  FROM bc GROUP BY 1
+),
+stats AS (
+  SELECT (SELECT count(DISTINCT tok)
+          FROM (SELECT unnest(t) AS tok FROM toks WHERE {split})) AS v,
+         (SELECT count(*) FROM bc) AS n_types
+),
+dg AS (
+  SELECT {id_col}, gram, count(*) AS m FROM grams GROUP BY 1, 2
+),
+scored AS (
+  SELECT dg.{id_col}, dg.m,
+         coalesce(bc.c2, 0) AS c2, coalesce(cc.c1, 0) AS c1,
+         coalesce(cc.n1fwd, 0) AS n1fwd, coalesce(cont.n1bwd, 0) AS n1bwd,
+         stats.v, stats.n_types
+  FROM dg
+  LEFT JOIN bc USING (gram)
+  LEFT JOIN cc ON split_part(dg.gram, ' ', 1) = cc.w1
+  LEFT JOIN cont ON split_part(dg.gram, ' ', -1) = cont.w2
+  CROSS JOIN stats
+),
+per_doc AS (
+  SELECT {id_col},
+         CAST(sum(m) AS BIGINT) AS n_bigrams,
+         CAST(sum(CASE WHEN c2 = 0 THEN m ELSE 0 END) AS BIGINT) AS n_oov,
+         CAST(sum(CAST(round(ln(CASE WHEN c1 > 0 THEN {seen} ELSE {pcont} END) * 10000)
+                       AS BIGINT) * m)
+              AS BIGINT) AS slp
+  FROM scored GROUP BY 1
+),
+final AS (
+  SELECT {id_col}, n_bigrams, n_oov,
+         (CASE WHEN slp < 0 THEN -1 ELSE 1 END)
+           * ((abs(slp) * 2 + n_bigrams) // (2 * n_bigrams)) AS avg_e4
+  FROM per_doc
+)
+SELECT {id_col}, n_bigrams, n_oov,
+       avg_e4 / 10000.0 AS avg_logp,
+       round(exp(-(avg_e4 / 10000.0)), 2) AS ppl
+FROM final
+"""
+
+
 def quality_report_sql(
     *,
     table: str = "documents",
