@@ -103,6 +103,14 @@ HEADLINE = [
     "ppl_buckets",
     # packing-efficiency telemetry over the greedy packing
     "pack_stats",
+    # interpolated Kneser-Ney scoring: 3 skew-posture count joins
+    "kn_perplexity",
+    # packed sequences + per-token segment/position/loss metadata arrays
+    "pack_masks",
+    # cross-source shingle overlap matrix (one gram-keyed shuffle)
+    "source_overlap",
+    # SCD2 validity intervals over the events changelog (one window spine)
+    "scd2_intervals",
     # stage boundaries persist on first execution (see the entry docstring);
     # best-of-N then times the post-persist composed chain — the same
     # warm-index semantics as bm25_topk_indexed
