@@ -472,6 +472,35 @@ def _q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile(d, "doc_id", "text")
 
 
+def _q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char/token Shannon-entropy quality signals (operators/text.py:
+    entropy_profile) — the base64-blob / template-spam detectors the
+    ratio gates miss; scaled-integer ln grid for cross-engine parity."""
+    from transmog_spark.operators.text import entropy_profile
+
+    d = _t(spark, sf_dir, "documents")
+    return entropy_profile(d, "doc_id", "text")
+
+
+def _q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup removal (operators/text.py:strip_html, the C4/CCNet web-text
+    preprocessing leg) over deterministically synthesized HTML wrapping
+    each document — script/style/comment blocks, inline tags, and all six
+    entities round-trip through the identical RE2-safe pattern set in the
+    DuckDB oracle."""
+    from transmog_spark.operators.text import demo_html, strip_html
+
+    d = _t(spark, sf_dir, "documents")
+    synth = d.select(
+        F.col("doc_id"),
+        demo_html(F.col("doc_id"), F.col("text"), F.col("source")).alias("html"),
+    )
+    return synth.select(
+        "doc_id",
+        strip_html(F.col("html")).alias("clean_text"),
+    ).withColumn("clean_chars", F.length("clean_text").cast("long"))
+
+
 def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM corpus-quality scoring (operators/lm.py:lm_score): model
     trained on the 80% md5 hash-split, every doc scored by add-k-smoothed
@@ -2201,6 +2230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "pack_assemble": _q_pack_assemble,
         # -- round-4/5 surface past the 50-row driver window ------------
+        "entropy_profile": _q_entropy_profile,
+        "strip_html": _q_strip_html,
         "centroid_classify": _q_centroid_classify,
         "strip_dup_spans": _q_strip_dup_spans,
         "embedding_topk_sq8": _q_embedding_topk_sq8,
@@ -2348,6 +2379,8 @@ def oracle_sql() -> dict[str, str]:
         pii_scan_sql,
         quality_gate_sql,
         text_profile_sql,
+        entropy_profile_sql,
+        strip_html_sql,
         token_features_sql,
         token_pipeline_sql,
         winnow_fingerprints_sql,
@@ -2625,6 +2658,8 @@ SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
 FROM docs GROUP BY 1
 """,
         "text_profile": text_profile_sql(),
+        "entropy_profile": entropy_profile_sql(),
+        "strip_html": strip_html_sql(),
         "lm_perplexity": lm_perplexity_sql(),
         "kn_perplexity": kn_perplexity_sql(),
         "scd2_intervals": """

@@ -111,6 +111,8 @@ HEADLINE = [
     "source_overlap",
     # SCD2 validity intervals over the events changelog (one window spine)
     "scd2_intervals",
+    # char+token Shannon entropy, one tagged explode (base64/spam screens)
+    "entropy_profile",
     # stage boundaries persist on first execution (see the entry docstring);
     # best-of-N then times the post-persist composed chain — the same
     # warm-index semantics as bm25_topk_indexed

@@ -291,3 +291,101 @@ def test_norm_text_canonicalizes(spark):
     out = {r["id"]: r["n"] for r in df.select("id", norm_text(F.col("text")).alias("n")).collect()}
     assert out[1] == out[2] == out[3] == "hello world 42"
     assert out[4] == "different entirely"
+
+
+# ---------------------------------------------------------------- entropy
+
+
+def test_entropy_profile_hand_computed(spark):
+    from transmog_spark.operators.text import entropy_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "ab ab"),       # chars {a:2,b:2}; tokens {ab:2}
+            (2, "a b c d"),     # 4 uniform chars/tokens
+            (3, "aaaa"),        # single symbol, single token
+            (4, ""),            # empty -> all zeros via spine left-join
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in entropy_profile(df, "doc_id", "text").collect()}
+    # grid entropy of {2,2}: (ln4 - 4*round(ln2*1e4)/4e4)/ln2 = 1.0001
+    assert abs(rows[1]["char_entropy"] - 1.0001) <= 2e-4
+    assert rows[1]["n_chars_nws"] == 4
+    assert rows[1]["token_entropy"] == 0.0  # one distinct token
+    assert rows[1]["distinct_token_ratio"] == 0.5
+    assert abs(rows[2]["char_entropy"] - 2.0) <= 2e-4  # 4 uniform, g(1)=0
+    assert abs(rows[2]["token_entropy"] - 2.0) <= 2e-4
+    assert rows[2]["distinct_token_ratio"] == 1.0
+    assert rows[3]["char_entropy"] == 0.0
+    assert rows[3]["token_entropy"] == 0.0
+    assert rows[3]["n_tok"] == 1
+    assert rows[4].asDict() == {
+        "doc_id": 4,
+        "n_chars_nws": 0,
+        "char_entropy": 0.0,
+        "n_tok": 0,
+        "token_entropy": 0.0,
+        "distinct_token_ratio": 0.0,
+    }
+
+
+def test_entropy_separates_spam_from_natural(spark):
+    from transmog_spark.operators.text import entropy_profile
+
+    spam = "buy now " * 40                      # 2 tokens round-robin
+    natural = " ".join(f"w{i} tok{i % 7}" for i in range(40))
+    blob = "f3a9" * 30 + " " + "0b7c2e" * 20    # hex-blob chars, few tokens
+    df = spark.createDataFrame(
+        [(1, spam), (2, natural), (3, blob)], ["doc_id", "text"]
+    )
+    r = {x["doc_id"]: x for x in entropy_profile(df, "doc_id", "text").collect()}
+    assert r[1]["token_entropy"] < 1.1 < r[2]["token_entropy"]
+    assert r[1]["distinct_token_ratio"] < 0.1 < r[2]["distinct_token_ratio"]
+    # the blob's CHAR entropy is healthy (hex symbol soup) while its token
+    # count craters — the two levels catch different junk
+    assert r[3]["char_entropy"] > 2.0
+    assert r[3]["n_tok"] == 2
+
+
+# -------------------------------------------------------------- strip_html
+
+
+def test_strip_html_known_document(spark):
+    from pyspark.sql import functions as F
+
+    from transmog_spark.operators.text import strip_html
+
+    html = (
+        '<html><head><style>body { color: red; }</style>'
+        '<script src="x.js">var a = 1 < 2 && b;</script></head>'
+        "<body><!-- nav --><h1>Title</h1>\n<p>Hello &amp; welcome to "
+        '&quot;the&quot; &lt;lab&gt;&nbsp;&#39;x&#39;</p></body></html>'
+    )
+    out = (
+        spark.range(1)
+        .select(strip_html(F.lit(html)).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert out == 'Title Hello & welcome to "the" <lab> \'x\''
+
+
+def test_strip_html_entity_order_and_idempotence(spark):
+    from pyspark.sql import functions as F
+
+    from transmog_spark.operators.text import strip_html
+
+    # '&amp;lt;' is the ESCAPED literal '&lt;' — single-pass decode must
+    # yield the text '&lt;', never a second-round '<'
+    row = (
+        spark.range(1)
+        .select(
+            strip_html(F.lit("a &amp;lt; b")).alias("c1"),
+            strip_html(F.lit("plain text, no markup")).alias("c2"),
+            strip_html(F.lit("  spaced\t\nout  ")).alias("c3"),
+        )
+        .collect()[0]
+    )
+    assert row["c1"] == "a &lt; b"
+    assert row["c2"] == "plain text, no markup"
+    assert row["c3"] == "spaced out"

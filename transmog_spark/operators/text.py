@@ -295,3 +295,156 @@ def repetition_profile(
         frac(F.col("t2_max") * 2, n_tok).alias("top_2gram_frac"),
         frac(F.col("t3_dup"), F.col("t3_total")).alias("dup_3gram_frac"),
     )
+
+
+def entropy_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon-entropy quality signals (char + token level).
+
+    The classic junk detectors the ratio-based gates miss: base64/hex blobs
+    and minified code sit at near-maximal ``char_entropy`` with normal word
+    lengths; "the the the ..." template spam and keyword-stuffed SEO pages
+    crater ``token_entropy`` long before ``top_tok_frac`` trips. Both are
+    standard pre-training heuristics (e.g. CCNet/RefinedWeb-style "natural
+    text" screens) alongside the Gopher ratios in ``repetition_profile``.
+
+    Columns: ``n_chars_nws`` (non-whitespace chars), ``char_entropy``
+    (bits/char), ``n_tok``, ``token_entropy`` (bits/token),
+    ``distinct_token_ratio`` — entropies rounded to 4 digits, computed as
+    H = (ln N - Σ c·g(c) / (N·1e4)) / ln 2 with g(c) = round(ln(c)·1e4)
+    summed as exact BIGINTs, so the accumulation is order-independent and
+    bit-identical in the DuckDB oracle (the lm.py scaled-integer-grid
+    idiom — a double Σ c·ln c would hash-diverge on summation order).
+
+    Scale shape: ONE corpus scan — chars and tokens are built per row as a
+    single tagged array (struct(gn, unit), the repetition_profile idiom)
+    and exploded once into (doc, gn, 60-bit unit hash) longs, counted with
+    a map-side-combined groupBy, reduced per (doc, gn), pivoted per doc
+    with conditional aggregates, and left-joined back to the id spine so
+    empty docs report zeros. Two exchanges, shuffle payload is 8-byte
+    hashes, never the units themselves.
+    """
+    t = F.col(text_col)
+    chars = F.filter(
+        F.split(F.regexp_replace(F.lower(t), r"\s+", ""), ""),
+        lambda c: c != "",
+    )
+    tagged = F.concat(
+        F.transform(chars, lambda c: F.struct(F.lit(0).alias("gn"), c.alias("u"))),
+        F.transform(
+            ws_tokens(t), lambda x: F.struct(F.lit(1).alias("gn"), x.alias("u"))
+        ),
+    )
+    rows = df.select(F.col(id_col), F.explode(tagged).alias("x")).select(
+        id_col, F.col("x.gn").alias("gn"), md5_long(F.col("x.u")).alias("uh")
+    )
+    cnt = rows.groupBy(id_col, "gn", "uh").agg(F.count(F.lit(1)).alias("c"))
+    g = F.round(F.log(F.col("c").cast("double")) * 10000.0).cast("long")
+    per = cnt.groupBy(id_col, "gn").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * g).alias("s"),
+        F.count(F.lit(1)).alias("d"),
+    )
+    # d == 1 (all units identical) is EXACTLY zero entropy; the 1e-4 grid
+    # would otherwise report ±1e-4 noise there. Clamp the rest at 0 — the
+    # grid can dip a few micro-bits negative on near-degenerate counts.
+    ent = F.when(F.col("d") == 1, F.lit(0.0)).otherwise(
+        F.greatest(
+            F.lit(0.0),
+            F.round(
+                (
+                    F.log(F.col("n").cast("double"))
+                    - F.col("s").cast("double")
+                    / (F.col("n").cast("double") * 10000.0)
+                )
+                / F.log(F.lit(2.0)),
+                4,
+            ),
+        )
+    )
+    scored = per.select(id_col, "gn", "n", "d", ent.alias("h"))
+    of = lambda gn, c: F.max(F.when(F.col("gn") == gn, F.col(c)))
+    prof = scored.groupBy(id_col).agg(
+        of(0, "n").alias("__nc"),
+        of(0, "h").alias("__hc"),
+        of(1, "n").alias("__nt"),
+        of(1, "h").alias("__ht"),
+        of(1, "d").alias("__dt"),
+    )
+    out = df.select(F.col(id_col)).join(prof, id_col, "left")
+    nt = F.coalesce(F.col("__nt"), F.lit(0)).cast("long")
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.col("__nc"), F.lit(0)).cast("long").alias("n_chars_nws"),
+        F.coalesce(F.col("__hc"), F.lit(0.0)).alias("char_entropy"),
+        nt.alias("n_tok"),
+        F.coalesce(F.col("__ht"), F.lit(0.0)).alias("token_entropy"),
+        F.when(
+            nt > 0,
+            F.round(F.col("__dt").cast("double") / nt.cast("double"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("distinct_token_ratio"),
+    )
+
+
+# Single-pass entity decode: '&amp;' LAST so '&amp;lt;' -> '&lt;' (literal
+# text, not a tag) — the order every spec-shaped decoder uses.
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_html(text: Column) -> Column:
+    """Markup removal for web-crawl text (the C4/CCNet preprocessing leg):
+    drops <script>/<style> blocks and comments wholesale, strips remaining
+    tags, decodes the six universal entities, collapses whitespace.
+
+    Pure Column expression — narrow, no shuffle, whole-stage codegen'd; the
+    regexes avoid backreferences so the DuckDB RE2 oracle mirror
+    (``oracle.strip_html_expr``) is the literally-identical pattern set.
+    Regex-based (not a parser): right for bulk crawl cleanup, not for
+    adversarial HTML.
+    """
+    c = F.regexp_replace(text, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    for ent, rep in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+# Deterministic HTML synthesis shared by the strip_html demo query and its
+# DuckDB oracle (oracle.demo_html_sql imports these literals): wraps each
+# document in markup exercising every strip stage — a script with a bare
+# '<', a style block, a comment, inline tags, and all six entities.
+HTML_PRE = '<html><body data-id="'
+HTML_MID1 = '"><h1>Doc '
+HTML_MID2 = (
+    '</h1><script type="text/javascript">var x = 1 < 2; // &amp;</script>'
+    "<style>p { color: red; }</style><!-- hidden --><p>"
+)
+HTML_MID3 = "</p><div>&amp; &lt;"
+HTML_POST = "&gt;&nbsp;&quot;end&quot;&#39;q&#39;</div></body></html>"
+
+
+def demo_html(id_col: Column, text_col: Column, source_col: Column) -> Column:
+    """Byte-identical in Spark and DuckDB (same literals, same casts)."""
+    return F.concat(
+        F.lit(HTML_PRE),
+        id_col.cast("string"),
+        F.lit(HTML_MID1),
+        id_col.cast("string"),
+        F.lit(HTML_MID2),
+        F.replace(text_col, F.lit("the "), F.lit("<b>the</b> ")),
+        F.lit(HTML_MID3),
+        source_col,
+        F.lit(HTML_POST),
+    )

@@ -3646,3 +3646,103 @@ rk AS (
 SELECT doc_id, term, tf, CAST(s AS DOUBLE) / 10000.0 AS score, rank
 FROM rk WHERE rank <= {k}
 """
+
+
+def entropy_profile_sql(
+    *, table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """Mirror of operators.text.entropy_profile — same scaled-integer
+    entropy grid (g(c) = round(ln(c)*1e4) summed as BIGINT, so the
+    reduction is order-independent on both engines), same 60-bit unit
+    hashing, same left-join-to-spine zero semantics for empty docs."""
+    ent = (
+        "CASE WHEN d = 1 THEN 0.0 ELSE greatest(0.0, "
+        "round((ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / "
+        "(CAST(n AS DOUBLE) * 10000.0)) / ln(2.0), 4)) END"
+    )
+    return f"""
+WITH docs AS (SELECT {id_col} AS id, lower({text_col}) AS lt FROM {table}),
+units AS (
+  SELECT id, 0 AS gn, u
+  FROM docs, unnest(list_filter(
+    string_split(regexp_replace(lt, '\\s+', '', 'g'), ''), x -> x <> '')) AS t(u)
+  UNION ALL
+  SELECT id, 1 AS gn, u
+  FROM docs, unnest(list_filter(string_split_regex(lt, '\\s+'), x -> x <> '')) AS t(u)),
+cnt AS (
+  SELECT id, gn, {duck_md5_long('u')} AS uh, count(*) AS c
+  FROM units GROUP BY 1, 2, 3),
+per AS (
+  SELECT id, gn, sum(c) AS n,
+         sum(c * CAST(round(ln(c) * 10000) AS BIGINT)) AS s,
+         count(*) AS d
+  FROM cnt GROUP BY 1, 2),
+scored AS (SELECT id, gn, n, d, {ent} AS h FROM per),
+prof AS (
+  SELECT id,
+         max(CASE WHEN gn = 0 THEN n END) AS nc,
+         max(CASE WHEN gn = 0 THEN h END) AS hc,
+         max(CASE WHEN gn = 1 THEN n END) AS nt,
+         max(CASE WHEN gn = 1 THEN h END) AS ht,
+         max(CASE WHEN gn = 1 THEN d END) AS dt
+  FROM scored GROUP BY 1)
+SELECT d.{id_col},
+       CAST(coalesce(p.nc, 0) AS BIGINT) AS n_chars_nws,
+       coalesce(p.hc, 0.0) AS char_entropy,
+       CAST(coalesce(p.nt, 0) AS BIGINT) AS n_tok,
+       coalesce(p.ht, 0.0) AS token_entropy,
+       CASE WHEN coalesce(p.nt, 0) > 0
+            THEN round(CAST(p.dt AS DOUBLE) / CAST(p.nt AS DOUBLE), 4)
+            ELSE 0.0 END AS distinct_token_ratio
+FROM {table} d LEFT JOIN prof p ON d.{id_col} = p.id
+"""
+
+
+def duck_strip_html(expr: str) -> str:
+    """RE2 mirror of operators.text.strip_html: identical pattern set (no
+    backreferences by design), identical entity order ('&amp;' last)."""
+    c = f"regexp_replace({expr}, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    c = f"regexp_replace({c}, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    c = f"regexp_replace({c}, '(?s)<!--.*?-->', ' ', 'g')"
+    c = f"regexp_replace({c}, '(?s)<[^>]+>', ' ', 'g')"
+    c = f"replace({c}, '&lt;', '<')"
+    c = f"replace({c}, '&gt;', '>')"
+    c = f"replace({c}, '&quot;', '\"')"
+    c = f"replace({c}, '&#39;', chr(39))"
+    c = f"replace({c}, '&nbsp;', ' ')"
+    c = f"replace({c}, '&amp;', '&')"
+    return f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
+
+
+# HTML synthesis literals live next to the Spark builder so both engines
+# concatenate byte-identical strings (operators/text.py demo_html).
+from transmog_spark.operators.text import (  # noqa: E402
+    HTML_MID1 as _HTML_MID1,
+    HTML_MID2 as _HTML_MID2,
+    HTML_MID3 as _HTML_MID3,
+    HTML_POST as _HTML_POST,
+    HTML_PRE as _HTML_PRE,
+)
+
+
+def demo_html_sql(id_expr: str, text_expr: str, source_expr: str) -> str:
+    mid2 = _HTML_MID2.replace("'", "''")
+    return (
+        f"'{_HTML_PRE}' || CAST({id_expr} AS VARCHAR) || '{_HTML_MID1}' || "
+        f"CAST({id_expr} AS VARCHAR) || '{mid2}' || "
+        f"replace({text_expr}, 'the ', '<b>the</b> ') || '{_HTML_MID3}' || "
+        f"{source_expr} || '{_HTML_POST}'"
+    )
+
+
+def strip_html_sql(
+    *, table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    html = demo_html_sql(id_col, text_col, "source")
+    return f"""
+WITH synth AS (SELECT {id_col}, {html} AS html FROM {table}),
+cleaned AS (SELECT {id_col}, {duck_strip_html('html')} AS clean_text FROM synth)
+SELECT {id_col}, clean_text,
+       CAST(length(clean_text) AS BIGINT) AS clean_chars
+FROM cleaned
+"""
