@@ -697,3 +697,22 @@ def test_dedupe_near_best_windows_clustered_slice_only(spark, sf_dir):
     final = final.split("== Initial Plan ==")[0]  # AQE's pre-stats plan trails
     assert re.search(r"BroadcastHashJoin .*LeftAnti", final)
     assert "SortMergeJoin" not in final
+
+
+def test_entropy_profile_one_scan_two_count_exchanges(spark, sf_dir):
+    # chars+tokens ride ONE tagged explode of ONE corpus scan; counting is
+    # two map-side-combined exchanges (unit counts, per-doc pivot) plus the
+    # spine join's; unit strings never ship — only 8-byte hashes
+    plan = _plan(spark, sf_dir, "entropy_profile")
+    assert plan.count("Location: InMemoryFileIndex") <= 2  # corpus + spine
+    assert _exchanges(plan) <= 4
+    assert "SortMergeJoin" not in plan or "Exchange" in plan  # no cartesian
+    assert "CartesianProduct" not in plan
+
+
+def test_strip_html_narrow_zero_exchanges(spark, sf_dir):
+    # pure Column expression: single scan, zero shuffles, codegen'd
+    plan = _plan(spark, sf_dir, "strip_html")
+    assert _exchanges(plan) == 0
+    assert "codegen id" in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
