@@ -501,6 +501,25 @@ def _q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("clean_chars", F.length("clean_text").cast("long"))
 
 
+def _q_url_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL curation stage (operators/text.py:url_parts/url_normalize, the
+    RefinedWeb §3.1 idiom): host + registered-domain grouping key + the
+    canonical URL that dedup/per-domain caps key on, over deterministically
+    synthesized URLs exercising every normalization rule (case, www,
+    default port, trailing slash, tracking params, fragment)."""
+    from transmog_spark.operators.text import demo_url, url_normalize, url_parts
+
+    d = _t(spark, sf_dir, "documents")
+    u = demo_url(F.col("doc_id"), F.col("source"))
+    parts = url_parts(u)
+    return d.select(
+        "doc_id",
+        parts["host"].alias("host"),
+        parts["domain"].alias("domain"),
+        url_normalize(u).alias("norm_url"),
+    )
+
+
 def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM corpus-quality scoring (operators/lm.py:lm_score): model
     trained on the 80% md5 hash-split, every doc scored by add-k-smoothed
@@ -2232,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4/5 surface past the 50-row driver window ------------
         "entropy_profile": _q_entropy_profile,
         "strip_html": _q_strip_html,
+        "url_profile": _q_url_profile,
         "centroid_classify": _q_centroid_classify,
         "strip_dup_spans": _q_strip_dup_spans,
         "embedding_topk_sq8": _q_embedding_topk_sq8,
@@ -2381,6 +2401,7 @@ def oracle_sql() -> dict[str, str]:
         text_profile_sql,
         entropy_profile_sql,
         strip_html_sql,
+        url_profile_sql,
         token_features_sql,
         token_pipeline_sql,
         winnow_fingerprints_sql,
@@ -2660,6 +2681,7 @@ FROM docs GROUP BY 1
         "text_profile": text_profile_sql(),
         "entropy_profile": entropy_profile_sql(),
         "strip_html": strip_html_sql(),
+        "url_profile": url_profile_sql(),
         "lm_perplexity": lm_perplexity_sql(),
         "kn_perplexity": kn_perplexity_sql(),
         "scd2_intervals": """

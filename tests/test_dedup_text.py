@@ -389,3 +389,61 @@ def test_strip_html_entity_order_and_idempotence(spark):
     assert row["c1"] == "a &lt; b"
     assert row["c2"] == "plain text, no markup"
     assert row["c3"] == "spaced out"
+
+
+# --------------------------------------------------------------------- URL
+
+
+def test_url_normalize_rules(spark):
+    from pyspark.sql import functions as F
+
+    from transmog_spark.operators.text import url_normalize
+
+    cases = [
+        # case + www + default port + trailing slash + tracking + fragment
+        (1, "HTTPS://WWW.Ex.COM:443/A/b//?utm_source=x&id=3&gclid=z#f",
+         "https://ex.com/A/b?id=3"),
+        # non-default port kept; http:80 dropped
+        (2, "http://ex.com:8080/p", "http://ex.com:8080/p"),
+        (3, "http://ex.com:80/p", "http://ex.com/p"),
+        # empty path -> '/', tracking-only query vanishes entirely
+        (4, "https://ex.com?utm_medium=a&utm_src=b", "https://ex.com/"),
+        # query param ORDER preserved (reordering conflates semantics)
+        (5, "https://ex.com/p?b=2&a=1", "https://ex.com/p?b=2&a=1"),
+        # path case preserved (URL paths are case-sensitive)
+        (6, "https://Ex.com/CaseSensitive", "https://ex.com/CaseSensitive"),
+        # non-absolute input passes through trimmed, never mangled
+        (7, "  relative/path?utm_source=x  ", "relative/path?utm_source=x"),
+        # userinfo stripped from host resolution
+        (8, "https://user:pw@ex.com/p", "https://ex.com/p"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases], ["id", "url"])
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", url_normalize(F.col("url")).alias("n")).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_url_parts_domain_heuristic(spark):
+    from pyspark.sql import functions as F
+
+    from transmog_spark.operators.text import url_parts
+
+    df = spark.createDataFrame(
+        [(1, "https://a.b.Ex.COM/x"), (2, "http://localhost:9000/y")],
+        ["id", "url"],
+    )
+    p = url_parts(F.col("url"))
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id", p["host"].alias("h"), p["domain"].alias("d"),
+            p["port"].alias("pt"), p["path"].alias("pa"),
+        ).collect()
+    }
+    assert rows[1]["h"] == "a.b.ex.com" and rows[1]["d"] == "ex.com"
+    # single-label host has no registered domain (heuristic returns '')
+    assert rows[2]["h"] == "localhost" and rows[2]["d"] == ""
+    assert rows[2]["pt"] == "9000" and rows[2]["pa"] == "/y"

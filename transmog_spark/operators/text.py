@@ -448,3 +448,89 @@ def demo_html(id_col: Column, text_col: Column, source_col: Column) -> Column:
         source_col,
         F.lit(HTML_POST),
     )
+
+
+# ------------------------------------------------------------------ URLs
+#
+# RefinedWeb-style URL curation (Penedo et al. 2023 §3.1): crawl pipelines
+# key dedup, per-domain caps, and blocklists on a NORMALIZED url + a
+# registered-domain grouping key. Pure Column regexps (RE2-safe: no
+# backrefs, no lookarounds) mirrored 1:1 in the DuckDB oracle.
+
+# tracking params dropped by url_normalize: the universal click-id noise
+# that makes one page count as many
+URL_TRACKING_RE = r"^(fbclid|gclid|msclkid)="
+
+
+def url_parts(url: Column) -> dict[str, Column]:
+    """Decompose an absolute URL: scheme, host (lowercased), port, path,
+    query, fragment, and ``domain`` — the registered domain approximated as
+    the last two dot-labels (a heuristic, not the Public Suffix List;
+    co.uk-style suffixes group one level too coarse, documented)."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)", 1
+    )
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]+)", 1))
+    return {
+        "scheme": scheme,
+        "host": host,
+        "port": F.regexp_extract(hostport, r":([0-9]+)$", 1),
+        "path": F.regexp_extract(
+            url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+        ),
+        "query": F.regexp_extract(url, r"\?([^#]*)", 1),
+        "fragment": F.regexp_extract(url, r"#(.*)$", 1),
+        "domain": F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1),
+    }
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical URL for dedup/caps: lowercase scheme+host, strip leading
+    'www.', drop default ports (http:80 / https:443), collapse trailing
+    path slashes (root stays '/'), drop utm_*/click-id tracking params and
+    the fragment, keep the remaining query verbatim (order preserved —
+    reordering would conflate distinct server semantics). Non-absolute
+    inputs (no scheme) pass through trimmed, never mangled."""
+    p = url_parts(url)
+    host = F.regexp_replace(p["host"], r"^www\.", "")
+    port = F.when(
+        (p["port"] == "")
+        | ((p["scheme"] == "http") & (p["port"] == "80"))
+        | ((p["scheme"] == "https") & (p["port"] == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), p["port"]))
+    p1 = F.regexp_replace(p["path"], r"/+$", "")
+    path = F.when(p1 == "", F.lit("/")).otherwise(p1)
+    q2 = F.array_join(
+        F.filter(
+            F.split(p["query"], "&"),
+            lambda kv: (kv != "")
+            & (kv.substr(1, 4) != "utm_")
+            & ~kv.rlike(URL_TRACKING_RE),
+        ),
+        "&",
+    )
+    query = F.when(q2 == "", F.lit("")).otherwise(F.concat(F.lit("?"), q2))
+    norm = F.concat(p["scheme"], F.lit("://"), host, port, path, query)
+    return F.when(p["scheme"] == "", F.trim(url)).otherwise(norm)
+
+
+# Deterministic URL synthesis shared by the url_profile demo query and its
+# DuckDB oracle: exercises every normalization stage (uppercase scheme/www
+# host, default port, trailing slash, tracking params, fragment).
+def demo_url(id_col: Column, source_col: Column) -> Column:
+    i = id_col.cast("string")
+    return F.concat(
+        F.lit("HTTPS://WWW."),
+        source_col,
+        (id_col % 7).cast("string"),
+        F.lit(".Example.COM:443/Path/"),
+        i,
+        F.when(id_col % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="),
+        (id_col % 5).cast("string"),
+        F.lit("&utm_medium=x"),
+        F.when(id_col % 2 == 0, F.lit("&ref=home")).otherwise(F.lit("")),
+        F.lit("#frag"),
+    )

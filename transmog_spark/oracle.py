@@ -3746,3 +3746,57 @@ SELECT {id_col}, clean_text,
        CAST(length(clean_text) AS BIGINT) AS clean_chars
 FROM cleaned
 """
+
+
+def demo_url_sql(id_expr: str, source_expr: str) -> str:
+    """Mirror of operators.text.demo_url (same literals, same casts)."""
+    i = f"CAST({id_expr} AS VARCHAR)"
+    return (
+        f"'HTTPS://WWW.' || {source_expr} || CAST({id_expr} % 7 AS VARCHAR) || "
+        f"'.Example.COM:443/Path/' || {i} || "
+        f"CASE WHEN {id_expr} % 3 = 0 THEN '/' ELSE '' END || "
+        f"'?utm_source=feed&id=' || CAST({id_expr} % 5 AS VARCHAR) || "
+        f"'&utm_medium=x' || "
+        f"CASE WHEN {id_expr} % 2 = 0 THEN '&ref=home' ELSE '' END || '#frag'"
+    )
+
+
+def url_profile_sql(
+    *, table: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """Mirror of operators.text.url_parts + url_normalize over the shared
+    deterministic URL synthesis — identical RE2-safe pattern set, identical
+    tracking-param filter, identical default-port/trailing-slash rules."""
+    hostport = (
+        "regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1)"
+    )
+    return f"""
+WITH synth AS (SELECT {id_col}, {demo_url_sql(id_col, 'source')} AS u FROM {table}),
+parts AS (
+  SELECT {id_col}, u,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract({hostport}, '^([^:]+)', 1)) AS host,
+         regexp_extract({hostport}, ':([0-9]+)$', 1) AS port,
+         regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(u, '\\?([^#]*)', 1) AS q
+  FROM synth),
+filt AS (
+  SELECT *,
+         array_to_string(list_filter(string_split(q, '&'),
+           kv -> kv <> '' AND substring(kv, 1, 4) <> 'utm_'
+                 AND NOT regexp_matches(kv, '^(fbclid|gclid|msclkid)=')), '&')
+           AS q2,
+         regexp_replace(path, '/+$', '') AS p1
+  FROM parts)
+SELECT {id_col}, host,
+       regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+       CASE WHEN scheme = '' THEN trim(u) ELSE
+         scheme || '://' || regexp_replace(host, '^www\\.', '') ||
+         CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                   OR (scheme = 'https' AND port = '443')
+              THEN '' ELSE ':' || port END ||
+         CASE WHEN p1 = '' THEN '/' ELSE p1 END ||
+         CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END
+       END AS norm_url
+FROM filt
+"""
