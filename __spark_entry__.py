@@ -520,6 +520,26 @@ def _q_url_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cooc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-occurrence + PMI top-100 (operators/cooc.py:cooc_pairs)
+    — the GloVe/word2vec-prep collocation table; canonicalized pairs, one
+    map-side-combined count shuffle, vocabulary-bounded broadcast joins."""
+    from transmog_spark.operators.cooc import cooc_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return cooc_pairs(d, "doc_id", "text", window=2, min_count=2, k=100)
+
+
+def _q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-n ratios (operators/cooc.py:ngram_diversity) —
+    the self-BLEU-style template-spam/mirror telemetry; one tagged explode,
+    8-byte gram hashes on the wire."""
+    from transmog_spark.operators.cooc import ngram_diversity
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_diversity(d, "doc_id", "text", "source", max_n=3)
+
+
 def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM corpus-quality scoring (operators/lm.py:lm_score): model
     trained on the 80% md5 hash-split, every doc scored by add-k-smoothed
@@ -2252,6 +2272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_profile": _q_entropy_profile,
         "strip_html": _q_strip_html,
         "url_profile": _q_url_profile,
+        "cooc_pairs": _q_cooc_pairs,
+        "ngram_diversity": _q_ngram_diversity,
         "centroid_classify": _q_centroid_classify,
         "strip_dup_spans": _q_strip_dup_spans,
         "embedding_topk_sq8": _q_embedding_topk_sq8,
@@ -2402,6 +2424,8 @@ def oracle_sql() -> dict[str, str]:
         entropy_profile_sql,
         strip_html_sql,
         url_profile_sql,
+        cooc_pairs_sql,
+        ngram_diversity_sql,
         token_features_sql,
         token_pipeline_sql,
         winnow_fingerprints_sql,
@@ -2682,6 +2706,8 @@ FROM docs GROUP BY 1
         "entropy_profile": entropy_profile_sql(),
         "strip_html": strip_html_sql(),
         "url_profile": url_profile_sql(),
+        "cooc_pairs": cooc_pairs_sql(),
+        "ngram_diversity": ngram_diversity_sql(),
         "lm_perplexity": lm_perplexity_sql(),
         "kn_perplexity": kn_perplexity_sql(),
         "scd2_intervals": """

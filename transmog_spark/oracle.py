@@ -3800,3 +3800,81 @@ SELECT {id_col}, host,
        END AS norm_url
 FROM filt
 """
+
+
+def cooc_pairs_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 2,
+    k: int = 100,
+) -> str:
+    """Mirror of operators.cooc.cooc_pairs — position self-join instead of
+    the shifted-zip (same pair set by construction), identical ln-chain
+    order and 1e-4 rank grid."""
+    return f"""
+WITH docs AS (
+  SELECT row_number() OVER () AS did, {duck_ws_tokens(text_col)} AS t
+  FROM {table}),
+ex AS (
+  SELECT did, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM docs),
+pairs AS (
+  SELECT least(e1.tok, e2.tok) AS tok_a, greatest(e1.tok, e2.tok) AS tok_b,
+         count(*) AS c_ab
+  FROM ex e1 JOIN ex e2
+    ON e1.did = e2.did AND e2.pos > e1.pos AND e2.pos <= e1.pos + {window}
+  GROUP BY 1, 2 HAVING count(*) >= {min_count}),
+uni AS (SELECT tok, count(*) AS c FROM ex GROUP BY 1),
+n AS (SELECT sum(c) AS n_tok FROM uni),
+scored AS (
+  SELECT p.tok_a, p.tok_b, p.c_ab, ua.c AS c_a, ub.c AS c_b,
+         round(ln(CAST(p.c_ab AS DOUBLE)) + ln(CAST(n_tok AS DOUBLE))
+               - ln(CAST(ua.c AS DOUBLE)) - ln(CAST(ub.c AS DOUBLE)), 4) AS pmi
+  FROM pairs p
+  JOIN uni ua ON p.tok_a = ua.tok
+  JOIN uni ub ON p.tok_b = ub.tok
+  CROSS JOIN n),
+rk AS (
+  SELECT *, row_number() OVER (
+    ORDER BY CAST(round(pmi * 10000) AS BIGINT) DESC, tok_a, tok_b) AS rank
+  FROM scored)
+SELECT tok_a, tok_b, c_ab, c_a, c_b, pmi, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {k}
+"""
+
+
+def ngram_diversity_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    source_col: str = "source",
+    max_n: int = 3,
+) -> str:
+    """Mirror of operators.cooc.ngram_diversity — ordered non-distinct
+    n-grams (duplicates kept, the word_ngrams contract), same 60-bit gram
+    hash, distinct/total per (source, n)."""
+    def grams(n: int) -> str:
+        lst = (
+            f"list_transform(range(1, len(t) - {n} + 2), "
+            f"i -> array_to_string(list_slice(t, i, i + {n} - 1), ' '))"
+        )
+        return (
+            f"SELECT src, {n} AS n, unnest(CASE WHEN len(t) >= {n} "
+            f"THEN {lst} ELSE [] END) AS g FROM docs"
+        )
+    union = "\n  UNION ALL\n  ".join(grams(n) for n in range(1, max_n + 1))
+    return f"""
+WITH docs AS (
+  SELECT {source_col} AS src, {duck_ws_tokens(text_col)} AS t FROM {table}),
+grams AS (
+  {union}),
+hashed AS (SELECT src, n, {duck_md5_long('g')} AS gh FROM grams),
+agg AS (
+  SELECT src AS source, n, count(*) AS total_grams,
+         count(DISTINCT gh) AS distinct_grams
+  FROM hashed GROUP BY 1, 2)
+SELECT source, CAST(n AS INT) AS n, total_grams, distinct_grams,
+       round(CAST(distinct_grams AS DOUBLE) / total_grams, 4) AS distinct_ratio
+FROM agg
+"""
