@@ -540,6 +540,27 @@ def _q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_diversity(d, "doc_id", "text", "source", max_n=3)
 
 
+def _q_boundary_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-boundary-aware greedy chunking (operators/packing.py:
+    boundary_chunks) — the RAG/long-doc splitter token_chunks' fixed stride
+    is not — over deterministically sentencified documents (a '.' on every
+    5th token, shared with the oracle). Entirely per-row: zero shuffles."""
+    from transmog_spark.operators.packing import boundary_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    sp = F.split(F.col("text"), " ")
+    txt = F.array_join(
+        F.zip_with(
+            sp,
+            F.sequence(F.lit(1), F.greatest(F.size(sp), F.lit(1))),
+            lambda w, i: F.when(i % 5 == 0, F.concat(w, F.lit("."))).otherwise(w),
+        ),
+        " ",
+    )
+    synth = d.where(F.size(sp) > 0).select("doc_id", txt.alias("text"))
+    return boundary_chunks(synth, "doc_id", "text", max_tokens=12)
+
+
 def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM corpus-quality scoring (operators/lm.py:lm_score): model
     trained on the 80% md5 hash-split, every doc scored by add-k-smoothed
@@ -2274,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_profile": _q_url_profile,
         "cooc_pairs": _q_cooc_pairs,
         "ngram_diversity": _q_ngram_diversity,
+        "boundary_chunks": _q_boundary_chunks,
         "centroid_classify": _q_centroid_classify,
         "strip_dup_spans": _q_strip_dup_spans,
         "embedding_topk_sq8": _q_embedding_topk_sq8,
@@ -2426,6 +2448,7 @@ def oracle_sql() -> dict[str, str]:
         url_profile_sql,
         cooc_pairs_sql,
         ngram_diversity_sql,
+        boundary_chunks_sql,
         token_features_sql,
         token_pipeline_sql,
         winnow_fingerprints_sql,
@@ -2708,6 +2731,7 @@ FROM docs GROUP BY 1
         "url_profile": url_profile_sql(),
         "cooc_pairs": cooc_pairs_sql(),
         "ngram_diversity": ngram_diversity_sql(),
+        "boundary_chunks": boundary_chunks_sql(),
         "lm_perplexity": lm_perplexity_sql(),
         "kn_perplexity": kn_perplexity_sql(),
         "scd2_intervals": """

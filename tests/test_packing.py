@@ -337,3 +337,49 @@ def test_pack_masks_alignment_and_semantics(spark):
         for r in pack_assemble(docs, budget=8, block_rows=2).collect()
     }
     assert {k: v.tokens for k, v in out.items()} == asm
+
+
+# -------------------------------------------------------- boundary_chunks
+
+
+def test_boundary_chunks_greedy_hand_computed(spark):
+    import pytest
+
+    from transmog_spark.operators.packing import boundary_chunks
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three. four five six seven. eight nine. ten!"),
+            (2, "a b c d e f g h i j k l m n"),  # 1 long sentence: overflow
+            (3, "x. y. z."),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        boundary_chunks(df, max_tokens=6).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    got = [
+        (r["doc_id"], r["chunk_id"], r["n_sents"], r["chunk_tokens"], r["chunk"])
+        for r in rows
+    ]
+    assert got == [
+        # greedy: 3; +4>6 new; 4+2=6 fits; +1>6 new
+        (1, 0, 1, 3, "one two three."),
+        (1, 1, 2, 6, "four five six seven. eight nine."),
+        (1, 2, 1, 1, "ten!"),
+        # single over-budget sentence becomes its own overflowing chunk
+        (2, 0, 1, 14, "a b c d e f g h i j k l m n"),
+        # everything fits in one chunk
+        (3, 0, 3, 3, "x. y. z."),
+    ]
+    with pytest.raises(ValueError):
+        boundary_chunks(df, max_tokens=0)
+
+
+def test_boundary_chunks_zero_shuffle_plan(spark):
+    from transmog_spark.operators.packing import boundary_chunks
+
+    df = spark.createDataFrame([(1, "a b. c d.")], ["doc_id", "text"])
+    plan = boundary_chunks(df, max_tokens=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # entirely per-row: split, fold, assemble

@@ -534,3 +534,114 @@ def token_chunks(
         F.size(chunk).cast("long").alias("chunk_len"),
         chunk.alias("chunk"),
     )
+
+
+def boundary_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_tokens: int = 128,
+) -> DataFrame:
+    """Sentence-boundary-aware greedy chunking of long documents.
+
+    The RAG/pretraining long-doc splitter that ``token_chunks`` (fixed
+    stride, cuts mid-sentence) is not: sentences (``text.sentences``) are
+    packed left-to-right into chunks, starting a new chunk when adding the
+    next sentence would exceed ``max_tokens``; a single sentence longer
+    than the budget becomes its own (overflowing) chunk — greedy
+    first-fit-in-order, never reordered, so chunk text reads contiguously.
+
+    Scale shape: entirely per-row — sentence split, the greedy fold
+    (``F.aggregate`` over the sentence array), and chunk assembly all run
+    inside one narrow projection; only the final posexplode widens rows.
+    ZERO shuffles, no window, no join. Per-row cost is O(sentences ×
+    chunks) for the assembly transform — fine for real document lengths
+    (the fold itself is O(sentences)).
+
+    Output: ``chunk_id`` (per-doc, 0-based, in document order),
+    ``n_sents``, ``chunk_tokens`` (whitespace tokens), ``chunk`` (text).
+    DuckDB mirror: ``oracle.boundary_chunks_sql`` — a recursive-CTE fold,
+    because DuckDB 1.0's list_reduce corrupts struct accumulators that
+    carry a growing list (see the mirror's docstring).
+    """
+    from transmog_spark.operators.text import sentences, ws_tokens
+
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+
+    sl = F.transform(
+        F.filter(sentences(F.col(text_col)), lambda s: F.trim(s) != ""),
+        lambda s: F.struct(
+            F.trim(s).alias("s"), F.size(ws_tokens(s)).alias("l")
+        ),
+    )
+    # stage: __sl referenced by fold + zip + assembly (Catalyst would
+    # otherwise inline the split/transform into every use)
+    staged = df.select(F.col(id_col), sl.alias("__sl")).where(
+        F.size("__sl") > 0
+    )
+    init = F.struct(
+        F.lit(0).alias("len"),
+        F.array().cast("array<int>").alias("ids"),
+        F.lit(0).alias("last"),
+    )
+    fold = F.aggregate(
+        F.col("__sl"),
+        init,
+        lambda acc, e: F.when(
+            (acc["len"] > 0) & (acc["len"] + e["l"] > max_tokens),
+            F.struct(
+                e["l"].alias("len"),
+                F.concat(acc["ids"], F.array(acc["last"] + 1)).alias("ids"),
+                (acc["last"] + 1).alias("last"),
+            ),
+        ).otherwise(
+            F.struct(
+                (acc["len"] + e["l"]).alias("len"),
+                F.concat(acc["ids"], F.array(acc["last"])).alias("ids"),
+                acc["last"].alias("last"),
+            )
+        ),
+    )
+    staged = staged.select(id_col, "__sl", fold["ids"].alias("__ids"))
+    zipped = F.zip_with(
+        F.col("__sl"),
+        F.col("__ids"),
+        lambda e, cid: F.struct(
+            cid.alias("cid"), e["s"].alias("s"), e["l"].alias("l")
+        ),
+    )
+    staged = staged.select(id_col, zipped.alias("__z"))
+
+    def _chunk(cid):
+        members = F.filter(F.col("__z"), lambda z: z["cid"] == cid)
+        return F.struct(
+            F.size(members).cast("long").alias("n_sents"),
+            F.aggregate(
+                members, F.lit(0), lambda a, z: a + z["l"]
+            ).cast("long").alias("chunk_tokens"),
+            F.array_join(
+                F.transform(members, lambda z: z["s"]), " "
+            ).alias("chunk"),
+        )
+
+    staged = staged.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.element_at(F.transform(F.col("__z"), lambda z: z["cid"]), -1),
+                ),
+                _chunk,
+            )
+        ).alias("chunk_id", "c"),
+    )
+    return staged.select(
+        id_col,
+        F.col("chunk_id").cast("long"),
+        F.col("c.n_sents"),
+        F.col("c.chunk_tokens"),
+        F.col("c.chunk"),
+    )

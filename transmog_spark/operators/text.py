@@ -534,3 +534,20 @@ def demo_url(id_col: Column, source_col: Column) -> Column:
         F.when(id_col % 2 == 0, F.lit("&ref=home")).otherwise(F.lit("")),
         F.lit("#frag"),
     )
+
+
+# US unit separator (0x1f): never occurs in text; the sentence-split marker
+_SENT_SEP = chr(31)
+
+
+def sentences(text: Column) -> Column:
+    """Sentence segmentation by terminal punctuation ([.!?] + whitespace).
+
+    Lookbehind-free by design (RE2, the DuckDB oracle's engine, has no
+    lookaround): inject a unit separator after the terminator, then split —
+    both engines run the literally-same pattern. Regex segmentation, not a
+    model: right for bulk chunking, wrong for 'Dr. Smith' abbreviations.
+    """
+    return F.split(
+        F.regexp_replace(text, r"([.!?])\s+", "$1" + _SENT_SEP), _SENT_SEP
+    )

@@ -3878,3 +3878,58 @@ SELECT source, CAST(n AS INT) AS n, total_grams, distinct_grams,
        round(CAST(distinct_grams AS DOUBLE) / total_grams, 4) AS distinct_ratio
 FROM agg
 """
+
+
+def boundary_chunks_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 12,
+    sentencify: int = 5,
+) -> str:
+    """Mirror of operators.packing.boundary_chunks over the shared
+    deterministic sentencification (a '.' appended to every
+    ``sentencify``-th token). The greedy fold is a recursive CTE over the
+    per-doc sentence index — NOT list_reduce: DuckDB 1.0's list_reduce
+    corrupts struct accumulators that carry a growing list (the list field
+    collapses to its last element; verified in-sandbox), so lambda-fold
+    mirrors are off-limits for list-accumulating state."""
+    sep = "chr(31)"
+    sent = (
+        f"string_split(regexp_replace(txt, '([.!?])\\s+', '\\1' || {sep}, 'g'), {sep})"
+    )
+    wst = "list_filter(string_split_regex(lower(s), '\\s+'), x -> x <> '')"
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT {id_col}, string_split({text_col}, ' ') AS sp FROM {table}),
+docs AS (
+  SELECT {id_col},
+         array_to_string(list_transform(range(1, len(sp) + 1),
+           i -> CASE WHEN i % {sentencify} = 0 THEN sp[i] || '.' ELSE sp[i] END),
+           ' ') AS txt
+  FROM base WHERE len(sp) > 0),
+st AS (
+  SELECT {id_col},
+         list_transform(
+           list_filter({sent}, s -> trim(s) <> ''),
+           s -> struct_pack(s := trim(s), l := len({wst}))) AS sl
+  FROM docs),
+f AS (
+  SELECT {id_col}, sl, 1 AS i, sl[1].l AS cur, 0 AS cid
+  FROM st WHERE len(sl) > 0
+  UNION ALL
+  SELECT {id_col}, sl, i + 1,
+         CASE WHEN cur + sl[i + 1].l > {max_tokens}
+              THEN sl[i + 1].l ELSE cur + sl[i + 1].l END,
+         CASE WHEN cur + sl[i + 1].l > {max_tokens}
+              THEN cid + 1 ELSE cid END
+  FROM f WHERE i < len(sl)),
+assigned AS (
+  SELECT {id_col}, cid, sl[i].s AS s, sl[i].l AS l, i FROM f)
+SELECT {id_col}, CAST(cid AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_sents,
+       CAST(sum(l) AS BIGINT) AS chunk_tokens,
+       string_agg(s, ' ' ORDER BY i) AS chunk
+FROM assigned GROUP BY 1, 2
+"""
