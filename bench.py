@@ -113,6 +113,10 @@ HEADLINE = [
     "scd2_intervals",
     # char+token Shannon entropy, one tagged explode (base64/spam screens)
     "entropy_profile",
+    # windowed PMI collocations: one pair-count shuffle + broadcast joins
+    "cooc_pairs",
+    # sentence-aware greedy chunking: zero-shuffle per-row fold
+    "boundary_chunks",
     # stage boundaries persist on first execution (see the entry docstring);
     # best-of-N then times the post-persist composed chain — the same
     # warm-index semantics as bm25_topk_indexed

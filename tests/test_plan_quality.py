@@ -716,3 +716,31 @@ def test_strip_html_narrow_zero_exchanges(spark, sf_dir):
     assert _exchanges(plan) == 0
     assert "codegen id" in plan
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_url_profile_narrow_zero_exchanges(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "url_profile")
+    assert _exchanges(plan) == 0
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_cooc_pairs_broadcast_scoring_joins(spark, sf_dir):
+    # pair + unigram counts are map-side-combined shuffles; the scoring
+    # joins ride broadcasts (vocabulary-bounded frames) — never a
+    # shuffle join; global top-k over the min_count-floored pair table
+    plan = _plan(spark, sf_dir, "cooc_pairs")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("partial_count") >= 2  # pairs + unigrams combine map-side
+
+
+def test_ngram_diversity_single_scan_one_agg_spine(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ngram_diversity")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
+
+
+def test_boundary_chunks_single_scan_no_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "boundary_chunks")
+    assert _exchanges(plan) == 0
+    assert plan.count("Location: InMemoryFileIndex") == 1
