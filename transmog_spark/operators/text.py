@@ -316,6 +316,9 @@ def entropy_profile(
     summed as exact BIGINTs, so the accumulation is order-independent and
     bit-identical in the DuckDB oracle (the lm.py scaled-integer-grid
     idiom — a double Σ c·ln c would hash-diverge on summation order).
+    Char splitting is per code unit (Spark) / UTF-8 char (DuckDB): they
+    agree on the BMP; astral-plane text shifts char_entropy slightly
+    between engines (entropy is a screen, not an identity — acceptable).
 
     Scale shape: ONE corpus scan — chars and tokens are built per row as a
     single tagged array (struct(gn, unit), the repetition_profile idiom)
