@@ -530,6 +530,19 @@ def _q_cooc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooc_pairs(d, "doc_id", "text", window=2, min_count=2, k=100)
 
 
+def _q_cooc_pairs_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cooc_pairs in the 100 TB wire posture: pair occurrences shuffle as
+    60-bit hashes (8 bytes, the spans wire), strings recovered only for
+    min_count-qualifying pairs. Same oracle as cooc_pairs — identical
+    output by construction."""
+    from transmog_spark.operators.cooc import cooc_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return cooc_pairs(
+        d, "doc_id", "text", window=2, min_count=2, k=100, hashed_wire=True
+    )
+
+
 def _q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distinct-n ratios (operators/cooc.py:ngram_diversity) —
     the self-BLEU-style template-spam/mirror telemetry; one tagged explode,
@@ -2294,6 +2307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_html": _q_strip_html,
         "url_profile": _q_url_profile,
         "cooc_pairs": _q_cooc_pairs,
+        "cooc_pairs_hashed": _q_cooc_pairs_hashed,
         "ngram_diversity": _q_ngram_diversity,
         "boundary_chunks": _q_boundary_chunks,
         "centroid_classify": _q_centroid_classify,
@@ -2730,6 +2744,7 @@ FROM docs GROUP BY 1
         "strip_html": strip_html_sql(),
         "url_profile": url_profile_sql(),
         "cooc_pairs": cooc_pairs_sql(),
+        "cooc_pairs_hashed": cooc_pairs_sql(),
         "ngram_diversity": ngram_diversity_sql(),
         "boundary_chunks": boundary_chunks_sql(),
         "lm_perplexity": lm_perplexity_sql(),

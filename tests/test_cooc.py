@@ -72,3 +72,17 @@ def test_ngram_diversity_hand_computed(spark):
     assert rows[("rep", 3)]["total_grams"] == 2
     for n in (1, 2, 3):
         assert rows[("div", n)]["distinct_ratio"] == 1.0
+
+
+def test_cooc_pairs_hashed_wire_equals_string_wire(spark):
+    from transmog_spark.operators.cooc import cooc_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c a"), (2, "b c b c d"), (3, "x y x y x y")],
+        ["doc_id", "text"],
+    )
+    s = cooc_pairs(df, window=2, min_count=2, k=50).collect()
+    h = cooc_pairs(df, window=2, min_count=2, k=50, hashed_wire=True).collect()
+    key = lambda r: (r["rank"], r["tok_a"], r["tok_b"], r["c_ab"], r["c_a"], r["c_b"], r["pmi"])
+    assert sorted(map(key, s)) == sorted(map(key, h))
+    assert len(s) > 2

@@ -744,3 +744,14 @@ def test_boundary_chunks_single_scan_no_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "boundary_chunks")
     assert _exchanges(plan) == 0
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_cooc_pairs_hashed_wire_ships_longs(spark, sf_dir):
+    # the wide (pair-occurrence) shuffle must carry the 8-byte __ph hash,
+    # never the token-pair strings; string recovery rides a broadcast
+    # semi-join over qualifying hashes only
+    plan = _plan(spark, sf_dir, "cooc_pairs_hashed")
+    for ex in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = ex.group(1)
+        assert "__ph" in keys or "tok" not in keys, keys
+    assert "SortMergeJoin" not in plan

@@ -34,6 +34,7 @@ def cooc_pairs(
     window: int = 2,
     min_count: int = 2,
     k: int = 100,
+    hashed_wire: bool = False,
 ) -> DataFrame:
     """Top-``k`` co-occurring token pairs by PMI.
 
@@ -42,6 +43,16 @@ def cooc_pairs(
     independence). ``min_count`` floors c_ab (PMI is noise-dominated on
     rare pairs). Output: (tok_a, tok_b, c_ab, c_a, c_b, pmi, rank) with
     tok_a ≤ tok_b, ranked by (pmi grid desc, tok_a, tok_b).
+
+    ``hashed_wire=True`` is the 100 TB posture (BENCH/cooc_scaling.md
+    measured the string-key shuffle bandwidth-bound at 0.644): pair
+    occurrences ship as 60-bit hashes (8 bytes, the spans wire), the
+    min_count floor is applied on the hashed counts, and token strings are
+    recovered by a second pass that keeps only qualifying pairs (broadcast
+    hash semi-join + map-side-distinct mapping). Two scans instead of one
+    pair pass, but the wide shuffle drops from ~2·window·avg_token_bytes
+    to 8 bytes per occurrence. Same output (md5-collision risk across
+    ~vocab² pairs is negligible at 60 bits and the oracle would catch it).
     """
     if window < 1:
         raise ValueError("window must be >= 1")
@@ -67,12 +78,40 @@ def cooc_pairs(
         F.concat(*[_pairs_at(d) for d in range(1, window + 1)]),
         lambda p: p.isNotNull(),
     )
-    pair_cnt = (
-        docs.select(F.explode(allp).alias("p"))
-        .groupBy(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
-        .agg(F.count(F.lit(1)).alias("c_ab"))
-        .where(F.col("c_ab") >= min_count)
-    )
+    if hashed_wire:
+        from transmog_spark.functions.hashing import md5_long
+
+        sep = chr(31)
+        occ = docs.select(F.explode(allp).alias("p")).select(
+            F.col("p.a").alias("a"),
+            F.col("p.b").alias("b"),
+        )
+        ph = md5_long(F.concat(F.col("a"), F.lit(sep), F.col("b")))
+        # phase 1: counts over 8-byte hashes only — the wide shuffle
+        hcnt = (
+            occ.select(ph.alias("__ph"))
+            .groupBy("__ph")
+            .agg(F.count(F.lit(1)).alias("c_ab"))
+            .where(F.col("c_ab") >= min_count)
+        )
+        # phase 2: recover strings for qualifying pairs only — broadcast
+        # hash semi-join, then a map-side-combined distinct of the
+        # (hash, a, b) mapping (bounded by the qualifying-pair count)
+        mapping = (
+            occ.select("a", "b", ph.alias("__ph"))
+            .join(F.broadcast(hcnt.select("__ph")), "__ph", "left_semi")
+            .dropDuplicates(["__ph"])
+        )
+        pair_cnt = hcnt.join(mapping, "__ph").select(
+            F.col("a").alias("tok_a"), F.col("b").alias("tok_b"), "c_ab"
+        )
+    else:
+        pair_cnt = (
+            docs.select(F.explode(allp).alias("p"))
+            .groupBy(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+            .agg(F.count(F.lit(1)).alias("c_ab"))
+            .where(F.col("c_ab") >= min_count)
+        )
 
     uni = (
         docs.select(F.explode("t").alias("tok"))
