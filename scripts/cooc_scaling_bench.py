@@ -66,7 +66,7 @@ def synth_docs(spark, n_docs: int, partitions: int):
     )
 
 
-def child(cpus: int, n_docs: int, partitions: int) -> None:
+def child(cpus: int, n_docs: int, partitions: int, hashed: bool = False) -> None:
     from transmog_spark.operators.cooc import cooc_pairs
     from transmog_spark.session import get_spark
 
@@ -77,7 +77,7 @@ def child(cpus: int, n_docs: int, partitions: int) -> None:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         synth_docs(spark, n_docs, partitions).write.mode("overwrite").parquet(path)
     docs = spark.read.parquet(path)
-    out = cooc_pairs(docs, window=2, min_count=2, k=100)
+    out = cooc_pairs(docs, window=2, min_count=2, k=100, hashed_wire=hashed)
 
     walls = []
     for _ in range(4):
@@ -90,6 +90,7 @@ def child(cpus: int, n_docs: int, partitions: int) -> None:
             {
                 "cpus": cpus,
                 "docs": n_docs,
+                "hashed_wire": hashed,
                 "walls_sec": [round(w, 3) for w in walls],
                 "best_sec": round(best, 3),
                 "docs_per_sec": round(n_docs / best, 1),
@@ -101,7 +102,7 @@ def child(cpus: int, n_docs: int, partitions: int) -> None:
 def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "--child":
-        child(int(args[1]), int(args[2]), int(args[3]))
+        child(int(args[1]), int(args[2]), int(args[3]), len(args) > 4)
         return
 
     docs = 2_000_000

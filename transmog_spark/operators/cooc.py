@@ -51,8 +51,8 @@ def cooc_pairs(
     recovered by a second pass that keeps only qualifying pairs (broadcast
     hash semi-join + map-side-distinct mapping). Two scans instead of one
     pair pass, but the wide shuffle drops from ~2·window·avg_token_bytes
-    to 8 bytes per occurrence. Same output (md5-collision risk across
-    ~vocab² pairs is negligible at 60 bits and the oracle would catch it).
+    to 8 bytes per occurrence. Same output (xxhash64-collision risk across
+    ~vocab² pairs is negligible at 64 bits and the oracle would catch it).
     """
     if window < 1:
         raise ValueError("window must be >= 1")
@@ -79,14 +79,15 @@ def cooc_pairs(
         lambda p: p.isNotNull(),
     )
     if hashed_wire:
-        from transmog_spark.functions.hashing import md5_long
-
-        sep = chr(31)
         occ = docs.select(F.explode(allp).alias("p")).select(
             F.col("p.a").alias("a"),
             F.col("p.b").alias("b"),
         )
-        ph = md5_long(F.concat(F.col("a"), F.lit(sep), F.col("b")))
+        # xxhash64, NOT the md5 parity hash: the wire hash is internal
+        # (strings are recovered before scoring, so the oracle never sees
+        # it) and md5's hex round-trip measured 2x the whole string-wire
+        # cost; xxhash64 is codegen'd and near-free
+        ph = F.xxhash64(F.col("a"), F.col("b"))
         # phase 1: counts over 8-byte hashes only — the wide shuffle
         hcnt = (
             occ.select(ph.alias("__ph"))
