@@ -447,3 +447,80 @@ def test_url_parts_domain_heuristic(spark):
     # single-label host has no registered domain (heuristic returns '')
     assert rows[2]["h"] == "localhost" and rows[2]["d"] == ""
     assert rows[2]["pt"] == "9000" and rows[2]["pa"] == "/y"
+
+
+def test_url_normalize_idempotent_on_random_urls(spark):
+    # normalize(normalize(u)) == normalize(u) over 300 seeded-random URLs
+    # covering every component combination (one Spark job, not per-example)
+    import random
+
+    from pyspark.sql import functions as F
+
+    from transmog_spark.operators.text import url_normalize
+
+    rng = random.Random(407)
+    urls = []
+    for i in range(300):
+        scheme = rng.choice(["http", "HTTP", "https", "HTTPS", "ftp"])
+        host = rng.choice(
+            ["Ex.COM", "www.ex.com", "WWW.a.b.Ex.org", "localhost", "x.co"]
+        )
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        path = rng.choice(["", "/", "/A/b", "/A/b/", "/p//", "/CaseS"])
+        q = rng.choice(
+            ["", "?utm_source=x", "?id=3&utm_medium=y", "?b=2&a=1", "?gclid=z&id=4"]
+        )
+        frag = rng.choice(["", "#f", "#a/b?c"])
+        urls.append((i, f"{scheme}://{host}{port}{path}{q}{frag}"))
+    df = spark.createDataFrame(urls, ["id", "url"])
+    once = url_normalize(F.col("url"))
+    rows = df.select(
+        "id",
+        once.alias("n1"),
+        url_normalize(once).alias("n2"),
+    ).collect()
+    for r in rows:
+        assert r["n1"] == r["n2"], (r["id"], r["n1"], r["n2"])
+
+
+def test_entropy_profile_matches_pure_python_on_random_texts(spark):
+    import math
+    import random
+
+    from transmog_spark.operators.text import entropy_profile
+
+    rng = random.Random(1311)
+    vocab = ["aa", "b", "ccc", "dd", "e", "zz9", "???", "tok"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 60))))
+        for i in range(200)
+    ]
+
+    def grid_entropy(counts):
+        n = sum(counts.values())
+        d = len(counts)
+        if d <= 1:
+            return 0.0
+        s = sum(c * round(math.log(c) * 10000) for c in counts.values())
+        return max(0.0, round((math.log(n) - s / (n * 10000.0)) / math.log(2.0), 4))
+
+    def expect(text):
+        from collections import Counter
+        toks = [t for t in text.lower().split() if t]
+        chars = Counter(c for c in text.lower() if not c.isspace())
+        tc = Counter(toks)
+        return (
+            sum(chars.values()), grid_entropy(chars),
+            len(toks), grid_entropy(tc),
+            round(len(tc) / len(toks), 4) if toks else 0.0,
+        )
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in entropy_profile(df, "doc_id", "text").collect()}
+    for i, text in docs:
+        r = rows[i]
+        got = (
+            r["n_chars_nws"], r["char_entropy"], r["n_tok"],
+            r["token_entropy"], r["distinct_token_ratio"],
+        )
+        assert got == expect(text), (i, got, expect(text), text)

@@ -383,3 +383,38 @@ def test_boundary_chunks_zero_shuffle_plan(spark):
     df = spark.createDataFrame([(1, "a b. c d.")], ["doc_id", "text"])
     plan = boundary_chunks(df, max_tokens=2)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # entirely per-row: split, fold, assemble
+
+
+def test_boundary_chunks_invariants_on_random_texts(spark):
+    # over seeded-random punctuated texts: chunks partition the sentence
+    # sequence IN ORDER, token totals are preserved, and every chunk
+    # respects the budget unless it is a single over-budget sentence
+    import random
+
+    from transmog_spark.operators.packing import boundary_chunks
+
+    rng = random.Random(977)
+    vocab = ["alpha", "b", "ce", "dd", "e77", "fff"]
+    docs = []
+    for i in range(150):
+        sents = []
+        for _ in range(rng.randint(1, 12)):
+            words = [rng.choice(vocab) for _ in range(rng.randint(1, 9))]
+            sents.append(" ".join(words) + rng.choice([".", "!", "?"]))
+        docs.append((i, " ".join(sents)))
+    max_tokens = 8
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {}
+    for r in boundary_chunks(df, max_tokens=max_tokens).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    for i, text in docs:
+        sents = [s.strip() for s in text.replace("!", ".").replace("?", ".").split(". ")]
+        total_tokens = len(text.split())
+        chunks = sorted(out[i], key=lambda r: r["chunk_id"])
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        assert sum(c["chunk_tokens"] for c in chunks) == total_tokens
+        assert sum(c["n_sents"] for c in chunks) == len(sents)
+        # order-preserving partition: concatenation reconstructs the text
+        assert " ".join(c["chunk"] for c in chunks) == text
+        for c in chunks:
+            assert c["chunk_tokens"] <= max_tokens or c["n_sents"] == 1, c
