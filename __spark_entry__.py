@@ -553,6 +553,16 @@ def _q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_diversity(d, "doc_id", "text", "source", max_n=3)
 
 
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase positional search (operators/corpus.py:phrase_search)
+    — align-and-count over one posexplode with a pushed term IN filter;
+    the positional query BM25's bag-of-words cannot express."""
+    from transmog_spark.operators.corpus import phrase_search
+
+    d = _t(spark, sf_dir, "documents")
+    return phrase_search(d, "doc_id", "text", phrase="table part")
+
+
 def _q_boundary_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence-boundary-aware greedy chunking (operators/packing.py:
     boundary_chunks) — the RAG/long-doc splitter token_chunks' fixed stride
@@ -2310,6 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooc_pairs_hashed": _q_cooc_pairs_hashed,
         "ngram_diversity": _q_ngram_diversity,
         "boundary_chunks": _q_boundary_chunks,
+        "phrase_search": _q_phrase_search,
         "centroid_classify": _q_centroid_classify,
         "strip_dup_spans": _q_strip_dup_spans,
         "embedding_topk_sq8": _q_embedding_topk_sq8,
@@ -2463,6 +2474,7 @@ def oracle_sql() -> dict[str, str]:
         cooc_pairs_sql,
         ngram_diversity_sql,
         boundary_chunks_sql,
+        phrase_search_sql,
         token_features_sql,
         token_pipeline_sql,
         winnow_fingerprints_sql,
@@ -2747,6 +2759,7 @@ FROM docs GROUP BY 1
         "cooc_pairs_hashed": cooc_pairs_sql(),
         "ngram_diversity": ngram_diversity_sql(),
         "boundary_chunks": boundary_chunks_sql(),
+        "phrase_search": phrase_search_sql(),
         "lm_perplexity": lm_perplexity_sql(),
         "kn_perplexity": kn_perplexity_sql(),
         "scd2_intervals": """

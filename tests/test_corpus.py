@@ -800,3 +800,54 @@ def test_source_overlap_exact_counts(spark):
     # a and c share nothing -> no row at all
     assert ("a", "c") not in out
     assert set(out) == {("a", "b"), ("b", "c")}
+
+
+# ----------------------------------------------------------- phrase_search
+
+
+def test_phrase_search_hand_computed(spark):
+    import pytest
+
+    from transmog_spark.operators.corpus import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "new york is in new york state"),   # 2 matches, first at 0
+            (2, "york new york"),                   # 1 match at 1
+            (3, "new new york"),                    # 1 match at 1
+            (4, "york new"),                        # no match (wrong order)
+            (5, "new"),                             # partial only
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(df, phrase="new york").collect()
+    }
+    assert rows == {1: (2, 0), 2: (1, 1), 3: (1, 1)}
+    with pytest.raises(ValueError):
+        phrase_search(df, phrase="   ")
+
+
+def test_phrase_search_repeated_token_and_overlap(spark):
+    from transmog_spark.operators.corpus import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "the big the little"),    # phrase with a repeated token
+            (2, "the the big the"),       # match starts at 1
+            (3, "big the the"),           # no "the big the"
+            (4, "a a a a"),               # overlapping "a a" x3
+        ],
+        ["doc_id", "text"],
+    )
+    r1 = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(df, phrase="the big the").collect()
+    }
+    assert r1 == {1: (1, 0), 2: (1, 1)}
+    r2 = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(df, phrase="a a").collect()
+    }
+    assert r2 == {4: (3, 0)}

@@ -755,3 +755,12 @@ def test_cooc_pairs_hashed_wire_ships_longs(spark, sf_dir):
         keys = ex.group(1)
         assert "__ph" in keys or "tok" not in keys, keys
     assert "SortMergeJoin" not in plan
+
+
+def test_phrase_search_pushes_nothing_past_the_term_filter(spark, sf_dir):
+    # only the phrase's terms leave the explode (the IN filter sits on the
+    # exploded rows before any shuffle); one scan, no joins
+    plan = _plan(spark, sf_dir, "phrase_search")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
+    assert re.search(r"t#\d+ IN \(part,table\)|t#\d+ IN \(table,part\)", plan), plan[:3000]

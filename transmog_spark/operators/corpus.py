@@ -1219,3 +1219,60 @@ def source_overlap(
             F.round(shared / F.col("grams_b"), 4).alias("containment_b"),
         )
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    phrase: str,
+) -> DataFrame:
+    """Exact-phrase occurrence search — the positional query BM25's
+    bag-of-words scoring cannot express ("new york" as a unit, not two
+    terms).
+
+    Align-and-count: posexplode tokens, keep only rows whose token appears
+    in the phrase (a pushable IN filter — at 100 TB only the phrase's
+    terms leave the explode), emit (doc, pos - j) for every phrase slot j
+    the token matches, then count DISTINCT slots per (doc, aligned start):
+    an exact occurrence is a start offset covering all ``len(phrase)``
+    slots. ONE explode + ONE map-side-combined groupBy + one per-doc agg;
+    repeated tokens inside the phrase are handled by the DISTINCT-slot
+    count (each slot is its own obligation).
+
+    Output: one row per matching document — ``n_matches`` (occurrence
+    count, overlaps allowed) and ``first_pos`` (0-based token offset of
+    the earliest match).
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    m = len(terms)
+    from transmog_spark.operators.text import ws_tokens
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(ws_tokens(F.col(text_col))).alias("pos", "t")
+    ).where(F.col("t").isin(*sorted(set(terms))))
+    # one row per (token occurrence, phrase slot it could fill)
+    slots = F.array(
+        *[
+            F.when(F.col("t") == term, F.lit(j)).otherwise(F.lit(None))
+            for j, term in enumerate(terms)
+        ]
+    )
+    aligned = toks.select(
+        id_col,
+        F.col("pos"),
+        F.explode(F.filter(slots, lambda s: s.isNotNull())).alias("j"),
+    ).select(id_col, (F.col("pos") - F.col("j")).alias("start"), "j")
+    starts = (
+        aligned.where(F.col("start") >= 0)
+        .groupBy(id_col, "start")
+        .agg(F.countDistinct("j").alias("n_slots"))
+        .where(F.col("n_slots") == m)
+    )
+    return starts.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("start").cast("long").alias("first_pos"),
+    )

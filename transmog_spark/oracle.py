@@ -3933,3 +3933,37 @@ SELECT {id_col}, CAST(cid AS BIGINT) AS chunk_id,
        string_agg(s, ' ' ORDER BY i) AS chunk
 FROM assigned GROUP BY 1, 2
 """
+
+
+def phrase_search_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    phrase: str = "table part",
+) -> str:
+    """Mirror of operators.corpus.phrase_search — same align-and-count
+    (slot j per matching term, DISTINCT-slot obligation per start)."""
+    terms = [t for t in phrase.lower().split() if t]
+    m = len(terms)
+    conds = " OR ".join(
+        f"(j = {j} AND tok = '{t}')" for j, t in enumerate(terms)
+    )
+    slots = ", ".join(str(j) for j in range(m))
+    return f"""
+WITH docs AS (SELECT {id_col}, {duck_ws_tokens(text_col)} AS t FROM {table}),
+ex AS (
+  SELECT {id_col}, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS pos
+  FROM docs),
+hits AS (
+  SELECT {id_col}, pos, j
+  FROM ex, unnest([{slots}]) AS s(j)
+  WHERE {conds}),
+starts AS (
+  SELECT {id_col}, pos - j AS start
+  FROM hits WHERE pos - j >= 0
+  GROUP BY 1, 2 HAVING count(DISTINCT j) = {m})
+SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(start) AS BIGINT) AS first_pos
+FROM starts GROUP BY 1
+"""
