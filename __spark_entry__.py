@@ -563,6 +563,16 @@ def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(d, "doc_id", "text", phrase="table part")
 
 
+def _q_near_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity (slop) search (operators/corpus.py:near_search) — all
+    terms within an 8-token window, any order; phrase_search's order-free
+    sibling on the same align-and-count shape."""
+    from transmog_spark.operators.corpus import near_search
+
+    d = _t(spark, sf_dir, "documents")
+    return near_search(d, "doc_id", "text", terms=("spark", "vector"), window=8)
+
+
 def _q_boundary_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence-boundary-aware greedy chunking (operators/packing.py:
     boundary_chunks) — the RAG/long-doc splitter token_chunks' fixed stride
@@ -2321,6 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity": _q_ngram_diversity,
         "boundary_chunks": _q_boundary_chunks,
         "phrase_search": _q_phrase_search,
+        "near_search": _q_near_search,
         "centroid_classify": _q_centroid_classify,
         "strip_dup_spans": _q_strip_dup_spans,
         "embedding_topk_sq8": _q_embedding_topk_sq8,
@@ -2475,6 +2486,7 @@ def oracle_sql() -> dict[str, str]:
         ngram_diversity_sql,
         boundary_chunks_sql,
         phrase_search_sql,
+        near_search_sql,
         token_features_sql,
         token_pipeline_sql,
         winnow_fingerprints_sql,
@@ -2760,6 +2772,7 @@ FROM docs GROUP BY 1
         "ngram_diversity": ngram_diversity_sql(),
         "boundary_chunks": boundary_chunks_sql(),
         "phrase_search": phrase_search_sql(),
+        "near_search": near_search_sql(),
         "lm_perplexity": lm_perplexity_sql(),
         "kn_perplexity": kn_perplexity_sql(),
         "scd2_intervals": """

@@ -851,3 +851,40 @@ def test_phrase_search_repeated_token_and_overlap(spark):
         for r in phrase_search(df, phrase="a a").collect()
     }
     assert r2 == {4: (3, 0)}
+
+
+def test_near_search_hand_computed(spark):
+    import pytest
+
+    from transmog_spark.operators.corpus import near_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark x y vector"),          # within 4, any order
+            (2, "vector a b c d e spark"),    # distance 6 > window 4
+            (3, "spark vector"),              # adjacent
+            (4, "spark only here"),           # missing a term
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: (r["n_windows"], r["first_pos"])
+        for r in near_search(df, terms=("spark", "vector"), window=4).collect()
+    }
+    # doc1: starts covering pos0(spark)+pos3(vector) -> only start 0
+    # doc3: spark@0 vector@1 -> starts 0 qualify; spark covers {0},
+    #       vector covers {0,1} minus clamp -> start 0 has both; start 1
+    #       has vector only -> 1 window... plus clamped negatives collapse
+    assert rows[1] == (1, 0)
+    assert 3 in rows and rows[3][1] == 0
+    assert 2 not in rows and 4 not in rows
+    # wider window admits doc 2
+    rows2 = {
+        r["doc_id"]
+        for r in near_search(df, terms=("spark", "vector"), window=7).collect()
+    }
+    assert rows2 == {1, 2, 3}
+    with pytest.raises(ValueError):
+        near_search(df, terms=(), window=4)
+    with pytest.raises(ValueError):
+        near_search(df, terms=("a",), window=0)

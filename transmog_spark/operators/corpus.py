@@ -1276,3 +1276,52 @@ def phrase_search(
         F.count(F.lit(1)).alias("n_matches"),
         F.min("start").cast("long").alias("first_pos"),
     )
+
+
+def near_search(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    terms: list[str] | tuple[str, ...],
+    window: int = 8,
+) -> DataFrame:
+    """Proximity search: documents where ALL ``terms`` co-occur inside some
+    ``window`` consecutive tokens, any order — the Lucene slop query
+    (phrase_search's order-free sibling).
+
+    Same align-and-count idiom: each term hit at position p covers the
+    candidate window starts [p−window+1, p] (a plan-time sequence explode,
+    O(window)/hit), and a start covering all |terms| DISTINCT terms is a
+    proximity match. ONE explode with the pushed term IN filter + ONE
+    map-side-combined groupBy; ``window`` is the per-hit fan-out knob.
+
+    Output: one row per matching doc — ``n_windows`` (distinct qualifying
+    start offsets) and ``first_pos`` (earliest start).
+    """
+    want = sorted({t for t in (x.lower() for x in terms) if t})
+    if not want or window < 1:
+        raise ValueError("terms must be non-empty and window >= 1")
+    from transmog_spark.operators.text import ws_tokens
+
+    hits = df.select(
+        F.col(id_col), F.posexplode(ws_tokens(F.col(text_col))).alias("pos", "t")
+    ).where(F.col("t").isin(*want))
+    starts = hits.select(
+        id_col,
+        "t",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("pos") - (window - 1), F.lit(0)), F.col("pos")
+            )
+        ).alias("start"),
+    )
+    wins = (
+        starts.groupBy(id_col, "start")
+        .agg(F.countDistinct("t").alias("n_terms"))
+        .where(F.col("n_terms") == len(want))
+    )
+    return wins.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.min("start").cast("long").alias("first_pos"),
+    )

@@ -3967,3 +3967,34 @@ SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_matches,
        CAST(min(start) AS BIGINT) AS first_pos
 FROM starts GROUP BY 1
 """
+
+
+def near_search_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    terms: tuple[str, ...] = ("spark", "vector"),
+    window: int = 8,
+) -> str:
+    """Mirror of operators.corpus.near_search (same window-start fan-out
+    and DISTINCT-term obligation)."""
+    want = sorted({t for t in (x.lower() for x in terms) if t})
+    inlist = ", ".join(f"'{t}'" for t in want)
+    return f"""
+WITH docs AS (SELECT {id_col}, {duck_ws_tokens(text_col)} AS t FROM {table}),
+ex AS (
+  SELECT {id_col}, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS pos
+  FROM docs),
+hits AS (SELECT {id_col}, tok, pos FROM ex WHERE tok IN ({inlist})),
+starts AS (
+  SELECT {id_col}, tok, unnest(range(greatest(pos - {window - 1}, 0), pos + 1))
+           AS start
+  FROM hits),
+wins AS (
+  SELECT {id_col}, start
+  FROM starts GROUP BY 1, 2 HAVING count(DISTINCT tok) = {len(want)})
+SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(min(start) AS BIGINT) AS first_pos
+FROM wins GROUP BY 1
+"""
