@@ -26,6 +26,15 @@ sketch-sized aggregates, and writes a profile directory:
                                natural share, target share q ∝ p^α, and the
                                fractional-epoch multiplier that realizes it
                                (feed straight into epoch_mixture).
+* ``<out>/entropy/``         — (``--entropy`` only) per-source mean char/
+                               token Shannon entropy + low-token-entropy
+                               rate (template-spam screen telemetry); its
+                               cost is a second tokenizing pass, hence
+                               opt-in.
+* ``<out>/ngram_diversity/`` — (``--diversity`` only) per-source
+                               distinct-n/total-n ratios for n=1..3 (the
+                               mirror/template detector); same opt-in
+                               reasoning.
 * ``<out>/dedup_stats/``     — (``--dedup-report`` only) per-source near-dup
                                drop rates; ``<out>/dup_size_hist/`` the
                                cluster-size distribution. The one optional
@@ -77,6 +86,17 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--cms-threshold", type=int, default=1000)
     p.add_argument("--quality-floor", type=float, default=0.5)
     p.add_argument("--mix-alpha", type=float, default=0.3)
+    p.add_argument(
+        "--entropy",
+        action="store_true",
+        help="write per-source entropy telemetry (extra tokenizing pass)",
+    )
+    p.add_argument("--entropy-floor", type=float, default=1.5)
+    p.add_argument(
+        "--diversity",
+        action="store_true",
+        help="write per-source n-gram diversity ratios (extra gram pass)",
+    )
     p.add_argument(
         "--dedup-report",
         action="store_true",
@@ -169,6 +189,30 @@ def main(argv: list[str] | None = None) -> int:
         os.path.join(out, "vocab_drift")
     )
 
+    if args.entropy:
+        from transmog_spark.operators.text import entropy_profile
+
+        ent = entropy_profile(docs, sid, txt)
+        ent.join(docs.select(sid, src), sid).groupBy(src).agg(
+            F.round(F.avg("char_entropy"), 4).alias("mean_char_entropy"),
+            F.round(F.avg("token_entropy"), 4).alias("mean_token_entropy"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("token_entropy") < args.entropy_floor, 1.0
+                    ).otherwise(0.0)
+                ),
+                4,
+            ).alias("low_entropy_rate"),
+        ).write.mode("overwrite").parquet(os.path.join(out, "entropy"))
+
+    if args.diversity:
+        from transmog_spark.operators.cooc import ngram_diversity
+
+        ngram_diversity(docs, sid, txt, src).write.mode("overwrite").parquet(
+            os.path.join(out, "ngram_diversity")
+        )
+
     # optional near-dup telemetry: per-source drop rates + cluster-size
     # distribution (the CCNet/FineWeb per-dump dedup report). The pairs
     # frame is persisted so the two sections share ONE LSH pass.
@@ -224,6 +268,8 @@ def main(argv: list[str] | None = None) -> int:
             "vocab_drift",
             "mixture_weights",
         ]
+        + (["entropy"] if args.entropy else [])
+        + (["ngram_diversity"] if args.diversity else [])
         + (["dedup_stats", "dup_size_hist"] if args.dedup_report else []),
     }
     tmp = os.path.join(out, "_PROFILE.json.tmp")

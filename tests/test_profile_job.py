@@ -115,3 +115,37 @@ def test_profile_job_dedup_report_sections(spark, sf_dir, tmp_path):
     assert sum(r["cluster_size"] * r["n_clusters"] for r in hist) == sum(
         r["n_clustered"] for r in stats
     )
+
+
+def test_profile_job_entropy_and_diversity_sections(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "profile_ent")
+    rc = profile_main(
+        [
+            "--input", os.path.join(sf_dir, "documents.parquet"),
+            "--output", out,
+            "--shuffle-partitions", "8",
+            "--entropy",
+            "--diversity",
+        ]
+    )
+    assert rc == 0
+    with open(os.path.join(out, "_PROFILE.json")) as fh:
+        summary = json.load(fh)
+    assert "entropy" in summary["sections"]
+    assert "ngram_diversity" in summary["sections"]
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_sources = docs.select("source").distinct().count()
+
+    ent = spark.read.parquet(os.path.join(out, "entropy")).collect()
+    assert len(ent) == n_sources
+    for r in ent:
+        assert r["mean_char_entropy"] > 0.0
+        assert r["mean_token_entropy"] > 0.0
+        assert 0.0 <= r["low_entropy_rate"] <= 1.0
+
+    div = spark.read.parquet(os.path.join(out, "ngram_diversity")).collect()
+    assert len(div) == n_sources * 3
+    for r in div:
+        assert 0.0 < r["distinct_ratio"] <= 1.0
+        assert r["distinct_grams"] <= r["total_grams"]
