@@ -85,6 +85,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--coreset-lam", type=float, default=0.5)
     p.add_argument("--coreset-dim", type=int, default=64)
     p.add_argument("--n-shards", type=int, default=4)
+    p.add_argument(
+        "--strip-html",
+        action="store_true",
+        help="pre-clean raw web text: drop script/style/comments, strip "
+        "tags, decode entities (text.strip_html) before any gating",
+    )
     p.add_argument("--seed", default="")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     return p.parse_args(argv)
@@ -106,6 +112,13 @@ def main(argv: list[str] | None = None) -> int:
     ckpt = CheckpointStore(spark, args.checkpoint)
 
     docs = spark.read.parquet(args.docs)
+    if args.strip_html:
+        # raw-web front door: markup removal is a narrow zero-shuffle
+        # projection, so it composes ahead of the chain for free; every
+        # downstream verdict (gate/decontaminate/dedup) sees clean text
+        from transmog_spark.operators.text import strip_html
+
+        docs = docs.withColumn(args.text_col, strip_html(F.col(args.text_col)))
     bench = docs.where(args.benchmark_filter)
     corpus = docs.where(f"NOT ({args.benchmark_filter})")
     reference = (

@@ -184,3 +184,45 @@ def test_curate_job_coreset_stage(spark, sf_dir, tmp_path):
     assert written == expected
     for frame in model:
         frame.unpersist()
+
+
+def test_curate_job_strip_html_front_door(spark, sf_dir, tmp_path):
+    # wrap the corpus in markup, run with --strip-html, and assert the
+    # curated output matches a plain run over the unwrapped corpus: markup
+    # removal ahead of the chain must be verdict-invariant
+    import pyspark.sql.functions as SF
+
+    from transmog_spark.operators.text import demo_html
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    wrapped_path = str(tmp_path / "wrapped")
+    # demo_html inserts 'Doc <id>' headers and <b> wraps; build a simpler
+    # wrapper that strips back to EXACTLY the original text
+    docs.withColumn(
+        "text",
+        SF.concat(
+            SF.lit("<html><body><script>var x = 1;</script><p>"),
+            SF.col("text"),
+            SF.lit("</p><!-- tail --></body></html>"),
+        ),
+    ).write.mode("overwrite").parquet(wrapped_path)
+
+    out_html = str(tmp_path / "h" / "out")
+    rc = curate_main(
+        [
+            "--docs", wrapped_path,
+            "--output", out_html,
+            "--checkpoint", str(tmp_path / "h" / "ckpt"),
+            "--n-shards", "4",
+            "--shuffle-partitions", "8",
+            "--strip-html",
+        ]
+    )
+    assert rc == 0
+    out_plain, _ = _run(spark, sf_dir, tmp_path, "p")
+
+    a = spark.read.parquet(os.path.join(out_html, "data"))
+    b = spark.read.parquet(os.path.join(out_plain, "data"))
+    ra = sorted(((r["shard"], r["tok_offset"], r["doc_id"]) for r in a.collect()))
+    rb = sorted(((r["shard"], r["tok_offset"], r["doc_id"]) for r in b.collect()))
+    assert ra == rb
