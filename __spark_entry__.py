@@ -690,6 +690,39 @@ def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_profile(injected, "doc_id", "text")
 
 
+def _q_pii_pseudo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable PII pseudonymization (operators/pii.py:pii_pseudonymize) —
+    same entity -> same surrogate corpus-wide (salted md5), preserving
+    joins/frequency analysis where blanket redaction destroys them; over
+    the same injected PII as pii_scan."""
+    from transmog_spark.operators.pii import pii_pseudonymize
+
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("mail u"), F.col("doc_id").cast("string"), F.lit("@example.org now")),
+            )
+            .when(F.col("doc_id") % 3 == 1, F.lit("call 555-867-5309 today"))
+            .otherwise(
+                F.concat(
+                    F.lit("host 192.168."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit(".42 id 123-45-6789"),
+                )
+            ),
+        ).alias("text"),
+    )
+    return injected.select(
+        "doc_id",
+        pii_pseudonymize(F.col("text"), salt="r5").alias("pseudo_text"),
+    )
+
+
 def _q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE subword tokenization (operators/bpe.py): the fixed seed merge
     table applied by the Arrow-batched encoder; tok_md5 hashes the full
@@ -2332,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boundary_chunks": _q_boundary_chunks,
         "phrase_search": _q_phrase_search,
         "near_search": _q_near_search,
+        "pii_pseudo": _q_pii_pseudo,
         "centroid_classify": _q_centroid_classify,
         "strip_dup_spans": _q_strip_dup_spans,
         "embedding_topk_sq8": _q_embedding_topk_sq8,
@@ -2487,6 +2521,7 @@ def oracle_sql() -> dict[str, str]:
         boundary_chunks_sql,
         phrase_search_sql,
         near_search_sql,
+        pii_pseudo_sql,
         token_features_sql,
         token_pipeline_sql,
         winnow_fingerprints_sql,
@@ -2773,6 +2808,7 @@ FROM docs GROUP BY 1
         "boundary_chunks": boundary_chunks_sql(),
         "phrase_search": phrase_search_sql(),
         "near_search": near_search_sql(),
+        "pii_pseudo": pii_pseudo_sql(),
         "lm_perplexity": lm_perplexity_sql(),
         "kn_perplexity": kn_perplexity_sql(),
         "scd2_intervals": """

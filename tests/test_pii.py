@@ -50,3 +50,44 @@ def test_redaction_sentinels(spark):
 def test_redaction_preserves_non_pii(spark):
     s = "version 1.2 has 333-44 digits and user at example dot com"
     assert _redact(spark, s) == s
+
+
+def test_pii_pseudonymize_stable_surrogates(spark):
+    from pyspark.sql import functions as F
+
+    from transmog_spark.operators.pii import pii_pseudonymize
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.org and again a@b.org plus c@d.net"),
+            (2, "other doc a@b.org here"),
+            (3, "call 555-123-4567 or 555-123-4567 from 10.0.0.1"),
+            (4, "no pii at all"),
+            (5, "a@b.org leads"),   # match at string start
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r["p"]
+        for r in df.select(
+            "doc_id", pii_pseudonymize(F.col("text"), salt="s").alias("p")
+        ).collect()
+    }
+    # same entity -> same surrogate, within AND across docs
+    import re
+    t1 = re.findall(r"<EMAIL:[0-9a-f]{8}>", rows[1])
+    assert len(t1) == 3 and t1[0] == t1[1] and t1[0] != t1[2]
+    assert t1[0] in rows[2]
+    # distinct types get distinct surrogates; repeats stable
+    t3 = re.findall(r"<PHONE:[0-9a-f]{8}>", rows[3])
+    assert len(t3) == 2 and t3[0] == t3[1]
+    assert "<IPV4:" in rows[3]
+    assert rows[4] == "no pii at all"
+    assert rows[5].startswith("<EMAIL:") and rows[5].endswith("> leads")
+    # salt rotation changes the mapping
+    alt = (
+        df.where(F.col("doc_id") == 1)
+        .select(pii_pseudonymize(F.col("text"), salt="other").alias("p"))
+        .collect()[0]["p"]
+    )
+    assert t1[0] not in alt

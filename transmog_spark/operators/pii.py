@@ -63,3 +63,49 @@ def pii_profile(
         total.alias("n_pii"),
         F.md5(pii_redact(F.col(text_col))).alias("redacted_md5"),
     )
+
+
+def _surrogate(name: str, match: Column, salt: str) -> Column:
+    return F.concat(
+        F.lit(f"<{name.upper()}:"),
+        F.substring(F.md5(F.concat(F.lit(f"{salt}#{name}#"), match)), 1, 8),
+        F.lit(">"),
+    )
+
+
+def pii_pseudonymize(text: Column, *, salt: str = "") -> Column:
+    """Replace every PII match with a STABLE surrogate — the same entity
+    maps to the same token corpus-wide (md5 of salt#type#match, 8 hex
+    chars), so joins/frequency analyses over the pseudonymized corpus
+    still work where ``pii_redact``'s blanket sentinel destroys them.
+    The ``salt`` rotates the mapping between releases (unsalted surrogates
+    are dictionary-attackable for low-entropy types like phone numbers).
+
+    Per type, in the fixed PII_PATTERNS order: split the text AROUND the
+    matches (split and extract_all agree on spans by construction),
+    surrogate each match, and interleave — pure Column work, no UDFs, no
+    shuffle; surrogates are hex-only so later patterns can't fire inside
+    an earlier type's replacement. Mirrored byte-for-byte in
+    ``oracle.pii_pseudo_sql`` (regexp_split_to_array + list_transform).
+    """
+    out = text
+    for name, pat in PII_PATTERNS.items():
+        parts = F.split(out, pat)
+        # pad the surrogate list with one '' so the zip never sees a null
+        # (concat(x, NULL) is NULL in Spark and would eat the last segment)
+        # factory, not a defaulted lambda: PySpark HOFs pass the element
+        # index to any 2-parameter callable (default args count)
+        def _to_surrogate(n: str):
+            return lambda m: _surrogate(n, m, salt)
+
+        surr = F.concat(
+            F.transform(
+                F.regexp_extract_all(out, F.lit(pat), F.lit(0)),
+                _to_surrogate(name),
+            ),
+            F.array(F.lit("")),
+        )
+        out = F.array_join(
+            F.zip_with(parts, surr, lambda p, s: F.concat(p, s)), ""
+        )
+    return out

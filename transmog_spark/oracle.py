@@ -3998,3 +3998,44 @@ SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_windows,
        CAST(min(start) AS BIGINT) AS first_pos
 FROM wins GROUP BY 1
 """
+
+
+def pii_pseudo_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "r5",
+) -> str:
+    """Mirror of operators.pii.pii_pseudonymize over the pii_scan
+    injection: per type in PII_PATTERNS order, split-around-matches +
+    stable md5 surrogates, interleaved by index (the padded-zip)."""
+    from transmog_spark.operators.pii import PII_PATTERNS
+
+    inject = (
+        f"{text_col} || ' ' || CASE {id_col} % 3 "
+        f"WHEN 0 THEN 'mail u' || {id_col} || '@example.org now' "
+        f"WHEN 1 THEN 'call 555-867-5309 today' "
+        f"ELSE 'host 192.168.' || ({id_col} % 200) || '.42 id 123-45-6789' END"
+    )
+    ctes = [f"t0 AS (SELECT {id_col}, {inject} AS txt FROM {table})"]
+    for i, (name, pat) in enumerate(PII_PATTERNS.items()):
+        surr = (
+            f"'<{name.upper()}:' || substring(md5('{salt}#{name}#' || m), 1, 8) || '>'"
+        )
+        ctes.append(
+            f"""t{i + 1} AS (
+  SELECT {id_col},
+         array_to_string(list_transform(
+           range(1, len(regexp_split_to_array(txt, '{pat}')) + 1),
+           i -> regexp_split_to_array(txt, '{pat}')[i] ||
+                list_append(list_transform(regexp_extract_all(txt, '{pat}'),
+                                           m -> {surr}), '')[i]), '') AS txt
+  FROM t{i})"""
+        )
+    n = len(PII_PATTERNS)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT {id_col}, txt AS pseudo_text FROM t{n}\n"
+    )
