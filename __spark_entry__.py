@@ -690,6 +690,23 @@ def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_profile(injected, "doc_id", "text")
 
 
+def _q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted deterministic source interleaving (operators/corpus.py:
+    interleave_sources) — the mixture SCHEDULE: sorted-prefix composition
+    tracks the target shares from step one. Exact-BIGINT key grid, no
+    global sort, no per-source window."""
+    from transmog_spark.operators.corpus import interleave_sources
+
+    d = _t(spark, sf_dir, "documents")
+    return interleave_sources(
+        d,
+        "doc_id",
+        "source",
+        target_shares={"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        seed="r5",
+    )
+
+
 def _q_pii_pseudo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable PII pseudonymization (operators/pii.py:pii_pseudonymize) —
     same entity -> same surrogate corpus-wide (salted md5), preserving
@@ -2366,6 +2383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": _q_phrase_search,
         "near_search": _q_near_search,
         "pii_pseudo": _q_pii_pseudo,
+        "interleave_sources": _q_interleave_sources,
         "centroid_classify": _q_centroid_classify,
         "strip_dup_spans": _q_strip_dup_spans,
         "embedding_topk_sq8": _q_embedding_topk_sq8,
@@ -2522,6 +2540,7 @@ def oracle_sql() -> dict[str, str]:
         phrase_search_sql,
         near_search_sql,
         pii_pseudo_sql,
+        interleave_sources_sql,
         token_features_sql,
         token_pipeline_sql,
         winnow_fingerprints_sql,
@@ -2809,6 +2828,10 @@ FROM docs GROUP BY 1
         "phrase_search": phrase_search_sql(),
         "near_search": near_search_sql(),
         "pii_pseudo": pii_pseudo_sql(),
+        "interleave_sources": interleave_sources_sql(
+            target_shares={"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+            seed="r5",
+        ),
         "lm_perplexity": lm_perplexity_sql(),
         "kn_perplexity": kn_perplexity_sql(),
         "scd2_intervals": """

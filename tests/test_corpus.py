@@ -888,3 +888,47 @@ def test_near_search_hand_computed(spark):
         near_search(df, terms=(), window=4)
     with pytest.raises(ValueError):
         near_search(df, terms=("a",), window=0)
+
+
+def test_interleave_sources_prefix_tracks_target_shares(spark):
+    from transmog_spark.operators.corpus import interleave_sources
+
+    # 4 sources x 500 docs, equal natural shares; targets 40/30/20/10
+    rows = [(s * 500 + i, f"s{s}") for s in range(4) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    targets = {"s0": 0.4, "s1": 0.3, "s2": 0.2, "s3": 0.1}
+    out = interleave_sources(
+        df, "doc_id", "source", target_shares=targets, seed="t"
+    ).collect()
+    assert len(out) == 2000
+    ordered = sorted(out, key=lambda r: (r["interleave_key"], r["doc_id"]))
+    for frac in (0.2, 0.5):
+        prefix = ordered[: int(2000 * frac)]
+        for s, q in targets.items():
+            share = sum(1 for r in prefix if r["source"] == s) / len(prefix)
+            assert abs(share - q) < 0.08, (frac, s, share, q)
+
+
+def test_interleave_sources_natural_missing_and_determinism(spark):
+    import pytest
+
+    from transmog_spark.operators.corpus import interleave_sources
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(90)], ["doc_id", "source"]
+    )
+    nat = interleave_sources(df, "doc_id", "source", seed="x").collect()
+    assert len(nat) == 90  # natural mode keeps everything
+    # source absent from target_shares is dropped (share 0)
+    part = interleave_sources(
+        df, "doc_id", "source", target_shares={"s0": 0.5, "s1": 0.5}, seed="x"
+    ).collect()
+    assert {r["source"] for r in part} == {"s0", "s1"}
+    # deterministic replay; seed redraw changes the schedule
+    again = interleave_sources(df, "doc_id", "source", seed="x").collect()
+    assert sorted(map(tuple, nat)) == sorted(map(tuple, again))
+    redrawn = interleave_sources(df, "doc_id", "source", seed="y").collect()
+    keys_x = {r["doc_id"]: r["interleave_key"] for r in nat}
+    assert any(keys_x[r["doc_id"]] != r["interleave_key"] for r in redrawn)
+    with pytest.raises(ValueError):
+        interleave_sources(df, target_shares={"s0": 0.0})

@@ -1325,3 +1325,76 @@ def near_search(
         F.count(F.lit(1)).alias("n_windows"),
         F.min("start").cast("long").alias("first_pos"),
     )
+
+
+def interleave_sources(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    *,
+    target_shares: dict[str, float] | None = None,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic weighted source interleaving — the mixture SCHEDULE
+    (HF interleave_datasets / Pile-style mixing): an order key under which
+    every sorted prefix's source composition tracks ``target_shares``, so
+    training sees the configured mixture from step one instead of only in
+    full-corpus expectation (``training_order``'s uniform permutation
+    guarantees the latter, not the former, when shares must differ from
+    natural).
+
+    Key = u / w_s on the 1e-6 grid, where u = md5-uniform(seed # id) and
+    w_s = target_share / natural_share: P(key ≤ t) ∝ n_s · w_s · t, so
+    prefix shares ∝ target. Deterministic (no RNG state), replayable on
+    any cluster size/engine; changing ``seed`` redraws the schedule.
+    target_shares=None interleaves at natural proportions (w_s = 1).
+
+    Scale shape: natural shares are one |sources|-row aggregate broadcast
+    back; the key is a pure Column expression — NO global sort and NO
+    per-source window (a rank-based stride would put each source in one
+    window partition: the skew trap). Consumers shard/sort by the key
+    exactly as with ``training_order``. Output: (id, source,
+    interleave_key) with the key a scaled-integer BIGINT.
+    """
+    from pyspark.sql import Window
+
+    shares = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__p", F.col("__n") / F.sum("__n").over(Window.partitionBy()))
+    )
+    if target_shares is not None:
+        total = sum(target_shares.values())
+        if total <= 0:
+            raise ValueError("target_shares must sum to a positive value")
+        qmap = F.create_map(
+            *[
+                F.lit(x)
+                for kv in target_shares.items()
+                for x in (kv[0], kv[1] / total)
+            ]
+        )
+        w = qmap[F.col(source_col)] / F.col("__p")
+    else:
+        w = F.lit(1.0)
+    weighted = shares.select(
+        source_col, F.round(w * 1000000.0).cast("long").alias("__w_grid")
+    )
+    u = (
+        md5_long(F.concat(F.lit(f"{seed}#"), F.col(id_col).cast("string")))
+        % 1000003
+    )
+    out = df.join(F.broadcast(weighted), source_col)
+    if target_shares is not None:
+        out = out.where(F.col("__w_grid") > 0)  # zero-share sources drop out
+    # exact BIGINT grid: u < 1000003, so u·1e12 < 2^63 stays exact in long,
+    # and integer DIV is bit-identical cross-engine (double division would
+    # lose precision past 2^53 and hash-diverge)
+    return (
+        out.withColumn("__u", u)
+        .withColumn(
+            "interleave_key",
+            F.expr("CAST((__u * 1000000000000) DIV __w_grid AS BIGINT)"),
+        )
+        .select(id_col, source_col, "interleave_key")
+    )

@@ -4039,3 +4039,38 @@ def pii_pseudo_sql(
         + ",\n".join(ctes)
         + f"\nSELECT {id_col}, txt AS pseudo_text FROM t{n}\n"
     )
+
+
+def interleave_sources_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    target_shares: dict[str, float] | None = None,
+    seed: str = "",
+) -> str:
+    """Mirror of operators.corpus.interleave_sources — same 1e-6 weight
+    grid, same u = md5 % 1000003 uniform, same exact-BIGINT key division
+    (// mirrors Spark's DIV)."""
+    if target_shares:
+        total = sum(target_shares.values())
+        case = (
+            "CASE src "
+            + " ".join(
+                f"WHEN '{s}' THEN {v / total!r}" for s, v in target_shares.items()
+            )
+            + " END"
+        )
+        w = f"CAST(round(({case}) / p * 1000000) AS BIGINT)"
+    else:
+        w = "CAST(round(1.0 * 1000000) AS BIGINT)"
+    u = duck_md5_long(f"'{seed}#' || CAST({id_col} AS VARCHAR)")
+    return f"""
+WITH n AS (SELECT {source_col} AS src, count(*) AS n FROM {table} GROUP BY 1),
+p AS (SELECT src, n / (SELECT sum(n) FROM n) AS p FROM n),
+w AS (SELECT src, {w} AS w_grid FROM p),
+d AS (SELECT {id_col}, {source_col} AS src, {u} % 1000003 AS u FROM {table})
+SELECT d.{id_col}, d.src AS {source_col},
+       CAST((u * 1000000000000) // w_grid AS BIGINT) AS interleave_key
+FROM d JOIN w USING (src) WHERE w_grid > 0
+"""
