@@ -764,3 +764,13 @@ def test_phrase_search_pushes_nothing_past_the_term_filter(spark, sf_dir):
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "Join" not in plan
     assert re.search(r"t#\d+ IN \(part,table\)|t#\d+ IN \(table,part\)", plan), plan[:3000]
+
+
+def test_interleave_sources_no_sort_broadcast_shares(spark, sf_dir):
+    # the schedule key is a pure expression over a broadcast |sources|-row
+    # weight frame: no global sort, no per-source ranking window, and the
+    # only exchanges belong to the bounded share aggregate
+    plan = _plan(spark, sf_dir, "interleave_sources")
+    assert _sorts(plan) <= 1  # the |sources|-row window's own tiny sort
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
