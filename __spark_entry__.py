@@ -707,6 +707,32 @@ def _q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2 span-corruption objective prep (operators/objectives.py):
+    deterministic seeded noise spans -> sentinel-marked (input, target)
+    sequences over the north-rule token arrays; arrays md5-scalarized for
+    the driver canonicalizer."""
+    from transmog_spark.operators.objectives import span_corruption
+    from transmog_spark.operators.text import tokenize_ids
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize_ids(F.col("text")).alias("tokens"))
+    out = span_corruption(
+        toks, "doc_id", "tokens", noise_density=0.15, span_len=3, seed="r5"
+    )
+    js = lambda c: F.md5(
+        F.array_join(F.transform(F.col(c), lambda x: x.cast("string")), ",")
+    )
+    return out.select(
+        "doc_id",
+        "n_tok",
+        "n_spans",
+        "corrupted_frac",
+        js("input_ids").alias("input_md5"),
+        js("target_ids").alias("target_md5"),
+    )
+
+
 def _q_pii_pseudo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable PII pseudonymization (operators/pii.py:pii_pseudonymize) —
     same entity -> same surrogate corpus-wide (salted md5), preserving
@@ -2384,6 +2410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_search": _q_near_search,
         "pii_pseudo": _q_pii_pseudo,
         "interleave_sources": _q_interleave_sources,
+        "span_corruption": _q_span_corruption,
         "centroid_classify": _q_centroid_classify,
         "strip_dup_spans": _q_strip_dup_spans,
         "embedding_topk_sq8": _q_embedding_topk_sq8,
@@ -2541,6 +2568,7 @@ def oracle_sql() -> dict[str, str]:
         near_search_sql,
         pii_pseudo_sql,
         interleave_sources_sql,
+        span_corruption_sql,
         token_features_sql,
         token_pipeline_sql,
         winnow_fingerprints_sql,
@@ -2828,6 +2856,7 @@ FROM docs GROUP BY 1
         "phrase_search": phrase_search_sql(),
         "near_search": near_search_sql(),
         "pii_pseudo": pii_pseudo_sql(),
+        "span_corruption": span_corruption_sql(seed="r5"),
         "interleave_sources": interleave_sources_sql(
             target_shares={"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
             seed="r5",

@@ -1,0 +1,88 @@
+"""span_corruption (T5/UL2 objective prep) unit tests."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _reconstruct(input_ids, target_ids, base=32000):
+    spans, cur = {}, None
+    for t in target_ids:
+        if t >= base:
+            cur = t
+            spans[cur] = []
+        else:
+            spans[cur].append(t)
+    out = []
+    for t in input_ids:
+        out.extend(spans[t] if t >= base else [t])
+    return out
+
+
+def test_span_corruption_reconstruction_and_shape(spark):
+    from transmog_spark.operators.objectives import span_corruption
+
+    df = spark.createDataFrame(
+        [(i, list(range(i * 100, i * 100 + 40))) for i in range(1, 9)]
+        + [(99, [])],
+        "doc_id long, tokens array<int>",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in span_corruption(
+            df, noise_density=0.3, span_len=3, seed="t"
+        ).collect()
+    }
+    saw_spans = 0
+    for i in range(1, 9):
+        r = rows[i]
+        # sentinels ascend in document order, one per span, same set in
+        # input and target
+        in_sent = [t for t in r["input_ids"] if t >= 32000]
+        tgt_sent = [t for t in r["target_ids"] if t >= 32000]
+        assert in_sent == sorted(in_sent) == tgt_sent
+        assert len(in_sent) == r["n_spans"]
+        saw_spans += r["n_spans"]
+        # the defining invariant: substituting each sentinel's target span
+        # back into the input reproduces the original sequence exactly
+        assert _reconstruct(r["input_ids"], r["target_ids"]) == list(
+            range(i * 100, i * 100 + 40)
+        )
+        # corrupted_frac = corrupted tokens / n_tok
+        corrupted = sum(1 for t in r["target_ids"] if t < 32000)
+        assert r["corrupted_frac"] == round(corrupted / 40, 4)
+    assert saw_spans > 0  # noise 0.3 over 320 tokens must flag something
+    # empty doc passes through empty
+    assert rows[99]["input_ids"] == [] and rows[99]["target_ids"] == []
+    assert rows[99]["corrupted_frac"] == 0.0
+
+
+def test_span_corruption_determinism_and_validation(spark):
+    from transmog_spark.operators.objectives import span_corruption
+
+    df = spark.createDataFrame(
+        [(1, list(range(60)))], "doc_id long, tokens array<int>"
+    )
+    a = span_corruption(df, seed="s").collect()[0]
+    b = span_corruption(df, seed="s").collect()[0]
+    assert a == b
+    c = span_corruption(df, seed="other").collect()[0]
+    assert (a["input_ids"] != c["input_ids"]) or (a["n_spans"] != c["n_spans"])
+    with pytest.raises(ValueError):
+        span_corruption(df, noise_density=0.0)
+    with pytest.raises(ValueError):
+        span_corruption(df, span_len=0)
+
+
+def test_span_corruption_merges_overlapping_spans(spark):
+    from transmog_spark.operators.objectives import span_corruption
+
+    # high noise forces overlapping flagged starts; merged spans must be
+    # disjoint: target spans never repeat a token position
+    df = spark.createDataFrame(
+        [(1, list(range(50)))], "doc_id long, tokens array<int>"
+    )
+    r = span_corruption(df, noise_density=0.9, span_len=5, seed="m").collect()[0]
+    corrupted = [t for t in r["target_ids"] if t < 32000]
+    assert len(corrupted) == len(set(corrupted))  # disjoint spans
+    assert _reconstruct(r["input_ids"], r["target_ids"]) == list(range(50))

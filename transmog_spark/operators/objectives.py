@@ -1,0 +1,158 @@
+"""Training-objective data prep (T5/UL2 span corruption).
+
+The denoising-objective leg of a pre-training pipeline (Raffel et al.
+2020 §3.1.4; UL2's denoiser mixtures): corrupt ~noise_density of each
+document's tokens in contiguous spans, emit the sentinel-marked input
+sequence and the span-recovery target sequence. No reference analog;
+expressed Spark-first.
+
+Determinism: span starts come from a seeded per-position hash threshold
+(start probability = noise_density / span_len, so the expected corrupted
+fraction ≈ noise_density) — no RNG state, bit-identical replay on any
+cluster size and in the DuckDB oracle. Overlapping spans merge via the
+cummax interval idiom (spans.py:65 — a window, never per-doc recursion).
+
+Scale shape: ONE posexplode restricted by the hash predicate (only
+flagged positions leave the explode), one (doc)-windowed merge over the
+flagged rows (corpus-row-bounded, typically ~noise/span_len of tokens),
+one groupBy collecting each doc's merged spans (bounded by spans/doc),
+one co-partitioned join back, and a per-row rebuild (O(tokens · spans)
+per row — the span list is small by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from transmog_spark.functions.hashing import md5_long
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    *,
+    noise_density: float = 0.15,
+    span_len: int = 3,
+    sentinel_base: int = 32000,
+    seed: str = "",
+) -> DataFrame:
+    """Sentinel-marked (input_ids, target_ids) per document.
+
+    input_ids = the uncorrupted tokens with each merged span replaced by
+    one sentinel (sentinel_base + span index, in document order);
+    target_ids = for each span, its sentinel followed by the corrupted
+    tokens — the exact T5 encoder/decoder pair. Also emits ``n_spans``
+    and ``corrupted_frac`` QA columns. Documents with no flagged spans
+    pass through with input_ids = tokens and an empty target.
+    """
+    if not 0 < noise_density < 1:
+        raise ValueError("noise_density must be in (0, 1)")
+    if span_len < 1:
+        raise ValueError("span_len must be >= 1")
+    thresh = round(noise_density / span_len * 1000000)
+
+    n = F.size(F.col(tokens_col))
+    flagged = (
+        df.select(
+            F.col(id_col),
+            n.alias("__n"),
+            F.posexplode(F.col(tokens_col)).alias("__p", "__tok"),
+        )
+        .where(
+            md5_long(
+                F.concat(
+                    F.lit(f"{seed}#"),
+                    F.col(id_col).cast("string"),
+                    F.lit("#"),
+                    F.col("__p").cast("string"),
+                )
+            )
+            % 1000000
+            < thresh
+        )
+        .select(
+            id_col,
+            F.col("__p").alias("s"),
+            F.least(F.col("__p") + span_len, F.col("__n")).alias("e"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("s")
+    prev_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    grp = F.sum(
+        F.when(F.col("s") >= F.coalesce(prev_e, F.lit(0)), 1).otherwise(0)
+    ).over(w)
+    merged = (
+        flagged.withColumn("__g", grp)
+        .groupBy(id_col, "__g")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    spans = merged.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__raw")
+    )
+
+    out = df.join(spans, id_col, "left")
+    sp = F.coalesce(
+        # index each span in document order (sort_array already ordered)
+        F.zip_with(
+            F.col("__raw"),
+            F.sequence(F.lit(0), F.greatest(F.size("__raw") - 1, F.lit(0))),
+            lambda r, k: F.struct(
+                r["s"].alias("s"), r["e"].alias("e"), k.alias("k")
+            ),
+        ),
+        F.array().cast("array<struct<s:int,e:int,k:int>>"),
+    )
+    out = out.select(F.col(id_col), F.col(tokens_col), sp.alias("__spans"))
+
+    toks = F.col(tokens_col)
+
+    def _span_at(p):
+        # try_element_at: NULL (not ANSI error) when no span contains p
+        return F.try_element_at(
+            F.filter(
+                F.col("__spans"), lambda x: (x["s"] <= p) & (p < x["e"])
+            ),
+            F.lit(1),
+        )
+
+    idx = F.sequence(F.lit(0), F.size(toks) - 1)
+    input_ids = F.flatten(
+        F.transform(
+            idx,
+            lambda p: F.when(
+                _span_at(p).isNull(), F.array(F.element_at(toks, p + 1))
+            )
+            .when(
+                _span_at(p)["s"] == p,
+                F.array(
+                    (F.lit(sentinel_base) + _span_at(p)["k"]).cast("int")
+                ),
+            )
+            .otherwise(F.array().cast("array<int>")),
+        )
+    )
+    target_ids = F.flatten(
+        F.transform(
+            F.col("__spans"),
+            lambda x: F.concat(
+                F.array((F.lit(sentinel_base) + x["k"]).cast("int")),
+                F.slice(toks, x["s"] + 1, x["e"] - x["s"]),
+            ),
+        )
+    )
+    corrupted = F.aggregate(
+        F.col("__spans"), F.lit(0), lambda a, x: a + (x["e"] - x["s"])
+    )
+    nn = F.size(toks)
+    return out.select(
+        F.col(id_col),
+        nn.cast("long").alias("n_tok"),
+        F.size("__spans").cast("long").alias("n_spans"),
+        F.when(nn > 0, F.round(corrupted.cast("double") / nn, 4))
+        .otherwise(F.lit(0.0))
+        .alias("corrupted_frac"),
+        F.when(nn > 0, input_ids).otherwise(F.array().cast("array<int>")).alias("input_ids"),
+        target_ids.alias("target_ids"),
+    )

@@ -4074,3 +4074,80 @@ SELECT d.{id_col}, d.src AS {source_col},
        CAST((u * 1000000000000) // w_grid AS BIGINT) AS interleave_key
 FROM d JOIN w USING (src) WHERE w_grid > 0
 """
+
+
+def span_corruption_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: int = 32768,
+    noise_density: float = 0.15,
+    span_len: int = 3,
+    sentinel_base: int = 32000,
+    seed: str = "",
+) -> str:
+    """Mirror of operators.objectives.span_corruption over tokenize_ids —
+    same seeded per-position start hash, same cummax interval merge, same
+    sentinel indexing; input/target arrays md5-scalarized (driver
+    canonicalizer cannot hash list cells)."""
+    thresh = round(noise_density / span_len * 1000000)
+    tok = f"CAST({duck_md5_long('x')} % {vocab} AS INT)"
+    h = duck_md5_long(
+        f"'{seed}#' || CAST({id_col} AS VARCHAR) || '#' || CAST(u AS VARCHAR)"
+    )
+    inspan = "list_filter(sp, x -> x.s <= p AND p < x.e)"
+    return f"""
+WITH docs AS (
+  SELECT {id_col}, list_transform({duck_ws_tokens(text_col)}, x -> {tok}) AS t
+  FROM {table}),
+flag AS (
+  SELECT {id_col}, u AS s, least(u + {span_len}, len(t)) AS e
+  FROM docs, unnest(range(0, len(t))) AS r(u)
+  WHERE {h} % 1000000 < {thresh}),
+m1 AS (
+  SELECT {id_col}, s, e,
+         max(e) OVER (PARTITION BY {id_col} ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_e
+  FROM flag),
+m2 AS (
+  SELECT {id_col}, s, e,
+         sum(CASE WHEN s >= coalesce(prev_e, 0) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY {id_col} ORDER BY s) AS g
+  FROM m1),
+merged AS (SELECT {id_col}, min(s) AS s, max(e) AS e FROM m2 GROUP BY {id_col}, g),
+agg AS (
+  SELECT {id_col}, list(struct_pack(s := s, e := e) ORDER BY s) AS raw
+  FROM merged GROUP BY 1),
+j AS (
+  SELECT d.{id_col}, d.t, coalesce(a.raw, []) AS raw
+  FROM docs d LEFT JOIN agg a USING ({id_col})),
+kd AS (
+  SELECT {id_col}, t,
+         list_transform(range(1, len(raw) + 1),
+           i -> struct_pack(s := raw[i].s, e := raw[i].e, k := i - 1)) AS sp
+  FROM j),
+built AS (
+  SELECT {id_col},
+         len(t) AS n_tok,
+         len(sp) AS n_spans,
+         CASE WHEN len(t) > 0
+              THEN round(coalesce(list_sum(list_transform(sp, x -> x.e - x.s)), 0)
+                         / CAST(len(t) AS DOUBLE), 4)
+              ELSE 0.0 END AS corrupted_frac,
+         flatten(list_transform(range(0, len(t)), p -> CASE
+           WHEN len({inspan}) = 0 THEN [t[p + 1]]
+           WHEN ({inspan})[1].s = p
+             THEN [CAST({sentinel_base} + ({inspan})[1].k AS INT)]
+           ELSE [] END)) AS input_ids,
+         flatten(list_transform(sp,
+           x -> list_concat([CAST({sentinel_base} + x.k AS INT)],
+                            list_slice(t, x.s + 1, x.e)))) AS target_ids
+  FROM kd)
+SELECT {id_col}, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(n_spans AS BIGINT) AS n_spans, corrupted_frac,
+       md5(coalesce(array_to_string(input_ids, ','), '')) AS input_md5,
+       md5(coalesce(array_to_string(target_ids, ','), '')) AS target_md5
+FROM built
+"""
