@@ -733,6 +733,28 @@ def _q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mlm_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT-style MLM prep (operators/objectives.py:mlm_mask) — 80/10/10
+    deterministic masking with -100 ignore labels; arrays md5-scalarized
+    for the driver canonicalizer."""
+    from transmog_spark.operators.objectives import mlm_mask
+    from transmog_spark.operators.text import tokenize_ids
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize_ids(F.col("text")).alias("tokens"))
+    out = mlm_mask(toks, "doc_id", "tokens", mask_rate=0.15, seed="r5")
+    js = lambda c: F.md5(
+        F.array_join(F.transform(F.col(c), lambda x: x.cast("string")), ",")
+    )
+    return out.select(
+        "doc_id",
+        "n_tok",
+        js("input_ids").alias("input_md5"),
+        js("labels").alias("labels_md5"),
+        "n_masked",
+    )
+
+
 def _q_pii_pseudo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable PII pseudonymization (operators/pii.py:pii_pseudonymize) —
     same entity -> same surrogate corpus-wide (salted md5), preserving
@@ -2411,6 +2433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_pseudo": _q_pii_pseudo,
         "interleave_sources": _q_interleave_sources,
         "span_corruption": _q_span_corruption,
+        "mlm_mask": _q_mlm_mask,
         "centroid_classify": _q_centroid_classify,
         "strip_dup_spans": _q_strip_dup_spans,
         "embedding_topk_sq8": _q_embedding_topk_sq8,
@@ -2569,6 +2592,7 @@ def oracle_sql() -> dict[str, str]:
         pii_pseudo_sql,
         interleave_sources_sql,
         span_corruption_sql,
+        mlm_mask_sql,
         token_features_sql,
         token_pipeline_sql,
         winnow_fingerprints_sql,
@@ -2857,6 +2881,7 @@ FROM docs GROUP BY 1
         "near_search": near_search_sql(),
         "pii_pseudo": pii_pseudo_sql(),
         "span_corruption": span_corruption_sql(seed="r5"),
+        "mlm_mask": mlm_mask_sql(seed="r5"),
         "interleave_sources": interleave_sources_sql(
             target_shares={"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
             seed="r5",

@@ -86,3 +86,44 @@ def test_span_corruption_merges_overlapping_spans(spark):
     corrupted = [t for t in r["target_ids"] if t < 32000]
     assert len(corrupted) == len(set(corrupted))  # disjoint spans
     assert _reconstruct(r["input_ids"], r["target_ids"]) == list(range(50))
+
+
+def test_mlm_mask_semantics(spark):
+    from transmog_spark.operators.objectives import mlm_mask
+
+    df = spark.createDataFrame(
+        [(1, list(range(1000, 1400))), (2, [])],
+        "doc_id long, tokens array<int>",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in mlm_mask(df, mask_rate=0.15, seed="q").collect()
+    }
+    r = rows[1]
+    orig = list(range(1000, 1400))
+    assert len(r["input_ids"]) == len(r["labels"]) == 400
+    masked_pos = [i for i, y in enumerate(r["labels"]) if y != -100]
+    assert r["n_masked"] == len(masked_pos)
+    # rate concentrates near 15% over 400 draws
+    assert 0.07 < len(masked_pos) / 400 < 0.25
+    n_mask_tok = n_rand = n_keep = 0
+    for i in range(400):
+        x, y = r["input_ids"][i], r["labels"][i]
+        if y == -100:
+            assert x == orig[i]  # unselected positions untouched
+        else:
+            assert y == orig[i]  # label is the original token
+            if x == 32001:
+                n_mask_tok += 1
+            elif x == orig[i]:
+                n_keep += 1
+            else:
+                n_rand = n_rand + 1
+    assert n_mask_tok > n_rand and n_mask_tok > n_keep  # 80/10/10 shape
+    assert rows[2]["input_ids"] == [] and rows[2]["n_masked"] == 0
+    # determinism
+    again = {r["doc_id"]: r for r in mlm_mask(df, mask_rate=0.15, seed="q").collect()}
+    assert again[1] == r
+    import pytest
+    with pytest.raises(ValueError):
+        mlm_mask(df, mask_rate=0.0)

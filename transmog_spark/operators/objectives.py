@@ -156,3 +156,77 @@ def span_corruption(
         F.when(nn > 0, input_ids).otherwise(F.array().cast("array<int>")).alias("input_ids"),
         target_ids.alias("target_ids"),
     )
+
+
+def mlm_mask(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    *,
+    mask_rate: float = 0.15,
+    mask_id: int = 32001,
+    vocab: int = 32768,
+    seed: str = "",
+) -> DataFrame:
+    """BERT-style masked-LM prep (Devlin et al. 2019 §3.1): select
+    ``mask_rate`` of positions; of those 80% become ``mask_id``, 10% a
+    deterministic pseudo-random token, 10% stay unchanged; ``labels``
+    carries the original token at selected positions and -100 elsewhere
+    (the standard ignore index).
+
+    Fully per-row (zip tokens with positions, three seeded hash draws per
+    position — select / branch / replacement), zero shuffle, deterministic
+    replay; mirrored in ``oracle.mlm_mask_sql``.
+    """
+    if not 0 < mask_rate < 1:
+        raise ValueError("mask_rate must be in (0, 1)")
+    toks = F.col(tokens_col)
+
+    def _h(tag: str, p):
+        return md5_long(
+            F.concat(
+                F.lit(f"{seed}#{tag}#"),
+                F.col(id_col).cast("string"),
+                F.lit("#"),
+                p.cast("string"),
+            )
+        )
+
+    sel_grid = round(mask_rate * 1000000)
+    zipped = F.zip_with(
+        toks,
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda t, p: F.struct(t.alias("t"), p.alias("p")),
+    )
+
+    def _masked(z):
+        t, p = z["t"], z["p"]
+        selected = _h("sel", p) % 1000000 < sel_grid
+        branch = _h("br", p) % 10
+        rnd = (_h("rnd", p) % vocab).cast("int")
+        new_tok = (
+            F.when(branch < 8, F.lit(mask_id).cast("int"))
+            .when(branch == 8, rnd)
+            .otherwise(t)
+        )
+        return F.struct(
+            F.when(selected, new_tok).otherwise(t).alias("x"),
+            F.when(selected, t).otherwise(F.lit(-100).cast("int")).alias("y"),
+        )
+
+    staged = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tok"),
+        F.when(F.size(toks) > 0, F.transform(zipped, _masked))
+        .otherwise(F.array().cast("array<struct<x:int,y:int>>"))
+        .alias("__m"),
+    )
+    return staged.select(
+        id_col,
+        "n_tok",
+        F.transform("__m", lambda m: m["x"]).alias("input_ids"),
+        F.transform("__m", lambda m: m["y"]).alias("labels"),
+        F.size(F.filter("__m", lambda m: m["y"] != -100))
+        .cast("long")
+        .alias("n_masked"),
+    )

@@ -4151,3 +4151,52 @@ SELECT {id_col}, CAST(n_tok AS BIGINT) AS n_tok,
        md5(coalesce(array_to_string(target_ids, ','), '')) AS target_md5
 FROM built
 """
+
+
+def mlm_mask_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: int = 32768,
+    mask_rate: float = 0.15,
+    mask_id: int = 32001,
+    seed: str = "",
+) -> str:
+    """Mirror of operators.objectives.mlm_mask — same three seeded hash
+    draws per position (select / 80-10-10 branch / replacement), arrays
+    md5-scalarized."""
+    grid = round(mask_rate * 1000000)
+    tok = f"CAST({duck_md5_long('x')} % {vocab} AS INT)"
+
+    def h(tag: str) -> str:
+        return duck_md5_long(
+            f"'{seed}#{tag}#' || CAST({id_col} AS VARCHAR) || '#' || "
+            f"CAST(i - 1 AS VARCHAR)"
+        )
+
+    sel = f"({h('sel')} % 1000000 < {grid})"
+    br = f"({h('br')} % 10)"
+    rnd = f"CAST({h('rnd')} % {vocab} AS INT)"
+    return f"""
+WITH docs AS (
+  SELECT {id_col}, list_transform({duck_ws_tokens(text_col)}, x -> {tok}) AS t
+  FROM {table}),
+m AS (
+  SELECT {id_col}, len(t) AS n_tok,
+         list_transform(range(1, len(t) + 1), i -> struct_pack(
+           x := CASE WHEN {sel} THEN
+                  CASE WHEN {br} < 8 THEN {mask_id}
+                       WHEN {br} = 8 THEN {rnd}
+                       ELSE t[i] END
+                ELSE t[i] END,
+           y := CASE WHEN {sel} THEN t[i] ELSE -100 END)) AS mm
+  FROM docs)
+SELECT {id_col}, CAST(n_tok AS BIGINT) AS n_tok,
+       md5(coalesce(array_to_string(list_transform(mm, z -> z.x), ','), ''))
+         AS input_md5,
+       md5(coalesce(array_to_string(list_transform(mm, z -> z.y), ','), ''))
+         AS labels_md5,
+       CAST(len(list_filter(mm, z -> z.y <> -100)) AS BIGINT) AS n_masked
+FROM m
+"""
