@@ -755,6 +755,18 @@ def _q_mlm_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece subword tokenization (operators/wordpiece.py — the
+    BERT-family greedy longest-match encoder over a likelihood-score
+    trained vocabulary; seed vocabulary trained offline so the DuckDB
+    mirror shares the identical artifact). piece_md5 proves byte-identical
+    piece streams across engines."""
+    from transmog_spark.operators.wordpiece import seed_wp_vocab, wordpiece_tokenize
+
+    d = _t(spark, sf_dir, "documents")
+    return wordpiece_tokenize(d, list(seed_wp_vocab()), "doc_id", "text")
+
+
 def _q_pii_pseudo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable PII pseudonymization (operators/pii.py:pii_pseudonymize) —
     same entity -> same surrogate corpus-wide (salted md5), preserving
@@ -2434,6 +2446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_sources": _q_interleave_sources,
         "span_corruption": _q_span_corruption,
         "mlm_mask": _q_mlm_mask,
+        "wordpiece_tokenize": _q_wordpiece_tokenize,
         "centroid_classify": _q_centroid_classify,
         "strip_dup_spans": _q_strip_dup_spans,
         "embedding_topk_sq8": _q_embedding_topk_sq8,
@@ -2593,6 +2606,7 @@ def oracle_sql() -> dict[str, str]:
         interleave_sources_sql,
         span_corruption_sql,
         mlm_mask_sql,
+        wordpiece_tokenize_sql,
         token_features_sql,
         token_pipeline_sql,
         winnow_fingerprints_sql,
@@ -2616,6 +2630,7 @@ def oracle_sql() -> dict[str, str]:
         tokenize_docs_sql,
     )
     from transmog_spark.operators.unigram import seed_vocab as _unigram_seed_vocab
+    from transmog_spark.operators.wordpiece import seed_wp_vocab as _wp_seed_vocab
 
     asof_common = """
 WITH clicks AS (
@@ -2882,6 +2897,7 @@ FROM docs GROUP BY 1
         "pii_pseudo": pii_pseudo_sql(),
         "span_corruption": span_corruption_sql(seed="r5"),
         "mlm_mask": mlm_mask_sql(seed="r5"),
+        "wordpiece_tokenize": wordpiece_tokenize_sql(_wp_seed_vocab()),
         "interleave_sources": interleave_sources_sql(
             target_shares={"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
             seed="r5",

@@ -231,6 +231,14 @@ def test_unigram_tokenize_single_udf_map_only(spark, sf_dir):
     assert _arrow_nodes(plan) == 1
 
 
+def test_wordpiece_tokenize_single_udf_map_only(spark, sf_dir):
+    # word split (JVM regex) -> ONE Arrow greedy-encode pass -> JVM piece
+    # counting + md5; no shuffle
+    plan = _plan(spark, sf_dir, "wordpiece_tokenize")
+    assert _exchanges(plan) == 0
+    assert _arrow_nodes(plan) == 1
+
+
 def test_bpe_chunks_single_udf_map_only(spark, sf_dir):
     # the single_eval barrier keeps the encoder at ONE evaluation even
     # though token_chunks references the token array in a filter AND a

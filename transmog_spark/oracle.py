@@ -4200,3 +4200,88 @@ SELECT {id_col}, CAST(n_tok AS BIGINT) AS n_tok,
        CAST(len(list_filter(mm, z -> z.y <> -100)) AS BIGINT) AS n_masked
 FROM m
 """
+
+
+def wordpiece_tokenize_sql(
+    vocab: "list[str] | tuple[str, ...]",
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Mirror of operators.wordpiece.wordpiece_tokenize. Greedy
+    longest-match is PATH-INDEPENDENT — the chosen piece at (word, pos)
+    depends only on the word text and position — so the mirror
+    precomputes the argmax-length match for EVERY (distinct word,
+    position) non-recursively (window rank over the candidate join) and
+    a recursive CTE merely walks the choices; a position with no match
+    collapses the whole word to '[UNK]' (np = 1, partial path
+    discarded), exactly the engine's rule. Bounded by the distinct-word
+    vocabulary times word length, never the corpus."""
+    from transmog_spark.operators.wordpiece import WP_WORD_RE
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ",\n    ".join(f"('{q(p)}')" for p in vocab if p != "[UNK]")
+    return f"""
+WITH RECURSIVE
+vocab(piece) AS (SELECT * FROM (VALUES
+    {vals}) v),
+pre AS (
+  SELECT {id_col}, regexp_extract_all({text_col}, '{WP_WORD_RE}') AS ws
+  FROM {table}),
+words AS (
+  SELECT {id_col}, unnest(ws) AS w, generate_subscripts(ws, 1) AS wpos
+  FROM pre),
+dw AS (SELECT DISTINCT w FROM words),
+allpos AS (
+  SELECT w, unnest(range(0, length(w))) AS p FROM dw),
+cand AS (
+  SELECT a.w, a.p, v.piece,
+         CASE WHEN a.p = 0 THEN length(v.piece)
+              ELSE length(v.piece) - 2 END AS consumed
+  FROM allpos a JOIN vocab v
+    ON CASE WHEN a.p = 0 THEN
+              v.piece NOT LIKE '##%'
+              AND substr(a.w, 1, length(v.piece)) = v.piece
+            ELSE
+              v.piece LIKE '##%' AND length(v.piece) > 2
+              AND substr(a.w, a.p + 1, length(v.piece) - 2)
+                  = substr(v.piece, 3)
+       END),
+choice AS (
+  SELECT w, p, piece, consumed FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY w, p ORDER BY consumed DESC, piece) AS rn
+    FROM cand) WHERE rn = 1),
+walk AS (
+  SELECT w, 0 AS pos, 0 AS np, '' AS path, FALSE AS unk FROM dw
+  UNION ALL
+  SELECT wk.w,
+         CASE WHEN c.w IS NULL THEN length(wk.w)
+              ELSE wk.pos + c.consumed END,
+         CASE WHEN c.w IS NULL THEN 1 ELSE wk.np + 1 END,
+         CASE WHEN c.w IS NULL THEN '[UNK]'
+              WHEN wk.path = '' THEN c.piece
+              ELSE wk.path || chr(31) || c.piece END,
+         c.w IS NULL
+  FROM walk wk LEFT JOIN choice c ON c.w = wk.w AND c.p = wk.pos
+  WHERE wk.pos < length(wk.w)),
+best AS (
+  SELECT w, np, path, unk FROM walk WHERE pos >= length(w)),
+agg AS (
+  SELECT words.{id_col},
+         count(*) AS n_words,
+         CAST(sum(b.np) AS BIGINT) AS n_pieces,
+         CAST(sum(CASE WHEN b.unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+         string_agg(b.path, chr(30) ORDER BY words.wpos) AS stream
+  FROM words JOIN best b USING (w)
+  GROUP BY 1)
+SELECT d.{id_col},
+       CAST(coalesce(a.n_words, 0) AS INTEGER) AS n_words,
+       CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+       CAST(coalesce(a.n_unk, 0) AS BIGINT) AS n_unk,
+       md5(coalesce(a.stream, '')) AS piece_md5
+FROM {table} d LEFT JOIN agg a USING ({id_col})
+"""
