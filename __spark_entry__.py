@@ -767,6 +767,27 @@ def _q_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_tokenize(d, list(seed_wp_vocab()), "doc_id", "text")
 
 
+def _q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join (operators/editsim.py:fuzzy_pairs,
+    PassJoin-style complete segment blocking + exact levenshtein verify)
+    over planted near-duplicate short keys: every doc contributes
+    key = substr(text, 1, 24); docs with doc_id % 7 == 0 also contribute
+    a mutant (id + 1_000_000, first char deleted — edit distance exactly
+    1). The oracle mirrors the synthesis and brute-forces the join (the
+    blocking is complete, so the results coincide)."""
+    from transmog_spark.operators.editsim import fuzzy_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id"), F.substring("text", 1, 24).alias("key")
+    )
+    mut = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.substring("text", 2, 23).alias("key"),
+    )
+    return fuzzy_pairs(base.unionByName(mut), "doc_id", "key", max_dist=1)
+
+
 def _q_pii_pseudo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable PII pseudonymization (operators/pii.py:pii_pseudonymize) —
     same entity -> same surrogate corpus-wide (salted md5), preserving
@@ -2447,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption": _q_span_corruption,
         "mlm_mask": _q_mlm_mask,
         "wordpiece_tokenize": _q_wordpiece_tokenize,
+        "fuzzy_pairs": _q_fuzzy_pairs,
         "centroid_classify": _q_centroid_classify,
         "strip_dup_spans": _q_strip_dup_spans,
         "embedding_topk_sq8": _q_embedding_topk_sq8,
@@ -2898,6 +2920,18 @@ FROM docs GROUP BY 1
         "span_corruption": span_corruption_sql(seed="r5"),
         "mlm_mask": mlm_mask_sql(seed="r5"),
         "wordpiece_tokenize": wordpiece_tokenize_sql(_wp_seed_vocab()),
+        "fuzzy_pairs": """
+WITH k AS (
+  SELECT doc_id, substr(text, 1, 24) AS key FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, substr(text, 2, 23) AS key
+  FROM documents WHERE doc_id % 7 = 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.key, b.key) AS INTEGER) AS dist
+FROM k a JOIN k b ON a.doc_id < b.doc_id
+WHERE abs(length(a.key) - length(b.key)) <= 1
+  AND levenshtein(a.key, b.key) <= 1
+""",
         "interleave_sources": interleave_sources_sql(
             target_shares={"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
             seed="r5",
