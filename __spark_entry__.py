@@ -767,6 +767,48 @@ def _q_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_tokenize(d, list(seed_wp_vocab()), "doc_id", "text")
 
 
+def _q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering + SFT loss masking
+    (operators/objectives.py:sft_render): documents deterministically
+    sliced into 3-turn system/user/assistant conversations on BOTH
+    engines; loss covers assistant content + EOT only. Arrays
+    md5-scalarized for the driver canonicalizer."""
+    from transmog_spark.operators.objectives import sft_render
+    from transmog_spark.operators.text import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tk = d.select(F.col("doc_id"), ws_tokens(F.col("text")).alias("__tk"))
+    conv = tk.select(
+        F.col("doc_id").alias("conv_id"),
+        F.array(
+            F.struct(
+                F.lit("system").alias("role"),
+                F.array_join(F.slice("__tk", 1, 4), " ").alias("content"),
+            ),
+            F.struct(
+                F.lit("user").alias("role"),
+                F.array_join(F.slice("__tk", 5, 8), " ").alias("content"),
+            ),
+            F.struct(
+                F.lit("assistant").alias("role"),
+                F.array_join(F.slice("__tk", 13, 1 << 30), " ").alias("content"),
+            ),
+        ).alias("turns"),
+    )
+    out = sft_render(conv, "conv_id", "turns")
+    js = lambda c: F.md5(
+        F.array_join(F.transform(F.col(c), lambda x: x.cast("string")), ",")
+    )
+    return out.select(
+        "conv_id",
+        "n_turns",
+        "n_tok",
+        "n_loss",
+        js("input_ids").alias("input_md5"),
+        js("labels").alias("labels_md5"),
+    )
+
+
 def _q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance similarity join (operators/editsim.py:fuzzy_pairs,
     PassJoin-style complete segment blocking + exact levenshtein verify)
@@ -2469,6 +2511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlm_mask": _q_mlm_mask,
         "wordpiece_tokenize": _q_wordpiece_tokenize,
         "fuzzy_pairs": _q_fuzzy_pairs,
+        "sft_render": _q_sft_render,
         "centroid_classify": _q_centroid_classify,
         "strip_dup_spans": _q_strip_dup_spans,
         "embedding_topk_sq8": _q_embedding_topk_sq8,
@@ -2920,6 +2963,34 @@ FROM docs GROUP BY 1
         "span_corruption": span_corruption_sql(seed="r5"),
         "mlm_mask": mlm_mask_sql(seed="r5"),
         "wordpiece_tokenize": wordpiece_tokenize_sql(_wp_seed_vocab()),
+        "sft_render": """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents),
+seg AS (
+  SELECT doc_id,
+         list_transform(list_slice(tk, 1, 4),
+           w -> CAST(CAST(('0x' || substr(md5(w), 1, 15)) AS UBIGINT)::BIGINT % 32768 AS INTEGER)) AS h1,
+         list_transform(list_slice(tk, 5, 12),
+           w -> CAST(CAST(('0x' || substr(md5(w), 1, 15)) AS UBIGINT)::BIGINT % 32768 AS INTEGER)) AS h2,
+         list_transform(list_slice(tk, 13, len(tk)),
+           w -> CAST(CAST(('0x' || substr(md5(w), 1, 15)) AS UBIGINT)::BIGINT % 32768 AS INTEGER)) AS h3
+  FROM t),
+built AS (
+  SELECT doc_id,
+         [32010] || h1 || [32013, 32011] || h2 || [32013, 32012] AS pre,
+         h3, len(h1) + len(h2) + len(h3) AS n_content
+  FROM seg)
+SELECT doc_id AS conv_id,
+       3 AS n_turns,
+       CAST(n_content + 6 AS BIGINT) AS n_tok,
+       CAST(len(h3) + 1 AS BIGINT) AS n_loss,
+       md5(array_to_string(pre || h3 || [32013], ',')) AS input_md5,
+       md5(array_to_string(list_transform(pre, x -> -100) || h3 || [32013], ','))
+         AS labels_md5
+FROM built
+""",
         "fuzzy_pairs": """
 WITH k AS (
   SELECT doc_id, substr(text, 1, 24) AS key FROM documents

@@ -117,6 +117,10 @@ HEADLINE = [
     "cooc_pairs",
     # sentence-aware greedy chunking: zero-shuffle per-row fold
     "boundary_chunks",
+    # WordPiece greedy encode: one Arrow pass, zero shuffle (plan-pinned)
+    "wordpiece_tokenize",
+    # edit-distance similarity join: PassJoin segment blocking + levenshtein
+    "fuzzy_pairs",
     # stage boundaries persist on first execution (see the entry docstring);
     # best-of-N then times the post-persist composed chain — the same
     # warm-index semantics as bm25_topk_indexed

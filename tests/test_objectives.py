@@ -127,3 +127,78 @@ def test_mlm_mask_semantics(spark):
     import pytest
     with pytest.raises(ValueError):
         mlm_mask(df, mask_rate=0.0)
+
+
+def _conv_df(spark, rows):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.LongType()),
+            T.StructField(
+                "turns",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("role", T.StringType()),
+                            T.StructField("content", T.StringType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_sft_render_masking_semantics(spark):
+    from transmog_spark.functions.hashing import md5_long  # noqa: F401
+    from transmog_spark.operators.objectives import sft_render
+
+    df = _conv_df(
+        spark,
+        [
+            (1, [("system", "You are helpful"), ("user", "hi there"),
+                 ("assistant", "hello friend")]),
+            (2, [("user", ""), ("assistant", "ok")]),
+            (3, [("tool", "weird role content")]),
+        ],
+    )
+    out = {r.conv_id: r for r in sft_render(df).collect()}
+
+    r1 = out[1]
+    # layout: [sys][3 toks][eot] [usr][2][eot] [ast][2][eot]
+    assert r1.n_tok == 13 and r1.n_turns == 3
+    assert r1.input_ids[0] == 32010 and r1.input_ids[4] == 32013
+    assert r1.input_ids[5] == 32011 and r1.input_ids[9] == 32012
+    # loss = assistant content (2) + assistant EOT
+    assert r1.n_loss == 3
+    assert r1.labels[:10] == [-100] * 10
+    assert r1.labels[10:] == r1.input_ids[10:]
+    assert r1.labels[-1] == 32013
+
+    r2 = out[2]
+    # empty user content renders marker+EOT only; assistant 'ok' + EOT loss
+    assert r2.n_tok == 5 and r2.n_loss == 2
+    assert r2.input_ids[:3] == [32011, 32013, 32012]
+
+    r3 = out[3]
+    # unknown role -> unk marker, never loss
+    assert r3.input_ids[0] == 32009 and r3.n_loss == 0
+    assert all(l == -100 for l in r3.labels)
+
+
+def test_sft_render_tokens_match_hash_tokenizer(spark):
+    import hashlib
+
+    from transmog_spark.operators.objectives import sft_render
+
+    df = _conv_df(spark, [(1, [("assistant", "Spark ENGINE spark")])])
+    r = sft_render(df).collect()[0]
+
+    def tid(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % 32768
+
+    assert r.input_ids == [32012, tid("spark"), tid("engine"), tid("spark"), 32013]
+    # all content + EOT carry loss for the assistant turn
+    assert r.labels[1:] == r.input_ids[1:]

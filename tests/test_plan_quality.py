@@ -239,6 +239,15 @@ def test_wordpiece_tokenize_single_udf_map_only(spark, sf_dir):
     assert _arrow_nodes(plan) == 1
 
 
+def test_sft_render_zero_exchange_no_udf(spark, sf_dir):
+    # chat rendering + loss masking is one narrow per-row projection:
+    # no shuffle, no Python execution node
+    plan = _plan(spark, sf_dir, "sft_render")
+    assert _exchanges(plan) == 0
+    assert _arrow_nodes(plan) == 0
+    assert "BatchEvalPython" not in plan
+
+
 def test_bpe_chunks_single_udf_map_only(spark, sf_dir):
     # the single_eval barrier keeps the encoder at ONE evaluation even
     # though token_chunks references the token array in a filter AND a

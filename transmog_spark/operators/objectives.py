@@ -230,3 +230,98 @@ def mlm_mask(
         .cast("long")
         .alias("n_masked"),
     )
+
+
+DEFAULT_ROLE_TOKENS = {"system": 32010, "user": 32011, "assistant": 32012}
+
+
+def sft_render(
+    df: DataFrame,
+    id_col: str = "conv_id",
+    turns_col: str = "turns",
+    *,
+    vocab: int = 32768,
+    role_tokens: dict[str, int] | None = None,
+    unk_role_token: int = 32009,
+    eot_token: int = 32013,
+    mask_role: str = "assistant",
+) -> DataFrame:
+    """Chat-template rendering + SFT loss masking (the supervised
+    fine-tuning data-prep leg): a conversation column
+    ``array<struct<role, content>>`` becomes the flat training pair
+    (input_ids, labels) — each turn rendered as
+    ``[role marker] content-tokens [EOT]`` and labels = input_ids where
+    the loss applies, -100 (the standard ignore index) elsewhere. Loss
+    covers the ``mask_role`` (assistant) turns' CONTENT and EOT tokens
+    only — role markers and non-assistant turns never carry loss (the
+    HF/TRL DataCollatorForCompletionOnlyLM convention).
+
+    Content tokenization is the engine's deterministic hash tokenizer
+    (``text.tokenize_ids`` semantics inlined: lowercased whitespace
+    tokens -> md5 % vocab), bit-identically mirrored in DuckDB. Roles
+    missing from ``role_tokens`` render as ``unk_role_token`` and carry
+    no loss.
+
+    Output: (id, n_turns, n_tok, n_loss, input_ids, labels).
+
+    Scale shape: fully per-row (one narrow projection, zero shuffle,
+    no UDF). The per-turn struct array is referenced by two output
+    expressions, so Catalyst evaluates the cheap per-row rebuild twice
+    (the CLAUDE.md HOF-inlining note) — accepted: the work is a few
+    hashes per token, and avoiding it would cost a shuffle.
+    """
+    rt = DEFAULT_ROLE_TOKENS if role_tokens is None else role_tokens
+    role_map = F.create_map(
+        *[F.lit(x) for k, v in sorted(rt.items()) for x in (k, v)]
+    )
+
+    def turn_struct(t):
+        content_ids = F.transform(
+            F.filter(F.split(F.lower(t["content"]), r"\s+"), lambda x: x != ""),
+            lambda w: (md5_long(w) % vocab).cast("int"),
+        )
+        return F.struct(
+            (t["role"] == F.lit(mask_role)).cast("int").alias("fl"),
+            F.coalesce(
+                role_map[t["role"]], F.lit(unk_role_token)
+            ).cast("int").alias("mk"),
+            content_ids.alias("ct"),
+        )
+
+    staged = df.select(
+        F.col(id_col),
+        F.size(F.col(turns_col)).alias("n_turns"),
+        F.transform(F.col(turns_col), turn_struct).alias("__tt"),
+    )
+    # one flat (token, loss) stream; ids/labels project from it
+    z = F.flatten(
+        F.transform(
+            F.col("__tt"),
+            lambda s: F.concat(
+                F.array(F.struct(s["mk"].alias("i"), F.lit(0).alias("m"))),
+                F.transform(
+                    s["ct"], lambda c: F.struct(c.alias("i"), s["fl"].alias("m"))
+                ),
+                F.array(
+                    F.struct(
+                        F.lit(eot_token).cast("int").alias("i"),
+                        s["fl"].alias("m"),
+                    )
+                ),
+            ),
+        )
+    )
+    zc = staged.select(F.col(id_col), "n_turns", z.alias("__z"))
+    return zc.select(
+        F.col(id_col),
+        "n_turns",
+        F.size("__z").cast("long").alias("n_tok"),
+        F.aggregate(
+            F.col("__z"), F.lit(0).cast("long"), lambda a, e: a + e["m"]
+        ).alias("n_loss"),
+        F.transform(F.col("__z"), lambda e: e["i"]).alias("input_ids"),
+        F.transform(
+            F.col("__z"),
+            lambda e: F.when(e["m"] == 1, e["i"]).otherwise(F.lit(-100)),
+        ).alias("labels"),
+    )
