@@ -338,6 +338,22 @@ def test_dup_spans_hash_join_no_strings_in_exchange(spark, sf_dir):
     assert _exchanges(plan) <= 4
 
 
+def test_fuzzy_pairs_hashed_block_key_no_cartesian(spark, sf_dir):
+    # PassJoin candidates join on the 60-bit hashed block key (__bk, a
+    # long) — segment/probe STRINGS never cross an exchange; verification
+    # is the JVM levenshtein, no Python node, no cross product
+    plan = _plan(spark, sf_dir, "fuzzy_pairs")
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "levenshtein" in plan
+    ex_args = "".join(
+        line
+        for line in plan.splitlines()
+        if "Arguments" in line and "Exchange" in line
+    )
+    assert "__key#" not in ex_args and "key#" not in ex_args
+
+
 def test_pq_zero_corpus_shuffle_broadcast_queries(spark, sf_dir):
     # codebooks are plan-time literals: encoding + ADC are one narrow map
     # pass over the corpus; the only shuffle is the per-query top-k window
