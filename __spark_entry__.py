@@ -2381,23 +2381,18 @@ def _q_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
 
 
-def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Curation flagship for the training-data tier: composite quality gate
-    (Gopher/CCNet rules incl. perplexity + PII) -> benchmark
-    decontamination -> exact dedup -> NEAR-dup dedup (MinHash+LSH ->
-    connected components -> min-id representative) -> duplicated-span
-    strip (Lee et al. substring dedup) -> concat packing over the kept
-    token counts. Every stage is an already-oracle-gated operator; the
-    composed oracle (oracle.curation_pipeline_sql) mirrors the chain as
-    CTEs, so a mismatch localizes to the stage whose standalone oracle
-    also fails."""
+def _curation_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """The curation flagship's stage boundaries, shared by the packing
+    flagship (`curation_pipeline`) and the attrition telemetry
+    (`curation_funnel`). Construction is IDENTICAL between callers on
+    purpose: Spark's CacheManager dedupes persisted data by logical plan,
+    so the second caller free-rides on the first's cached stages."""
     from transmog_spark.operators.corpus import decontaminate
     from transmog_spark.operators.dedup import (
         dedupe_exact,
         dedupe_near,
         minhash_near_duplicates,
     )
-    from transmog_spark.operators.packing import pack_concat
     from transmog_spark.operators.quality import quality_gate
     from transmog_spark.operators.spans import strip_duplicate_spans
 
@@ -2434,7 +2429,83 @@ def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", (F.col("n_tok") - F.col("n_removed")).alias("n_tok")
         )
     )
+    return {
+        "raw": d,
+        "corpus": corpus,
+        "keep": keep,
+        "ded": ded,
+        "nded": nded,
+        "toks": toks,
+    }
+
+
+def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation flagship for the training-data tier: composite quality gate
+    (Gopher/CCNet rules incl. perplexity + PII) -> benchmark
+    decontamination -> exact dedup -> NEAR-dup dedup (MinHash+LSH ->
+    connected components -> min-id representative) -> duplicated-span
+    strip (Lee et al. substring dedup) -> concat packing over the kept
+    token counts. Every stage is an already-oracle-gated operator; the
+    composed oracle (oracle.curation_pipeline_sql) mirrors the chain as
+    CTEs, so a mismatch localizes to the stage whose standalone oracle
+    also fails."""
+    from transmog_spark.operators.packing import pack_concat
+
+    toks = _curation_stage_frames(spark, sf_dir)["toks"]
     return pack_concat(toks, budget=256, block_rows=128)
+
+
+def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage attrition through the curation flagship — the FineWeb-style
+    funnel table (docs and whitespace tokens surviving each stage, plus the
+    stage's own drop count/fraction): raw -> benchmark-holdout removal ->
+    quality gate + decontamination -> exact dedup -> near-dup dedup ->
+    span strip (nonzero survivors, POST-strip token total). Shares the
+    flagship's persisted stage frames (identical plans -> CacheManager
+    dedup), so its cost is six cheap aggregates over cached verdicts. The
+    oracle composes the same stage CTEs (oracle.curation_funnel_sql)."""
+    from pyspark.sql import Window
+
+    from transmog_spark.operators.text import token_count_ws
+
+    s = _curation_stage_frames(spark, sf_dir)
+
+    def stage(df, idx, name, tok_expr):
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum(tok_expr), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+
+    ws = token_count_ws(F.col("text")).cast("long")
+    rows = (
+        stage(s["raw"], 0, "raw", ws)
+        .unionByName(stage(s["corpus"], 1, "bench_holdout_removed", ws))
+        .unionByName(stage(s["keep"], 2, "quality_decontaminated", ws))
+        .unionByName(stage(s["ded"], 3, "exact_dedup", ws))
+        .unionByName(stage(s["nded"], 4, "near_dedup", ws))
+        .unionByName(
+            stage(
+                s["toks"].where(F.col("n_tok") > 0),
+                5,
+                "span_stripped",
+                F.col("n_tok").cast("long"),
+            )
+        )
+    )
+    w = Window.orderBy("stage_idx")
+    prev = F.lag("n_docs").over(w)
+    return rows.select(
+        "stage_idx",
+        "stage",
+        "n_docs",
+        "n_tokens",
+        (prev - F.col("n_docs")).alias("drop_docs"),
+        F.when(prev > 0, F.round((prev - F.col("n_docs")) / prev, 4)).alias(
+            "drop_frac"
+        ),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2512,6 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_tokenize": _q_wordpiece_tokenize,
         "fuzzy_pairs": _q_fuzzy_pairs,
         "sft_render": _q_sft_render,
+        "curation_funnel": _q_curation_funnel,
         "centroid_classify": _q_centroid_classify,
         "strip_dup_spans": _q_strip_dup_spans,
         "embedding_topk_sq8": _q_embedding_topk_sq8,
@@ -2607,6 +2679,7 @@ def oracle_sql() -> dict[str, str]:
         leakage_safe_split_sql,
         leakage_folds_sql,
         curation_pipeline_sql,
+        curation_funnel_sql,
         decontaminate_sql,
         decontaminate_fuzzy_sql,
         epoch_mixture_sql,
@@ -3285,6 +3358,7 @@ FROM lagged l JOIN sess s ON l.user_id = s.user_id AND l.session_index = s.sessi
             shingle_n=3, threshold=0.5, bench_mod=97
         ),
         "repetition_profile": repetition_profile_sql(),
+        "curation_funnel": curation_funnel_sql(),
         "curation_pipeline": curation_pipeline_sql(),
         "epoch_mixture": epoch_mixture_sql(weights=MIX_WEIGHTS),
         "vocab_stats": vocab_stats_sql(),

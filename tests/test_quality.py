@@ -121,3 +121,37 @@ def test_contamination_report_short_docs_count_clean(spark):
     assert abs(out["a"].flag_rate - round(1 / 3, 4)) < 1e-9
     assert out["b"].n_docs == 1 and out["b"].n_flagged == 1
     assert out["b"].max_contamination == 1.0
+
+
+def test_curation_funnel_monotone_and_consistent_with_flagship(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    rows = sorted(
+        entrymod.queries()["curation_funnel"](spark, sf_dir).collect(),
+        key=lambda r: r.stage_idx,
+    )
+    assert [r.stage for r in rows] == [
+        "raw",
+        "bench_holdout_removed",
+        "quality_decontaminated",
+        "exact_dedup",
+        "near_dedup",
+        "span_stripped",
+    ]
+    # docs never increase through the funnel; drop accounting is exact
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_docs <= prev.n_docs
+        assert cur.drop_docs == prev.n_docs - cur.n_docs
+        if prev.n_docs > 0:
+            assert abs(cur.drop_frac - (prev.n_docs - cur.n_docs) / prev.n_docs) < 5e-5
+    assert rows[0].drop_docs is None and rows[0].drop_frac is None
+    # span strip removes tokens, never docs' worth of tokens it didn't have
+    assert rows[5].n_tokens <= rows[4].n_tokens
+    # final stage == the packing flagship's distinct doc set
+    pack_docs = (
+        entrymod.queries()["curation_pipeline"](spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert rows[5].n_docs == pack_docs

@@ -1990,7 +1990,7 @@ JOIN pii ON tp.{id_col} = pii.{id_col}
 """
 
 
-def curation_pipeline_sql(
+def _curation_stage_ctes(
     *,
     table: str = "documents",
     id_col: str = "doc_id",
@@ -1999,7 +1999,6 @@ def curation_pipeline_sql(
     shingle_n: int = 3,
     bench_mod: int = 97,
     max_contamination: float = 0.02,
-    budget: int = 256,
     near_num_hashes: int = 8,
     near_bands: int = 4,
     near_threshold: float = 0.5,
@@ -2007,12 +2006,9 @@ def curation_pipeline_sql(
     span_n: int = 8,
     span_min_count: int = 2,
 ) -> str:
-    """End-to-end curation flagship: composite quality gate -> benchmark
-    decontamination -> exact dedup (min-id keeper) -> NEAR-dup dedup
-    (MinHash+LSH pairs -> connected components -> min-id representative
-    per cluster) -> duplicated-span strip -> concat packing over the kept
-    token counts. Composes the per-operator oracles as CTEs, so any
-    mismatch localizes to the stage whose standalone oracle also fails."""
+    """The curation chain's stage CTE prefix (through nz, the span-stripped
+    nonzero survivors) — shared by curation_pipeline_sql (packing tail) and
+    curation_funnel_sql (attrition tail)."""
     qg = quality_gate_sql(table=table, id_col=id_col, text_col=text_col)
     dec = decontaminate_sql(
         table=table,
@@ -2065,7 +2061,41 @@ stripped AS MATERIALIZED ({strip}),
 docs AS (
   SELECT n.{id_col}, n.{source_col}, s.n_tok - s.n_removed AS n_tok
   FROM nded n JOIN stripped s ON n.{id_col} = s.{id_col}),
-nz AS (SELECT * FROM docs WHERE n_tok > 0),
+nz AS (SELECT * FROM docs WHERE n_tok > 0)"""
+
+
+def curation_pipeline_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    shingle_n: int = 3,
+    bench_mod: int = 97,
+    max_contamination: float = 0.02,
+    budget: int = 256,
+    near_num_hashes: int = 8,
+    near_bands: int = 4,
+    near_threshold: float = 0.5,
+    near_max_bucket: int = 500,
+    span_n: int = 8,
+    span_min_count: int = 2,
+) -> str:
+    """End-to-end curation flagship: composite quality gate -> benchmark
+    decontamination -> exact dedup (min-id keeper) -> NEAR-dup dedup
+    (MinHash+LSH pairs -> connected components -> min-id representative
+    per cluster) -> duplicated-span strip -> concat packing over the kept
+    token counts. Composes the per-operator oracles as CTEs, so any
+    mismatch localizes to the stage whose standalone oracle also fails."""
+    prefix = _curation_stage_ctes(
+        table=table, id_col=id_col, text_col=text_col, source_col=source_col,
+        shingle_n=shingle_n, bench_mod=bench_mod,
+        max_contamination=max_contamination,
+        near_num_hashes=near_num_hashes, near_bands=near_bands,
+        near_threshold=near_threshold, near_max_bucket=near_max_bucket,
+        span_n=span_n, span_min_count=span_min_count,
+    )
+    return f"""{prefix},
 off AS (SELECT *, CAST(COALESCE(SUM(n_tok) OVER (
           PARTITION BY {source_col} ORDER BY {id_col}
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
@@ -2080,6 +2110,54 @@ SELECT {source_col}, CAST(seq_id AS BIGINT) AS seq_id, {id_col},
        CAST(least(tok_start + n_tok, seq_id * {budget} + {budget})
             - greatest(tok_start, seq_id * {budget}) AS BIGINT) AS span_len
 FROM spans
+"""
+
+
+def curation_funnel_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    **chain_kwargs,
+) -> str:
+    """Per-stage attrition over the same composed stage CTEs: (stage_idx,
+    stage, n_docs, n_tokens, drop_docs, drop_frac). Whitespace token
+    counts for the text-bearing stages, POST-strip totals for the final
+    stage — mirrors __spark_entry__._q_curation_funnel exactly."""
+    prefix = _curation_stage_ctes(
+        table=table, id_col=id_col, text_col=text_col,
+        source_col=source_col, **chain_kwargs,
+    )
+    ws = f"len({duck_ws_tokens(text_col)})"
+
+    def stage(rel, idx, name, tok=None):
+        return (
+            f"SELECT {idx} AS stage_idx, '{name}' AS stage, "
+            f"CAST(count(*) AS BIGINT) AS n_docs, "
+            f"CAST(coalesce(sum({tok or ws}), 0) AS BIGINT) AS n_tokens "
+            f"FROM {rel}"
+        )
+
+    stages = "\nUNION ALL\n".join(
+        [
+            stage(table, 0, "raw"),
+            stage("corpus", 1, "bench_holdout_removed"),
+            stage("keep", 2, "quality_decontaminated"),
+            stage("ded", 3, "exact_dedup"),
+            stage("nded", 4, "near_dedup"),
+            stage("nz", 5, "span_stripped", tok="n_tok"),
+        ]
+    )
+    return f"""{prefix},
+funnel AS ({stages})
+SELECT stage_idx, stage, n_docs, n_tokens,
+       lag(n_docs) OVER (ORDER BY stage_idx) - n_docs AS drop_docs,
+       CASE WHEN lag(n_docs) OVER (ORDER BY stage_idx) > 0
+            THEN round((lag(n_docs) OVER (ORDER BY stage_idx) - n_docs)
+                       / lag(n_docs) OVER (ORDER BY stage_idx), 4)
+       END AS drop_frac
+FROM funnel
 """
 
 
