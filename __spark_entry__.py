@@ -809,6 +809,27 @@ def _q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid drift vs the global centroid
+    (operators/similarity.py:embedding_group_stats): exact scaled-integer
+    centroid sums, cosine on the integer vectors (scale-invariance),
+    round-6 grid."""
+    from transmog_spark.operators.similarity import embedding_group_stats
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_group_stats(e, "embedding", "label")
+
+
+def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-label embedding outlier screen
+    (operators/similarity.py:embedding_outliers): per-vector cosine to its
+    own group centroid z-scored on the 1e6 integer grid; flags z <= -2."""
+    from transmog_spark.operators.similarity import embedding_outliers
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_outliers(e, "vec_id", "embedding", "label")
+
+
 def _q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance similarity join (operators/editsim.py:fuzzy_pairs,
     PassJoin-style complete segment blocking + exact levenshtein verify)
@@ -2584,6 +2605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": _q_fuzzy_pairs,
         "sft_render": _q_sft_render,
         "curation_funnel": _q_curation_funnel,
+        "embedding_drift": _q_embedding_drift,
+        "embedding_outliers": _q_embedding_outliers,
         "centroid_classify": _q_centroid_classify,
         "strip_dup_spans": _q_strip_dup_spans,
         "embedding_topk_sq8": _q_embedding_topk_sq8,
@@ -3036,6 +3059,68 @@ FROM docs GROUP BY 1
         "span_corruption": span_corruption_sql(seed="r5"),
         "mlm_mask": mlm_mask_sql(seed="r5"),
         "wordpiece_tokenize": wordpiece_tokenize_sql(_wp_seed_vocab()),
+        "embedding_drift": """
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
+  FROM embeddings),
+sums AS (
+  SELECT label, d,
+         CAST(sum(CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ex GROUP BY 1, 2),
+cent AS (
+  SELECT label, list(s ORDER BY d) AS cs, max(n) AS n_vecs
+  FROM sums GROUP BY 1),
+gall AS (
+  SELECT list(gs ORDER BY d) AS gcs
+  FROM (SELECT d, CAST(sum(s) AS BIGINT) AS gs FROM sums GROUP BY d)),
+scored AS (
+  SELECT label, n_vecs,
+         round(list_cosine_similarity(
+           list_transform(cs, v -> v::DOUBLE),
+           list_transform(gcs, v -> v::DOUBLE)), 6) AS cos_to_global
+  FROM cent CROSS JOIN gall)
+SELECT label, n_vecs, cos_to_global,
+       round(1 - cos_to_global, 6) AS drift
+FROM scored
+""",
+        "embedding_outliers": """
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
+  FROM embeddings),
+sums AS (
+  SELECT label, d,
+         CAST(sum(CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS BIGINT) AS s
+  FROM ex GROUP BY 1, 2),
+cent AS (
+  SELECT label, list(s::DOUBLE ORDER BY d) AS cs FROM sums GROUP BY 1),
+scored AS (
+  SELECT e.vec_id, e.label,
+         CAST(round(list_cosine_similarity(
+           list_transform(e.embedding, v -> v::DOUBLE), c.cs) * 1000000)
+           AS BIGINT) AS c6
+  FROM embeddings e JOIN cent c USING (label)),
+stats AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n,
+         sum(c6::HUGEINT) AS sc, sum((c6 * c6)::HUGEINT) AS ss
+  FROM scored GROUP BY 1),
+z AS (
+  SELECT s.vec_id, s.label, s.c6, t.n,
+         s.sc_mu AS mu, sqrt(s.var) AS sigma
+  FROM (
+    SELECT sc.vec_id, sc.label, sc.c6,
+           st.sc::DOUBLE / st.n AS sc_mu,
+           st.ss::DOUBLE / st.n - (st.sc::DOUBLE / st.n) * (st.sc::DOUBLE / st.n) AS var
+    FROM scored sc JOIN stats st USING (label)) s
+  JOIN stats t USING (label))
+SELECT vec_id, label,
+       round(c6 / 1000000.0, 6) AS cos_centroid,
+       CASE WHEN n > 1 AND sigma > 0 THEN round((c6 - mu) / sigma, 4) END AS z,
+       coalesce(CASE WHEN n > 1 AND sigma > 0
+                     THEN round((c6 - mu) / sigma, 4) <= -2.0 END,
+                FALSE) AS is_outlier
+FROM z
+""",
         "sft_render": """
 WITH t AS (
   SELECT doc_id,

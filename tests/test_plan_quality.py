@@ -354,6 +354,17 @@ def test_fuzzy_pairs_hashed_block_key_no_cartesian(spark, sf_dir):
     assert "__key#" not in ex_args and "key#" not in ex_args
 
 
+def test_embedding_outliers_corpus_never_shuffles(spark, sf_dir):
+    # one posexplode (group, dim) partial agg builds centroids; the corpus
+    # re-enters only through BROADCAST joins (centroid + stats frames are
+    # |groups| rows) — no corpus-keyed exchange, no cross product, no UDF
+    plan = _plan(spark, sf_dir, "embedding_outliers")
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) >= 2
+    assert plan.count("partial_") >= 1  # map-side-combined centroid agg
+
+
 def test_pq_zero_corpus_shuffle_broadcast_queries(spark, sf_dir):
     # codebooks are plan-time literals: encoding + ADC are one narrow map
     # pass over the corpus; the only shuffle is the per-query top-k window

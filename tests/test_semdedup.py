@@ -67,3 +67,40 @@ def test_semdedup_refinement_same_contract(spark):
     # the planted pair still collapses to one survivor after k-means moves
     # the centroids
     assert sorted([got[0]["keep"], got[1]["keep"]]) == [0, 1]
+
+
+def test_embedding_group_stats_drift_direction(spark):
+    from transmog_spark.operators.similarity import embedding_group_stats
+
+    # group A hugs +x, group B hugs +y: both drift equally from the global
+    # centroid; a third group ON the global direction drifts least
+    rows = []
+    for i in range(8):
+        rows.append((i, [1.0, 0.01 * i, 0.0], "A"))
+        rows.append((100 + i, [0.01 * i, 1.0, 0.0], "B"))
+        rows.append((200 + i, [1.0, 1.0, 0.0], "C"))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r.label: r for r in embedding_group_stats(df, "embedding", "label").collect()}
+    assert out["A"].n_vecs == 8 and out["B"].n_vecs == 8
+    assert abs(out["A"].drift - out["B"].drift) < 1e-3  # symmetric
+    assert out["C"].drift < out["A"].drift              # on-axis group
+    for r in out.values():
+        assert abs((1 - r.cos_to_global) - r.drift) < 1e-9
+
+
+def test_embedding_outliers_flags_planted_vector(spark):
+    from transmog_spark.operators.similarity import embedding_outliers
+
+    # 19 tightly-clustered vectors + one orthogonal: the plant must flag,
+    # cluster members must not
+    rows = [(i, [1.0, 0.001 * (i % 5), 0.0], "g") for i in range(19)]
+    rows.append((99, [0.0, 0.0, 1.0], "g"))
+    rows.append((500, [0.5, 0.5, 0.5], "solo"))  # n=1 group: NULL z
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r.vec_id: r for r in embedding_outliers(df, "vec_id", "embedding", "label").collect()}
+    assert out[99].is_outlier and out[99].z < -2
+    assert not any(out[i].is_outlier for i in range(19))
+    assert out[500].z is None and not out[500].is_outlier
+    # cosine to own centroid is on the round-6 grid and within [-1, 1]
+    for r in out.values():
+        assert -1.0 <= r.cos_centroid <= 1.0

@@ -1390,3 +1390,151 @@ def pq_topk(
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-corpus QA telemetry: per-group centroid drift + outlier screen
+# ---------------------------------------------------------------------------
+
+def _centroid_sums(
+    df: DataFrame,
+    vec_col: str,
+    group_col: str,
+    *,
+    scale: int = 1_000_000,
+):
+    """Per-group EXACT per-dimension scaled-integer component sums (the
+    kmeans_refine centroid idiom): one posexplode -> one map-side-combined
+    (group, dim) aggregation -> per-group ordered rebuild. Returns
+    (group_col, __cs: array<long>, n_vecs). Cosine is scale-invariant, so
+    the INTEGER sum vector stands in for the mean vector in every cosine
+    downstream — no division, no float centroid, bit-identical on both
+    engines."""
+    ex = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("__d", "__x")
+    )
+    sums = ex.groupBy(group_col, "__d").agg(
+        F.sum(
+            F.round(F.col("__x").cast("double") * scale).cast("long")
+        ).alias("__s"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    return sums.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__d", "__s"))),
+            lambda s: s["__s"],
+        ).alias("__cs"),
+        F.max("__n").alias("n_vecs"),
+    )
+
+
+def embedding_group_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group embedding drift report — the "is this source semantically
+    where the rest of the corpus is" screen run before mixing/indexing a
+    new dump: (group, n_vecs, cos_to_global, drift = 1 - cos). A group
+    whose centroid swings away from the global centroid signals a scraped
+    source gone off-domain (or an embedding-model version mismatch).
+
+    Exactness: centroids are scaled-integer component sums (see
+    ``_centroid_sums``), the global centroid is their per-dim total, and
+    the cosine runs on the integer vectors directly (scale-invariance),
+    rounded to 6 — the engine/oracle parity grid every ANN tier uses.
+
+    Scale shape: ONE corpus explode into a (group, dim)-keyed partial agg;
+    everything after is |groups| x dim rows; the global frame is one row,
+    broadcast by construction.
+    """
+    cent = _centroid_sums(df, vec_col, group_col, scale=scale)
+    # per-dim global sums: re-derive from the group frame (groups x dim
+    # rows) so the corpus is scanned exactly once
+    gsum = (
+        cent.select(F.posexplode("__cs").alias("__d", "__s"))
+        .groupBy("__d")
+        .agg(F.sum("__s").alias("__gs"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__d", "__gs"))),
+                lambda s: s["__gs"],
+            ).alias("__gcs")
+        )
+    )
+    from transmog_spark.operators.dedup import cosine_sim
+
+    out = cent.crossJoin(F.broadcast(gsum))
+    cos = F.round(cosine_sim(F.col("__cs"), F.col("__gcs")), 6)
+    return out.select(
+        F.col(group_col),
+        "n_vecs",
+        cos.alias("cos_to_global"),
+        F.round(1 - cos, 6).alias("drift"),
+    )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    *,
+    scale: int = 1_000_000,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Within-group embedding outlier screen — the corrupt-vector /
+    mislabeled-document filter run before an embedding corpus feeds ANN
+    indexing or SemDeDup: per vector, cosine to its OWN group centroid
+    (vector included in the centroid — the standard population form),
+    z-scored against the group's cosine distribution. is_outlier flags
+    z <= -z_threshold (low similarity only: unusually typical vectors are
+    not a defect).
+
+    Exactness: cosines land on the round-6 grid, then z-statistics run on
+    the 1e6 scaled-integer grid (exact BIGINT/DECIMAL sums; mu = sc/n,
+    var = ss/n - mu^2, sigma = sqrt(var) — spelled identically in the
+    DuckDB mirror), z rounded to 4 and thresholded on the rounded value.
+    Groups with one member or zero variance yield NULL z and never flag.
+
+    Scale shape: the ``_centroid_sums`` explode pass + ONE broadcast join
+    of the |groups| centroid frame back to the corpus + one
+    (group)-keyed stats agg (|groups| rows) broadcast back again — the
+    corpus itself never shuffles.
+    """
+    from transmog_spark.operators.dedup import cosine_sim
+
+    cent = _centroid_sums(df, vec_col, group_col, scale=scale)
+    scored = df.join(F.broadcast(cent.select(group_col, "__cs")), group_col)
+    # round(cos * 1e6) -> exact long grid (NOT round(cos,6)*1e6, whose
+    # float product can land a hair under the integer and truncate)
+    c6 = F.round(cosine_sim(F.col(vec_col), F.col("__cs")) * 1_000_000).cast(
+        "long"
+    )
+    scored = scored.select(
+        F.col(id_col), F.col(group_col), c6.alias("__c6")
+    )
+    stats = scored.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col("__c6").cast("decimal(38,0)")).alias("__sc"),
+        F.sum(
+            (F.col("__c6") * F.col("__c6")).cast("decimal(38,0)")
+        ).alias("__ss"),
+    )
+    j = scored.join(F.broadcast(stats), group_col)
+    mu = F.col("__sc").cast("double") / F.col("__n")
+    var = F.col("__ss").cast("double") / F.col("__n") - mu * mu
+    sigma = F.sqrt(var)
+    z = F.when(
+        (F.col("__n") > 1) & (sigma > 0),
+        F.round((F.col("__c6") - mu) / sigma, 4),
+    )
+    return j.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.round(F.col("__c6") / 1_000_000, 6).alias("cos_centroid"),
+        z.alias("z"),
+        F.coalesce(z <= F.lit(-z_threshold), F.lit(False)).alias("is_outlier"),
+    )
