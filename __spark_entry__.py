@@ -809,6 +809,23 @@ def _q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedupe_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-key dedup application (operators/editsim.py:dedupe_fuzzy):
+    min-id representative per edit-distance cluster over the same planted
+    near-duplicate keys as fuzzy_pairs; oracle composes the brute-force
+    pair join with the recursive-CTE components mirror."""
+    from transmog_spark.operators.editsim import dedupe_fuzzy
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(F.col("doc_id"), F.substring("text", 1, 24).alias("key"))
+    mut = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.substring("text", 2, 23).alias("key"),
+    )
+    keys = base.unionByName(mut)
+    return dedupe_fuzzy(keys, "doc_id", "key", max_dist=1).select("doc_id")
+
+
 def _q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid drift vs the global centroid
     (operators/similarity.py:embedding_group_stats): exact scaled-integer
@@ -2605,6 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": _q_fuzzy_pairs,
         "sft_render": _q_sft_render,
         "curation_funnel": _q_curation_funnel,
+        "dedupe_fuzzy": _q_dedupe_fuzzy,
         "embedding_drift": _q_embedding_drift,
         "embedding_outliers": _q_embedding_outliers,
         "centroid_classify": _q_centroid_classify,
@@ -3059,6 +3077,27 @@ FROM docs GROUP BY 1
         "span_corruption": span_corruption_sql(seed="r5"),
         "mlm_mask": mlm_mask_sql(seed="r5"),
         "wordpiece_tokenize": wordpiece_tokenize_sql(_wp_seed_vocab()),
+        "dedupe_fuzzy": """
+WITH k AS (
+  SELECT doc_id, substr(text, 1, 24) AS key FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, substr(text, 2, 23) AS key
+  FROM documents WHERE doc_id % 7 = 0),
+comp AS (SELECT * FROM (WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM k a JOIN k b ON a.doc_id < b.doc_id
+WHERE abs(length(a.key) - length(b.key)) <= 1
+  AND levenshtein(a.key, b.key) <= 1)),
+sym AS (SELECT id_a AS node, id_b AS peer FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+closure(node, peer) AS (
+  SELECT node, peer FROM sym
+  UNION
+  SELECT c.node, s.peer FROM closure c JOIN sym s ON c.peer = s.node)
+SELECT node AS doc_id, least(node, min(peer)) AS cluster_id
+FROM closure GROUP BY node))
+SELECT k.doc_id FROM k
+WHERE k.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+""",
         "embedding_drift": """
 WITH ex AS (
   SELECT label, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
