@@ -1227,6 +1227,27 @@ def _q_dedupe_near_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-aware index-quality monitor
+    (operators/similarity.py:retrieval_metrics): per-query MRR + NDCG@5 of
+    the IVF tier (nlist=16, nprobe=4) against exact brute-force top-5 —
+    position discounts on plan-time integer weight grids shared with the
+    DuckDB mirror."""
+    from transmog_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        retrieval_metrics,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(e, q, id_col="vec_id", vec_col="embedding", k=5)
+    approx = ivf_topk(
+        e, q, id_col="vec_id", vec_col="embedding", k=5, nlist=16, nprobe=4
+    )
+    return retrieval_metrics(approx, exact, k=5)
+
+
 def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-quality monitor (operators/similarity.py:retrieval_recall):
     per-query recall@5 of the IVF tier (nlist=16, nprobe=4 — the
@@ -2563,6 +2584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_folds": _q_leakage_folds,
         "tokenizer_fertility": _q_tokenizer_fertility,
         "ann_recall": _q_ann_recall,
+        "ann_metrics": _q_ann_metrics,
         "dedup_report": _q_dedup_report,
         "dup_size_hist": _q_dup_size_hist,
         "hard_negatives": _q_hard_negatives,
@@ -2715,6 +2737,7 @@ def oracle_sql() -> dict[str, str]:
         dedup_report_sql,
         cluster_size_histogram_sql,
         retrieval_recall_sql,
+        retrieval_metrics_sql,
         hard_negatives_sql,
         bloom_dedup_sql,
         leakage_safe_split_sql,
@@ -2836,6 +2859,11 @@ SELECT query_id, neighbor_id FROM (
         "ann_recall": retrieval_recall_sql(
             ivf_topk_sql(query_filter="vec_id < 10", k=5, nlist=16, nprobe=4),
             brute5_sql,
+        ),
+        "ann_metrics": retrieval_metrics_sql(
+            ivf_topk_sql(query_filter="vec_id < 10", k=5, nlist=16, nprobe=4),
+            brute5_sql,
+            k=5,
         ),
         "dedup_report": dedup_report_sql(
             minhash_pairs_sql(

@@ -155,3 +155,46 @@ def test_mmr_deterministic_across_partitionings(spark):
     for query_id, rows in per_q.items():
         assert sorted(r for r, _ in rows) == [1, 2, 3, 4, 5]
         assert len({n for _, n in rows}) == 5
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    import math
+
+    from transmog_spark.operators.similarity import retrieval_metrics
+
+    # ground truth: q1 -> {10, 11, 12}; approx ranks: 10@1, 12@3, 99@2
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20)], ["query_id", "neighbor_id"]
+    )
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 99, 2), (1, 12, 3), (2, 77, 1)],
+        ["query_id", "neighbor_id", "rank"],
+    )
+    out = {r.query_id: r for r in retrieval_metrics(approx, exact, k=5).collect()}
+    w = [round(1_000_000 / math.log2(r + 1)) for r in range(1, 6)]
+    r1 = out[1]
+    assert r1.n_exact == 3 and r1.n_hit == 2
+    assert r1.mrr == 1.0  # best relevant at rank 1
+    assert abs(r1.ndcg - round((w[0] + w[2]) / (w[0] + w[1] + w[2]), 4)) < 1e-9
+    # q2: zero relevant retrieved -> both metrics exactly 0 (NULL-index
+    # guard: without it, Spark's element_at(arr, NULL) = LAST element)
+    r2 = out[2]
+    assert r2.n_hit == 0 and r2.mrr == 0.0 and r2.ndcg == 0.0
+
+
+def test_retrieval_metrics_best_rank_and_cutoff(spark):
+    from transmog_spark.operators.similarity import retrieval_metrics
+
+    exact = spark.createDataFrame([(1, 10)], ["query_id", "neighbor_id"])
+    # duplicate candidate rows keep the BEST rank; ranks beyond k ignored
+    approx = spark.createDataFrame(
+        [(1, 10, 4), (1, 10, 2), (1, 55, 1)], ["query_id", "neighbor_id", "rank"]
+    )
+    r = retrieval_metrics(approx, exact, k=3).collect()[0]
+    assert r.mrr == 0.5  # min rank 2
+    r = retrieval_metrics(approx, exact, k=1).collect()[0]
+    assert r.mrr == 0.0 and r.ndcg == 0.0  # both ranks past the cutoff
+    import pytest
+
+    with pytest.raises(ValueError):
+        retrieval_metrics(approx, exact, k=0)

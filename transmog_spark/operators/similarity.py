@@ -1392,6 +1392,106 @@ def pq_topk(
     )
 
 
+def retrieval_metrics(
+    approx: DataFrame,
+    exact: DataFrame,
+    *,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """Rank-aware retrieval quality per query: MRR and NDCG@k of an
+    approximate tier against exact ground truth (binary relevance =
+    membership in the exact top-k), completing the eval kit next to
+    ``retrieval_recall``'s set-level view — two tiers with equal recall
+    can rank the hits very differently, and the reciprocal-rank /
+    discounted-gain numbers are what a retrieval deployment actually
+    tracks.
+
+    Exactness: the position discounts 1/rank and 1/log2(rank+1) are
+    irrational, so both engines score on PLAN-TIME integer weight grids —
+    w_mrr[r] = round(1e6/r), w_dcg[r] = round(1e6/log2(r+1)) computed in
+    Python once and shipped as array literals to BOTH the Spark plan and
+    the DuckDB mirror; per-query sums are exact BIGINTs, final divisions
+    round-4. IDCG@k uses the first min(n_exact, k) DCG weights. A query
+    whose approx list has no relevant hit scores mrr = 0, ndcg = 0; ranks
+    beyond ``k`` contribute nothing (the @k cutoff).
+
+    Scale shape: |Q|·k rows both sides, one equi-join on (query,
+    neighbor), one map-side-combined groupBy — the corpus never enters.
+    ``approx`` must carry its tier's 1-based ``rank_col`` (every tier in
+    this engine emits one); duplicate (query, neighbor) rows keep their
+    best rank first (min), so multi-probe tiers don't double-count.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w_mrr = [round(1_000_000 / r) for r in range(1, k + 1)]
+    import math
+
+    w_dcg = [round(1_000_000 / math.log2(r + 1)) for r in range(1, k + 1)]
+    idcg_prefix = [0]
+    for w in w_dcg:
+        idcg_prefix.append(idcg_prefix[-1] + w)
+
+    ap = (
+        approx.select(
+            F.col(query_col), F.col(id_col), F.col(rank_col).cast("int").alias("__r")
+        )
+        .groupBy(query_col, id_col)
+        .agg(F.min("__r").alias("__r"))
+        .where(F.col("__r") <= k)
+    )
+    ex = exact.select(F.col(query_col), F.col(id_col)).distinct()
+    arr_mrr = F.array(*[F.lit(w) for w in w_mrr])
+    arr_dcg = F.array(*[F.lit(w) for w in w_dcg])
+    arr_idcg = F.array(*[F.lit(w) for w in idcg_prefix[1:]])
+    j = ex.join(ap, [query_col, id_col], "left")
+    return (
+        j.groupBy(query_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("__r").cast("long").alias("n_hit"),
+            # element_at(arr, NULL) returns the LAST element in Spark 4
+            # (NULL index behaves like -1), NOT NULL — every miss row would
+            # silently add the final weight without the isNotNull guard
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("__r").isNotNull(),
+                        F.element_at(arr_mrr, F.col("__r")),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("__best"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__r").isNotNull(),
+                        F.element_at(arr_dcg, F.col("__r")),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("__dcg"),
+        )
+        .select(
+            F.col(query_col),
+            "n_exact",
+            "n_hit",
+            F.round(F.col("__best") / 1_000_000, 4).alias("mrr"),
+            F.round(
+                F.col("__dcg")
+                / F.element_at(arr_idcg, F.least(F.col("n_exact"), F.lit(k)).cast("int")),
+                4,
+            ).alias("ndcg"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-corpus QA telemetry: per-group centroid drift + outlier screen
 # ---------------------------------------------------------------------------

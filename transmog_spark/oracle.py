@@ -1016,6 +1016,49 @@ GROUP BY ex.query_id
 """
 
 
+def retrieval_metrics_sql(approx_sql: str, exact_sql: str, *, k: int = 10) -> str:
+    """Mirror of operators.similarity.retrieval_metrics: MRR + NDCG@k on
+    the SAME plan-time integer weight grids the Spark side ships (Python
+    computes round(1e6/r) and round(1e6/log2(r+1)) once; both engines sum
+    exact BIGINTs and divide round-4), binary relevance = exact-top-k
+    membership, best (min) rank per (query, neighbor)."""
+    import math as _math
+
+    w_mrr = [round(1_000_000 / r) for r in range(1, k + 1)]
+    w_dcg = [round(1_000_000 / _math.log2(r + 1)) for r in range(1, k + 1)]
+    idcg = []
+    acc = 0
+    for w in w_dcg:
+        acc += w
+        idcg.append(acc)
+    lm = "[" + ", ".join(str(w) for w in w_mrr) + "]"
+    ld = "[" + ", ".join(str(w) for w in w_dcg) + "]"
+    li = "[" + ", ".join(str(w) for w in idcg) + "]"
+    return f"""
+WITH ap0 AS ({approx_sql}),
+ap AS (
+  SELECT query_id, neighbor_id, min(rank) AS r
+  FROM ap0 GROUP BY 1, 2),
+apk AS (SELECT * FROM ap WHERE r <= {k}),
+ex AS (SELECT DISTINCT query_id, neighbor_id FROM ({exact_sql})),
+j AS (
+  SELECT ex.query_id, apk.r
+  FROM ex LEFT JOIN apk
+    ON apk.query_id = ex.query_id AND apk.neighbor_id = ex.neighbor_id),
+agg AS (
+  SELECT query_id,
+         CAST(count(*) AS BIGINT) AS n_exact,
+         CAST(count(r) AS BIGINT) AS n_hit,
+         CAST(coalesce(max({lm}[r]), 0) AS BIGINT) AS best,
+         CAST(coalesce(sum({ld}[r]), 0) AS BIGINT) AS dcg
+  FROM j GROUP BY 1)
+SELECT query_id, n_exact, n_hit,
+       round(best / 1000000.0, 4) AS mrr,
+       round(dcg::DOUBLE / ({li}[least(n_exact, {k})]), 4) AS ndcg
+FROM agg
+"""
+
+
 def source_overlap_sql(
     *,
     table: str = "documents",
