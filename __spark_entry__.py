@@ -2152,6 +2152,16 @@ def _q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_greedy(_docs_ntok(spark, sf_dir), budget=256, block_rows=128)
 
 
+def _q_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing no-split packing
+    (operators/packing.py:pack_bestfit): tightest-fit placement over the
+    size-descending order — higher fill than first-fit for the same
+    corpus (compare pack_stats over both)."""
+    from transmog_spark.operators.packing import pack_bestfit
+
+    return pack_bestfit(_docs_ntok(spark, sf_dir), budget=256, block_rows=128)
+
+
 def _q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source packing-efficiency report (fill rate, padding waste,
     oversized bins) over the greedy packing."""
@@ -2655,6 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "pack_concat": _q_pack_concat,
         "pack_greedy": _q_pack_greedy,
+        "pack_bestfit": _q_pack_bestfit,
         "pack_assemble_greedy": _q_pack_assemble_greedy,
         "unigram_tokenize": _q_unigram_tokenize,
         "bpe_tokenize": _q_bpe_tokenize,
@@ -2762,6 +2773,7 @@ def oracle_sql() -> dict[str, str]:
         source_overlap_sql,
         pack_concat_sql,
         pack_greedy_sql,
+        pack_bestfit_sql,
         pack_stats_sql,
         token_chunks_sql,
         ivf_topk_sql,
@@ -3486,6 +3498,7 @@ SELECT l.event_id, l.user_id, l.ts, l.value, l.props_k, l.click_value,
 FROM lagged l JOIN sess s ON l.user_id = s.user_id AND l.session_index = s.session_index
 """,
         "pack_concat": pack_concat_sql(budget=256),
+        "pack_bestfit": pack_bestfit_sql(budget=256, block_rows=128),
         "pack_greedy": pack_greedy_sql(budget=256, block_rows=128),
         "pack_stats": pack_stats_sql(budget=256, block_rows=128),
         "pack_assemble": pack_assemble_sql(budget=256),

@@ -418,3 +418,62 @@ def test_boundary_chunks_invariants_on_random_texts(spark):
         assert " ".join(c["chunk"] for c in chunks) == text
         for c in chunks:
             assert c["chunk_tokens"] <= max_tokens or c["n_sents"] == 1, c
+
+
+def test_pack_bestfit_hand_computed_placement(spark):
+    from transmog_spark.operators.packing import pack_bestfit
+
+    # one block, budget 10; sizes desc: 7(a) 6(b) 4(c) 3(d) 2(e)
+    # BFD: a->s0(0..7); b->s1(0..6); c: no fit in s0(7)+4>10, s1(6)+4=10
+    #   -> s1 tightest fit at offset 6; d: s0 7+3=10 -> s0 offset 7;
+    # e: s0 full(10), s1 full(10) -> new s2 offset 0
+    rows = [(1, 7, "s"), (2, 6, "s"), (3, 4, "s"), (4, 3, "s"), (5, 2, "s")]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok", "source"])
+    out = {
+        r.doc_id: r
+        for r in pack_bestfit(df, budget=10, block_rows=100).collect()
+    }
+    assert (out[1].seq_in_block, out[1].seq_offset) == (0, 0)
+    assert (out[2].seq_in_block, out[2].seq_offset) == (1, 0)
+    assert (out[3].seq_in_block, out[3].seq_offset) == (1, 6)
+    assert (out[4].seq_in_block, out[4].seq_offset) == (0, 7)
+    assert (out[5].seq_in_block, out[5].seq_offset) == (2, 0)
+
+
+def test_pack_bestfit_oversized_and_invariants(spark):
+    from transmog_spark.operators.packing import pack_bestfit
+
+    rows = [(i, 30 + (i * 37) % 170, "s") for i in range(1, 60)]
+    rows += [(100, 999, "s"), (101, 999, "s")]  # oversized
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok", "source"])
+    out = pack_bestfit(df, budget=256, block_rows=1000).collect()
+    seqs = {}
+    for r in out:
+        seqs.setdefault((r.block, r.seq_in_block), []).append(r)
+    for (blk, s), members in seqs.items():
+        tot = sum(m.n_tok for m in members)
+        if any(m.n_tok > 256 for m in members):
+            assert len(members) == 1  # oversized docs pack alone
+        else:
+            assert tot <= 256
+        # offsets tile the sequence exactly (placement order = offset order)
+        offs = sorted((m.seq_offset, m.n_tok) for m in members)
+        pos = 0
+        for o, n in offs:
+            assert o == pos
+            pos += n
+
+
+def test_pack_bestfit_beats_first_fit_fill_rate(spark):
+    from transmog_spark.operators.packing import pack_bestfit, pack_greedy, pack_stats
+
+    # adversarial-for-first-fit sizes: arrival order alternates big/small
+    rows = []
+    for i in range(200):
+        rows.append((2 * i, 140 if i % 2 == 0 else 90, "s"))
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok", "source"])
+    ff = pack_stats(pack_greedy(df, budget=256, block_rows=10_000), budget=256).collect()[0]
+    bf = pack_stats(pack_bestfit(df, budget=256, block_rows=10_000), budget=256).collect()[0]
+    assert bf.n_seqs <= ff.n_seqs
+    assert bf.fill_rate >= ff.fill_rate
+    assert bf.waste_tokens <= ff.waste_tokens

@@ -645,3 +645,84 @@ def boundary_chunks(
         F.col("c.chunk_tokens"),
         F.col("c.chunk"),
     )
+
+
+def pack_bestfit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    ntok_col: str = "n_tok",
+    source_col: str = "source",
+    *,
+    budget: int = DEFAULT_BUDGET,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    hash_blocks: int = DEFAULT_HASH_BLOCKS,
+) -> DataFrame:
+    """Best-fit-decreasing no-split packing inside deterministic blocks —
+    ``pack_greedy``'s higher-fill sibling (classic BFD bin packing:
+    ≤ 11/9·OPT + 4 bins vs first-fit-in-arrival-order's looser bound;
+    measured against ``pack_stats`` it buys a few points of fill rate and
+    fewer sequences for the same corpus, i.e. fewer padded tokens the
+    trainer pays for).
+
+    Within each ``(source, block)``: documents sorted by (n_tok DESC, id
+    ASC), each placed into the open sequence with the HIGHEST fill that
+    still accommodates it (the tightest fit; ties -> lowest sequence
+    index), else a new sequence. Oversized documents (> budget) always
+    open their own sequence and are never candidates again. Same output
+    contract as ``pack_greedy`` (``block``, ``seq_in_block``,
+    ``seq_offset``; identity = (source, block, seq_in_block)) — note
+    ``seq_offset`` orders tokens by PLACEMENT (size-descending), the
+    deliberate BFD layout.
+
+    Scale shape: identical to ``pack_greedy`` — embarrassingly parallel
+    blocked applyInPandas, O(docs_per_block · seqs_per_block) per block,
+    no shuffle beyond the block grouping. Mirrored exactly by a
+    recursive-CTE walk carrying the bin-fill list (oracle.pack_bestfit_sql).
+    """
+    b = _blocked(
+        df.select(source_col, id_col, ntok_col).where(F.col(ntok_col) > 0),
+        id_col,
+        block_rows,
+        hash_blocks,
+    )
+    id_type = dict(b.dtypes)[id_col]
+    schema = (
+        f"{source_col} string, block long, {id_col} {id_type}, {ntok_col} long, "
+        "seq_in_block long, seq_offset long"
+    )
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [ntok_col, id_col], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        fills: list[int] = []
+        seq = [0] * len(pdf)
+        offs = [0] * len(pdf)
+        for i, ntok in enumerate(pdf[ntok_col].to_numpy()):
+            n = int(ntok)
+            best_j = -1
+            if n <= budget:
+                best_fill = -1
+                for j, f in enumerate(fills):
+                    if f + n <= budget and f > best_fill:
+                        best_fill, best_j = f, j
+            if best_j < 0:
+                best_j = len(fills)
+                fills.append(0)
+            seq[i] = best_j
+            offs[i] = fills[best_j]
+            fills[best_j] += n
+        out = pdf[[source_col, "block", id_col, ntok_col]].copy()
+        out["seq_in_block"] = seq
+        out["seq_offset"] = offs
+        return out
+
+    packed = b.groupBy(source_col, "block").applyInPandas(fill, schema=schema)
+    return packed.select(
+        source_col,
+        F.col("block").cast("long"),
+        id_col,
+        F.col(ntok_col).cast("long"),
+        "seq_in_block",
+        "seq_offset",
+    )

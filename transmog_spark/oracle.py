@@ -1478,6 +1478,68 @@ FROM walk
 """
 
 
+def pack_bestfit_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    budget: int = 256,
+    block_rows: int = 128,
+) -> str:
+    """Best-fit-decreasing packing (operators/packing.py:pack_bestfit):
+    recursive-CTE walk over the (n_tok DESC, id) order carrying the
+    bin-fill LIST (a plain BIGINT list — safe from the DuckDB 1.0
+    list_reduce struct-accumulator bug). The tightest-fit argmax is
+    encoded as one BIGINT per candidate bin ((fill+1)*1e6 - j, always
+    positive so integer division stays floor-free) and decoded back to
+    the bin index — list_max as argmax, no lateral joins."""
+    # enc over candidate bins j (1-based): (fills[j] + 1) * 1e6 - j, NULL
+    # for non-candidates; NULL list_max -> open a new bin
+    enc = (
+        f"list_max(list_filter(list_transform(range(1, len(w.fills) + 1), "
+        f"j -> CASE WHEN d.n_tok <= {budget} "
+        f"AND w.fills[j] + d.n_tok <= {budget} "
+        f"THEN (w.fills[j] + 1) * 1000000 - j END), x -> x IS NOT NULL))"
+    )
+    jx = f"(({enc}) // 1000000 + 1) * 1000000 - ({enc})"
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT {id_col}, {source_col},
+         len({duck_ws_tokens(text_col)}) AS n_tok,
+         {id_col} // {block_rows} AS block
+  FROM {table}),
+nz AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY {source_col}, block
+      ORDER BY n_tok DESC, {id_col}) AS rn
+  FROM docs WHERE n_tok > 0),
+walk AS (
+  SELECT {source_col}, block, {id_col}, n_tok, rn,
+         CAST(0 AS BIGINT) AS seq_in_block, CAST(0 AS BIGINT) AS seq_offset,
+         [CAST(n_tok AS BIGINT)] AS fills
+  FROM nz WHERE rn = 1
+  UNION ALL
+  SELECT d.{source_col}, d.block, d.{id_col}, d.n_tok, d.rn,
+         CAST(CASE WHEN {enc} IS NULL THEN len(w.fills)
+              ELSE {jx} - 1 END AS BIGINT),
+         CAST(CASE WHEN {enc} IS NULL THEN 0
+              ELSE w.fills[CAST({jx} AS INTEGER)] END AS BIGINT),
+         CASE WHEN {enc} IS NULL
+              THEN list_append(w.fills, CAST(d.n_tok AS BIGINT))
+              ELSE list_transform(range(1, len(w.fills) + 1),
+                     j -> CASE WHEN j = {jx}
+                          THEN w.fills[j] + d.n_tok ELSE w.fills[j] END)
+         END
+  FROM walk w
+  JOIN nz d ON d.{source_col} = w.{source_col} AND d.block = w.block
+           AND d.rn = w.rn + 1)
+SELECT {source_col}, CAST(block AS BIGINT) AS block, {id_col},
+       CAST(n_tok AS BIGINT) AS n_tok, seq_in_block, seq_offset
+FROM walk
+"""
+
+
 def pack_stats_sql(
     *,
     table: str = "documents",
