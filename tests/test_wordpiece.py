@@ -86,3 +86,38 @@ def test_spark_tokenize_matches_pure_python(spark):
 
         stream = chr(30).join(chr(31).join(e) for e in encs)
         assert r["piece_md5"] == hashlib.md5(stream.encode()).hexdigest(), did
+
+
+def test_encoder_reconstruction_property():
+    # for ANY corpus-trained vocab and ANY word: the encoded pieces either
+    # reconstruct the word exactly (strip '##' continuations) or the word
+    # collapses to exactly [UNK] — never partial output
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        corpus=st.lists(
+            st.text(alphabet="abcdef#", min_size=1, max_size=8),
+            min_size=1,
+            max_size=12,
+        ),
+        word=st.text(alphabet="abcdef#", min_size=1, max_size=12),
+        merges=st.integers(min_value=0, max_value=30),
+    )
+    def check(corpus, word, merges):
+        from collections import Counter
+
+        vocab = train_wordpiece(dict(Counter(corpus)), merges, min_count=1)
+        vs = frozenset(vocab)
+        pieces = encode_word_wp(word, vs)
+        assert pieces, "encoder must emit at least one piece"
+        if pieces == [UNK]:
+            return
+        rebuilt = pieces[0] + "".join(p[2:] for p in pieces[1:])
+        assert rebuilt == word, (word, pieces)
+        # every non-first piece must be a continuation form
+        for p in pieces[1:]:
+            assert p.startswith("##"), (word, pieces)
+
+    check()
