@@ -675,9 +675,14 @@ def pack_bestfit(
     deliberate BFD layout.
 
     Scale shape: identical to ``pack_greedy`` — embarrassingly parallel
-    blocked applyInPandas, O(docs_per_block · seqs_per_block) per block,
-    no shuffle beyond the block grouping. Mirrored exactly by a
-    recursive-CTE walk carrying the bin-fill list (oracle.pack_bestfit_sql).
+    blocked applyInPandas, no shuffle beyond the block grouping — but
+    per-block cost is O(docs_per_block · seqs_per_block) vs first-fit's
+    O(docs_per_block): with a small budget and the default 4096-row
+    blocks that is a few 10^6 Python ops per block; shrink block_rows (or
+    keep first-fit) when docs are tiny relative to the budget — which is
+    exactly the regime where BFD buys nothing anyway
+    (BENCH/packing_fill.md). Mirrored exactly by a recursive-CTE walk
+    carrying the bin-fill list (oracle.pack_bestfit_sql).
     """
     b = _blocked(
         df.select(source_col, id_col, ntok_col).where(F.col(ntok_col) > 0),

@@ -254,6 +254,14 @@ def wordpiece_tokenize(
     stream. n_unk counts words that collapsed to ``[UNK]`` (a word can
     never literally BE '[UNK]': the splitter breaks '[', 'UNK', ']').
 
+    Caveat (same family as bpe_tokenize's): U+001F is not regex
+    whitespace, so raw text containing it yields symbol-run words whose
+    pieces embed the frame separator — piece_md5 stays engine-identical
+    (same strings hashed), but n_pieces (counted by chr(31) framing here,
+    by walk steps in the mirror) would diverge. Strip control characters
+    upstream (strip_html / norm_text do) when ingesting raw binary-ish
+    text.
+
     Scale shape: one narrow projection + one Arrow encode pass; zero
     shuffles (the plan-quality test pins this).
     """
