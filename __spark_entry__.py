@@ -809,6 +809,26 @@ def _q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token-budget selection
+    (operators/corpus.py:token_budget_select): maximal merit-ordered
+    prefix (n_chars DESC, seeded hash, id) whose whitespace-token sum
+    stays within a 12,000-token budget — no global corpus sort (bounded
+    cell histogram + boundary-cell resolution)."""
+    from transmog_spark.operators.corpus import token_budget_select
+    from transmog_spark.operators.text import token_count_ws
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        token_count_ws(F.col("text")).cast("long").alias("n_tok"),
+        F.col("n_chars"),
+    )
+    return token_budget_select(
+        base, "doc_id", "n_tok", budget=12_000, rank_by=F.col("n_chars"), seed="r5"
+    )
+
+
 def _q_dedupe_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-key dedup application (operators/editsim.py:dedupe_fuzzy):
     min-id representative per edit-distance cluster over the same planted
@@ -2586,7 +2606,7 @@ def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW = [
     "wordpiece_tokenize", "fuzzy_pairs", "dedupe_fuzzy", "sft_render",
     "curation_funnel", "embedding_drift", "embedding_outliers",
-    "pack_bestfit", "ann_metrics",
+    "pack_bestfit", "ann_metrics", "token_budget",
     "pack_masks", "source_overlap", "kn_perplexity", "scd2_intervals",
     "ppl_buckets", "media_resize", "quality_report",
     "contamination_report", "leakage_folds", "tokenizer_fertility",
@@ -2685,6 +2705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_render": _q_sft_render,
         "curation_funnel": _q_curation_funnel,
         "dedupe_fuzzy": _q_dedupe_fuzzy,
+        "token_budget": _q_token_budget,
         "embedding_drift": _q_embedding_drift,
         "embedding_outliers": _q_embedding_outliers,
         "centroid_classify": _q_centroid_classify,
@@ -3147,6 +3168,20 @@ FROM docs GROUP BY 1
         "span_corruption": span_corruption_sql(seed="r5"),
         "mlm_mask": mlm_mask_sql(seed="r5"),
         "wordpiece_tokenize": wordpiece_tokenize_sql(_wp_seed_vocab()),
+        "token_budget": """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+         CAST(n_chars * 1000000 AS BIGINT) AS m,
+         CAST(('0x' || substr(md5('r5#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT AS h
+  FROM documents),
+ord AS (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY m DESC NULLS LAST, h % 4096, h, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM base)
+SELECT doc_id, n_tok, cum <= 12000 AS selected FROM ord
+""",
         "dedupe_fuzzy": """
 WITH k AS (
   SELECT doc_id, substr(text, 1, 24) AS key FROM documents

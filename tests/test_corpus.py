@@ -932,3 +932,71 @@ def test_interleave_sources_natural_missing_and_determinism(spark):
     assert any(keys_x[r["doc_id"]] != r["interleave_key"] for r in redrawn)
     with pytest.raises(ValueError):
         interleave_sources(df, target_shares={"s0": 0.0})
+
+
+def test_token_budget_select_prefix_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from transmog_spark.operators.corpus import token_budget_select
+
+    rows = [(i, 10, float(100 - i)) for i in range(10)]  # merit desc = id asc
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok", "score"])
+    out = {
+        r.doc_id: r.selected
+        for r in token_budget_select(
+            df, "doc_id", "n_tok", budget=35, rank_by=F.col("score")
+        ).collect()
+    }
+    # merit order = doc_id 0,1,2,... ; 3 docs fit (30), the 4th would hit 40
+    assert [out[i] for i in range(10)] == [True] * 3 + [False] * 7
+
+
+def test_token_budget_select_stops_at_first_overflow(spark):
+    from pyspark.sql import functions as F
+
+    from transmog_spark.operators.corpus import token_budget_select
+
+    # order: big doc first (merit), then small ones that WOULD fit — prefix
+    # semantics stops at the overflow, it does not skip-and-continue
+    rows = [(1, 30, 9.0), (2, 50, 8.0), (3, 5, 7.0), (4, 5, 6.0)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok", "score"])
+    out = {
+        r.doc_id: r.selected
+        for r in token_budget_select(
+            df, "doc_id", "n_tok", budget=40, rank_by=F.col("score")
+        ).collect()
+    }
+    assert out == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_token_budget_select_hash_order_and_exact_budget(spark):
+    from transmog_spark.operators.corpus import token_budget_select
+
+    # no merit: pure seeded-hash order; selected token total never exceeds
+    # the budget, is deterministic, and changes with the seed
+    rows = [(i, 7) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    sel_a = {
+        r.doc_id
+        for r in token_budget_select(df, "doc_id", "n_tok", budget=70, seed="a")
+        .where("selected")
+        .collect()
+    }
+    sel_a2 = {
+        r.doc_id
+        for r in token_budget_select(df, "doc_id", "n_tok", budget=70, seed="a")
+        .where("selected")
+        .collect()
+    }
+    sel_b = {
+        r.doc_id
+        for r in token_budget_select(df, "doc_id", "n_tok", budget=70, seed="b")
+        .where("selected")
+        .collect()
+    }
+    assert sel_a == sel_a2 and len(sel_a) == 10
+    assert sel_b != sel_a
+    import pytest
+
+    with pytest.raises(ValueError):
+        token_budget_select(df, "doc_id", "n_tok", budget=-1)

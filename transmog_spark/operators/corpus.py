@@ -1398,3 +1398,114 @@ def interleave_sources(
         )
         .select(id_col, source_col, "interleave_key")
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    ntok_col: str = "n_tok",
+    *,
+    budget: int,
+    rank_by: Column | None = None,
+    seed: str = "budget",
+    hash_buckets: int = 4096,
+) -> DataFrame:
+    """Global training-token budget selection — the "fit exactly N tokens,
+    keep the best" step of a data recipe (the corpus-level sibling of the
+    per-source ``cap_tokens_per_source``): select the maximal PREFIX of a
+    deterministic merit order whose token sum stays within ``budget``.
+
+    Order: (merit DESC NULLS LAST, seeded 60-bit md5 of the id, id) —
+    ``rank_by`` is any Column evaluated over the input row (a quality
+    score, a DSIR weight); omitted, the order is the pure seeded hash,
+    i.e. a uniform random subsample trimmed to the budget. Prefix
+    semantics: documents are taken strictly in order and selection STOPS
+    at the first document that would overflow — the selected set is
+    identical on any cluster size, partitioning, or engine (DuckDB mirror
+    = full sort + running sum).
+
+    Scale shape — NO global sort of the corpus: one scan aggregates
+    (merit_grid, hash_bucket) histogram cells (n_docs, sum_tokens;
+    ≤ |merit grid| × ``hash_buckets`` rows — bounded, independent of
+    corpus size); one window over that CELL frame (the only sort, cell-
+    frame-sized) computes each cell's cumulative token start and flags
+    full/boundary/overflow cells; the BOUNDARY cell's members (≈ corpus /
+    cells — bounded by construction of the two-level key) resolve exactly
+    with a cell-local window; full cells and the resolved boundary join
+    back broadcast. Merit lands on the round-6 grid (1e6 scaled BIGINT)
+    so cell identity is engine-exact.
+
+    Output: (id_col, n_tok, selected) — a verdict frame; filter with one
+    semi-join. Rows with NULL/negative token counts are excluded
+    (selected = false). Zero-token docs cost nothing and select wherever
+    the order places them.
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    merit = (
+        F.round(rank_by * 1_000_000).cast("long")
+        if rank_by is not None
+        else F.lit(0).cast("long")
+    )
+    h = md5_long(F.concat(F.lit(f"{seed}#"), F.col(id_col).cast("string")))
+    base = df.select(
+        F.col(id_col),
+        F.col(ntok_col).cast("long").alias("__nt"),
+        merit.alias("__m"),
+        h.alias("__h"),
+        (h % hash_buckets).alias("__hb"),
+    ).where(F.col(ntok_col).isNotNull() & (F.col(ntok_col) >= 0))
+
+    from pyspark.sql import Window
+
+    cells = base.groupBy("__m", "__hb").agg(
+        F.sum("__nt").alias("__cell_tok"),
+    )
+    # the ONLY corpus-independent sort: cell frame, bounded
+    wc = Window.orderBy(
+        F.col("__m").desc_nulls_last(), F.col("__hb").asc()
+    )
+    cells = cells.select(
+        "__m",
+        "__hb",
+        "__cell_tok",
+        F.coalesce(
+            F.sum("__cell_tok").over(
+                wc.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__tok_start"),
+    )
+    # full: whole cell fits. boundary: the FIRST cell that doesn't —
+    # prefix semantics means nothing after the boundary cell selects.
+    cells = cells.select(
+        "__m",
+        "__hb",
+        "__tok_start",
+        (F.col("__tok_start") + F.col("__cell_tok") <= budget).alias("__full"),
+        (
+            (F.col("__tok_start") <= budget)
+            & (F.col("__tok_start") + F.col("__cell_tok") > budget)
+        ).alias("__boundary"),
+    )
+    j = base.join(F.broadcast(cells), ["__m", "__hb"])
+    wb = Window.partitionBy("__m", "__hb").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    run = F.coalesce(
+        F.sum("__nt").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    # within the boundary cell, walk the cell-local order until the
+    # remaining budget is exceeded; stop-at-first-overflow is cell-local
+    # cumulative-sum + a "no prior overflow" flag
+    over = (F.col("__tok_start") + run + F.col("__nt") > budget).cast("int")
+    first_over = F.sum(over).over(
+        wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel_boundary = F.col("__boundary") & (first_over == 0)
+    return j.select(
+        F.col(id_col),
+        F.col("__nt").alias(ntok_col),
+        (F.col("__full") | sel_boundary).alias("selected"),
+    )
