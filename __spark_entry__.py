@@ -809,6 +809,52 @@ def _q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristic cleaning (operators/quality.py:c4_clean, Raffel et al.
+    §2.2): documents deterministically re-lined on BOTH engines (5 lines
+    of 8 ws-tokens; every 3rd line per (doc_id+i) unpunctuated; planted
+    javascript lines, lorem-ipsum and brace pages), then the named line /
+    page rules applied. Cleaned text md5-scalarized."""
+    from transmog_spark.operators.quality import c4_clean
+    from transmog_spark.operators.text import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tk = ws_tokens(F.col("text"))
+
+    def line(i):
+        body = F.array_join(F.slice(tk, 8 * i + 1, 8), " ")
+        punct = F.when((F.col("doc_id") + i) % 3 == 0, F.lit("")).otherwise(
+            F.lit(".")
+        )
+        extra = (
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" javascript.")).otherwise(
+                F.lit("")
+            )
+            if i == 2
+            else F.lit("")
+        )
+        return F.concat(body, punct, extra)
+
+    text = F.concat_ws("\n", *[line(i) for i in range(5)])
+    text = F.concat(
+        text,
+        F.when(F.col("doc_id") % 19 == 0, F.lit("\nlorem ipsum")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 23 == 0, F.lit("\ncode {")).otherwise(F.lit("")),
+    )
+    synth = d.select("doc_id", text.alias("text"))
+    out = c4_clean(synth, min_words_per_line=3, min_sentences=3)
+    return out.select(
+        "doc_id",
+        "verdict",
+        "n_lines",
+        "n_lines_kept",
+        "n_sentences",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
+    )
+
+
 def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global token-budget selection
     (operators/corpus.py:token_budget_select): maximal merit-ordered
@@ -2606,7 +2652,7 @@ def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW = [
     "wordpiece_tokenize", "fuzzy_pairs", "dedupe_fuzzy", "sft_render",
     "curation_funnel", "embedding_drift", "embedding_outliers",
-    "pack_bestfit", "ann_metrics", "token_budget",
+    "pack_bestfit", "ann_metrics", "token_budget", "c4_clean",
     "pack_masks", "source_overlap", "kn_perplexity", "scd2_intervals",
     "ppl_buckets", "media_resize", "quality_report",
     "contamination_report", "leakage_folds", "tokenizer_fertility",
@@ -2706,6 +2752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": _q_curation_funnel,
         "dedupe_fuzzy": _q_dedupe_fuzzy,
         "token_budget": _q_token_budget,
+        "c4_clean": _q_c4_clean,
         "embedding_drift": _q_embedding_drift,
         "embedding_outliers": _q_embedding_outliers,
         "centroid_classify": _q_centroid_classify,
@@ -3168,6 +3215,48 @@ FROM docs GROUP BY 1
         "span_corruption": span_corruption_sql(seed="r5"),
         "mlm_mask": mlm_mask_sql(seed="r5"),
         "wordpiece_tokenize": wordpiece_tokenize_sql(_wp_seed_vocab()),
+        "c4_clean": """
+WITH tkt AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk FROM documents),
+synth AS (
+  SELECT doc_id,
+         (coalesce(array_to_string(list_slice(tk, 1, 8), ' '), '') || CASE WHEN (doc_id + 0) % 3 = 0 THEN '' ELSE '.' END || chr(10) || coalesce(array_to_string(list_slice(tk, 9, 16), ' '), '') || CASE WHEN (doc_id + 1) % 3 = 0 THEN '' ELSE '.' END || chr(10) || coalesce(array_to_string(list_slice(tk, 17, 24), ' '), '') || CASE WHEN (doc_id + 2) % 3 = 0 THEN '' ELSE '.' END || CASE WHEN doc_id % 13 = 0 THEN ' javascript.' ELSE '' END || chr(10) || coalesce(array_to_string(list_slice(tk, 25, 32), ' '), '') || CASE WHEN (doc_id + 3) % 3 = 0 THEN '' ELSE '.' END || chr(10) || coalesce(array_to_string(list_slice(tk, 33, 40), ' '), '') || CASE WHEN (doc_id + 4) % 3 = 0 THEN '' ELSE '.' END)
+         || CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'lorem ipsum' ELSE '' END
+         || CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'code ' || chr(123) ELSE '' END
+         AS text
+  FROM tkt),
+parsed AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS ls
+  FROM synth),
+cleanedt AS (
+  SELECT doc_id, text, len(ls) AS n_lines,
+         list_filter(ls, l -> regexp_matches(trim(l), '[.!?]"?$')
+             AND len(list_filter(string_split_regex(trim(l), '\\s+'), w -> w <> '')) >= 3
+             AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM parsed),
+sent AS (
+  SELECT doc_id, text, n_lines, len(kept) AS n_lines_kept,
+         coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+  FROM cleanedt),
+scored AS (
+  SELECT *,
+         len(regexp_extract_all(cleaned, '[^.!?]*[.!?]"?'))
+           - len(list_filter(regexp_extract_all(cleaned, '[^.!?]*[.!?]"?'),
+                             s -> trim(s) = '')) AS n_sentences,
+         CASE WHEN contains(lower(text), 'lorem ipsum') THEN 'drop_lorem'
+              WHEN contains(lower(text), chr(123)) THEN 'drop_brace'
+              ELSE '' END AS pv
+  FROM sent)
+SELECT doc_id,
+       CASE WHEN pv <> '' THEN pv
+            WHEN n_sentences < 3 THEN 'drop_short'
+            ELSE 'keep' END AS verdict,
+       CAST(n_lines AS INTEGER) AS n_lines,
+       CAST(n_lines_kept AS INTEGER) AS n_lines_kept,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       md5(CASE WHEN pv = '' AND n_sentences >= 3 THEN cleaned ELSE '' END) AS text_md5
+FROM scored
+""",
         "token_budget": """
 WITH base AS (
   SELECT doc_id,

@@ -239,6 +239,14 @@ def test_wordpiece_tokenize_single_udf_map_only(spark, sf_dir):
     assert _arrow_nodes(plan) == 1
 
 
+def test_c4_clean_zero_exchange_no_udf(spark, sf_dir):
+    # the C4 line/page rules are pure Column regexps over one narrow pass
+    plan = _plan(spark, sf_dir, "c4_clean")
+    assert _exchanges(plan) == 0
+    assert _arrow_nodes(plan) == 0
+    assert "BatchEvalPython" not in plan
+
+
 def test_sft_render_zero_exchange_no_udf(spark, sf_dir):
     # chat rendering + loss masking is one narrow per-row projection:
     # no shuffle, no Python execution node

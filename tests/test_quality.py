@@ -155,3 +155,43 @@ def test_curation_funnel_monotone_and_consistent_with_flagship(spark, sf_dir):
         .count()
     )
     assert rows[5].n_docs == pack_docs
+
+
+def test_c4_clean_rules(spark):
+    from transmog_spark.operators.quality import c4_clean
+
+    rows = [
+        (1, 'Good first line here.\nshort.\nNo terminal punct line\n'
+            'Another good sentence here! Fine "quoted end."\n'
+            'This uses javascript today.\nFifth real sentence stays.\n'
+            'Sixth one also stays.'),
+        (2, 'Lorem ipsum dolor sit amet.\nA fine sentence here.'),
+        (3, 'Code page { int x = 0; }\nGood sentence here.'),
+        (4, 'Only two sentences total.\nHere is number two.'),
+        (5, 'bad word page is here.\nMore text follows here.\n'
+            'And more text here.\nAnd a fourth one here.\nAnd a fifth here.'),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in c4_clean(df, blocklist=("bad",)).collect()}
+    r1 = out[1]
+    assert r1.verdict == "keep"
+    # drops: 1-word 'short.', unpunctuated line, javascript line
+    assert r1.n_lines == 7 and r1.n_lines_kept == 4
+    assert r1.n_sentences == 5  # the quoted line carries two sentences
+    assert "javascript" not in r1.text and "short." not in r1.text
+    assert out[2].verdict == "drop_lorem" and out[2].text is None
+    assert out[3].verdict == "drop_brace"
+    assert out[4].verdict == "drop_short"
+    assert out[5].verdict == "drop_blocklist"
+
+
+def test_c4_clean_precedence_and_counts(spark):
+    from transmog_spark.operators.quality import c4_clean
+
+    # lorem beats brace beats blocklist; empty page -> 0 sentences
+    df = spark.createDataFrame(
+        [(1, "lorem ipsum { bad }"), (2, "")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in c4_clean(df, blocklist=("bad",)).collect()}
+    assert out[1].verdict == "drop_lorem"
+    assert out[2].verdict == "drop_short" and out[2].n_sentences == 0

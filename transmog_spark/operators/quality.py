@@ -265,3 +265,91 @@ def quality_report(
         F.col("n_source"),
         F.round(F.col("n") / F.col("n_source"), 4).alias("frac"),
     )
+
+
+# terminal-punctuation line rule: ASCII '.', '!', '?', optionally followed
+# by a closing double quote (the C4 paper's "terminal punctuation mark
+# (i.e. a period, exclamation mark, question mark, or end quotation
+# mark)"). RE2-safe, identical pattern string in the DuckDB mirror.
+C4_TERMINAL_RE = '[.!?]"?$'
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    blocklist: tuple[str, ...] = (),
+) -> DataFrame:
+    """The C4 heuristic cleaning pass (Raffel et al. 2020 §2.2) — the
+    named line/page filter set every web-crawl recipe starts from,
+    complementing the statistical ``quality_gate``:
+
+    * keep only lines that END in a terminal punctuation mark and carry
+      at least ``min_words_per_line`` whitespace words;
+    * drop any line containing the word "javascript" (case-insensitive);
+    * drop the whole page if it contains "lorem ipsum" (boilerplate
+      placeholder), a '{' (leaked code), any ``blocklist`` word
+      (word-boundary match, the paper's bad-words list — pass your own),
+      or fewer than ``min_sentences`` terminal-punctuated sentences after
+      line cleaning.
+
+    Verdict precedence (fixed, first match): drop_lorem > drop_brace >
+    drop_blocklist > drop_short > keep — page-level rules fire on the RAW
+    text, the sentence floor on the CLEANED text, as in the paper.
+
+    Output: (id, verdict, n_lines, n_lines_kept, n_sentences, text =
+    the cleaned page — joined kept lines — for kept pages, NULL
+    otherwise). Pure Column regexps (RE2-safe: no lookaround), one
+    narrow pass, ZERO shuffles; a plan test pins it.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def line_ok(l):
+        t = F.trim(l)
+        return (
+            t.rlike(C4_TERMINAL_RE)
+            & (F.size(F.filter(F.split(t, r"\s+"), lambda w: w != "")) >= min_words_per_line)
+            & ~F.lower(t).contains("javascript")
+        )
+
+    kept = F.filter(lines, line_ok)
+    cleaned = F.array_join(kept, "\n")
+    n_sent = F.size(
+        F.regexp_extract_all(cleaned, F.lit('[^.!?]*[.!?]"?'), F.lit(0))
+    ) - F.size(
+        F.filter(
+            F.regexp_extract_all(cleaned, F.lit('[^.!?]*[.!?]"?'), F.lit(0)),
+            lambda s: F.trim(s) == "",
+        )
+    )
+    low = F.lower(F.col(text_col))
+    block_hit = F.lit(False)
+    for w in blocklist:
+        block_hit = block_hit | low.rlike(rf"\b{w}\b")
+    staged = df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_lines_kept"),
+        cleaned.alias("__cleaned"),
+        n_sent.alias("n_sentences"),
+        F.when(low.contains("lorem ipsum"), F.lit("drop_lorem"))
+        .when(low.contains("{"), F.lit("drop_brace"))
+        .when(block_hit, F.lit("drop_blocklist"))
+        .otherwise(F.lit("")).alias("__page_verdict"),
+    )
+    verdict = F.when(F.col("__page_verdict") != "", F.col("__page_verdict")).otherwise(
+        F.when(F.col("n_sentences") < min_sentences, F.lit("drop_short")).otherwise(
+            F.lit("keep")
+        )
+    )
+    return staged.select(
+        F.col(id_col),
+        verdict.alias("verdict"),
+        "n_lines",
+        "n_lines_kept",
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        F.when(verdict == "keep", F.col("__cleaned")).alias(text_col),
+    )
