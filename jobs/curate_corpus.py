@@ -86,6 +86,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--coreset-dim", type=int, default=64)
     p.add_argument("--n-shards", type=int, default=4)
     p.add_argument(
+        "--c4-clean",
+        action="store_true",
+        help="apply the C4 heuristic line/page rules (quality.c4_clean) "
+        "ahead of the chain: terminal-punctuation line filter, "
+        "javascript/lorem/brace page drops, sentence floor",
+    )
+    p.add_argument(
         "--strip-html",
         action="store_true",
         help="pre-clean raw web text: drop script/style/comments, strip "
@@ -119,6 +126,21 @@ def main(argv: list[str] | None = None) -> int:
         from transmog_spark.operators.text import strip_html
 
         docs = docs.withColumn(args.text_col, strip_html(F.col(args.text_col)))
+    if args.c4_clean:
+        # the C4 pass both CLEANS kept pages (line filter) and DROPS
+        # verdict-failing pages before the statistical gate; zero-shuffle
+        from transmog_spark.operators.quality import c4_clean
+
+        cleaned = c4_clean(docs, args.id_col, args.text_col)
+        docs = (
+            docs.drop(args.text_col)
+            .join(
+                cleaned.where(F.col("verdict") == "keep").select(
+                    args.id_col, args.text_col
+                ),
+                args.id_col,
+            )
+        )
     bench = docs.where(args.benchmark_filter)
     corpus = docs.where(f"NOT ({args.benchmark_filter})")
     reference = (

@@ -226,3 +226,53 @@ def test_curate_job_strip_html_front_door(spark, sf_dir, tmp_path):
     ra = sorted(((r["shard"], r["tok_offset"], r["doc_id"]) for r in a.collect()))
     rb = sorted(((r["shard"], r["tok_offset"], r["doc_id"]) for r in b.collect()))
     assert ra == rb
+
+
+def test_curate_job_c4_clean_front_door(spark, sf_dir, tmp_path):
+    # re-line the corpus so every page passes the C4 rules with its exact
+    # token stream intact (6-word punctuated lines), plus two poison pages
+    # (lorem / brace) that --c4-clean must drop before the chain
+    import pyspark.sql.functions as SF
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    relined = docs.withColumn(
+        "text",
+        SF.concat_ws(
+            "\n",
+            SF.transform(
+                SF.split(
+                    SF.regexp_replace(
+                        SF.col("text"), r"((\S+\s+){5}\S+)\s+", "$1\n"
+                    ),
+                    "\n",
+                ),
+                lambda l: SF.concat(l, SF.lit(" EOL.")),
+            ),
+        ),
+    )
+    poison = spark.createDataFrame(
+        [
+            (900001, "lorem ipsum filler page here.", "en", "src0", 29),
+            (900002, "this page has { code } in it.", "en", "src0", 29),
+        ],
+        relined.schema,
+    )
+    path = str(tmp_path / "relined")
+    relined.unionByName(poison).write.mode("overwrite").parquet(path)
+
+    out = str(tmp_path / "c4" / "out")
+    rc = curate_main(
+        [
+            "--docs", path,
+            "--output", out,
+            "--checkpoint", str(tmp_path / "c4" / "ckpt"),
+            "--n-shards", "4",
+            "--shuffle-partitions", "8",
+            "--c4-clean",
+        ]
+    )
+    assert rc == 0
+    shards = spark.read.parquet(os.path.join(out, "data"))
+    ids = {r["doc_id"] for r in shards.select("doc_id").collect()}
+    assert 900001 not in ids and 900002 not in ids  # poison pages dropped
+    assert len(ids) > 100  # the relined corpus flows through the chain
