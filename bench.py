@@ -121,6 +121,10 @@ HEADLINE = [
     "wordpiece_tokenize",
     # edit-distance similarity join: PassJoin segment blocking + levenshtein
     "fuzzy_pairs",
+    # global token-budget prefix selection (cell histogram, no corpus sort)
+    "token_budget",
+    # C4 heuristic line/page rules: pure Column regexps, zero shuffle
+    "c4_clean",
     # stage boundaries persist on first execution (see the entry docstring);
     # best-of-N then times the post-persist composed chain — the same
     # warm-index semantics as bm25_topk_indexed
