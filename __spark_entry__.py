@@ -809,6 +809,26 @@ def _q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (RefinedWeb §3.2's first dedup stage): canonical
+    URL (text.url_normalize) as the exact-dup key, min-id keeper — the
+    composition the url_profile row's normalization exists FOR. URLs
+    synthesized with doc_id % 8 path identity so ~3 docs per (source,
+    residue) share a canonical URL while raw forms differ (case, port,
+    tracking params, trailing slash)."""
+    from transmog_spark.operators.text import demo_url, url_normalize
+
+    d = _t(spark, sf_dir, "documents")
+    u = demo_url(F.col("doc_id") % 8, F.col("source"))
+    frame = d.select(F.col("doc_id"), url_normalize(u).alias("norm_url"))
+    keep = frame.groupBy("norm_url").agg(F.min("doc_id").alias("__keep"))
+    return frame.join(keep, "norm_url").select(
+        "doc_id",
+        "norm_url",
+        (F.col("doc_id") == F.col("__keep")).alias("kept"),
+    )
+
+
 def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 heuristic cleaning (operators/quality.py:c4_clean, Raffel et al.
     §2.2): documents deterministically re-lined on BOTH engines (5 lines
@@ -2652,7 +2672,7 @@ def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW = [
     "wordpiece_tokenize", "fuzzy_pairs", "dedupe_fuzzy", "sft_render",
     "curation_funnel", "embedding_drift", "embedding_outliers",
-    "pack_bestfit", "ann_metrics", "token_budget", "c4_clean",
+    "pack_bestfit", "ann_metrics", "token_budget", "c4_clean", "url_dedup",
     "pack_masks", "source_overlap", "kn_perplexity", "scd2_intervals",
     "ppl_buckets", "media_resize", "quality_report",
     "contamination_report", "leakage_folds", "tokenizer_fertility",
@@ -2753,6 +2773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedupe_fuzzy": _q_dedupe_fuzzy,
         "token_budget": _q_token_budget,
         "c4_clean": _q_c4_clean,
+        "url_dedup": _q_url_dedup,
         "embedding_drift": _q_embedding_drift,
         "embedding_outliers": _q_embedding_outliers,
         "centroid_classify": _q_centroid_classify,
@@ -3215,6 +3236,37 @@ FROM docs GROUP BY 1
         "span_corruption": span_corruption_sql(seed="r5"),
         "mlm_mask": mlm_mask_sql(seed="r5"),
         "wordpiece_tokenize": wordpiece_tokenize_sql(_wp_seed_vocab()),
+        "url_dedup": """
+WITH synth AS (SELECT doc_id, 'HTTPS://WWW.' || source || CAST((doc_id % 8) % 7 AS VARCHAR) || '.Example.COM:443/Path/' || CAST((doc_id % 8) AS VARCHAR) || CASE WHEN (doc_id % 8) % 3 = 0 THEN '/' ELSE '' END || '?utm_source=feed&id=' || CAST((doc_id % 8) % 5 AS VARCHAR) || '&utm_medium=x' || CASE WHEN (doc_id % 8) % 2 = 0 THEN '&ref=home' ELSE '' END || '#frag' AS u FROM documents),
+parts AS (
+  SELECT doc_id, u,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1), '^([^:]+)', 1)) AS host,
+         regexp_extract(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1), ':([0-9]+)$', 1) AS port,
+         regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(u, '\\?([^#]*)', 1) AS q
+  FROM synth),
+filt AS (
+  SELECT *,
+         array_to_string(list_filter(string_split(q, '&'),
+           kv -> kv <> '' AND substring(kv, 1, 4) <> 'utm_'
+                 AND NOT regexp_matches(kv, '^(fbclid|gclid|msclkid)=')), '&')
+           AS q2,
+         regexp_replace(path, '/+$', '') AS p1
+  FROM parts),
+normed AS (
+  SELECT doc_id,
+         scheme || '://' || regexp_replace(host, '^www\\.', '') ||
+         CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                   OR (scheme = 'https' AND port = '443')
+              THEN '' ELSE ':' || port END ||
+         CASE WHEN p1 = '' THEN '/' ELSE p1 END ||
+         CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS norm_url
+  FROM filt)
+SELECT n.doc_id, n.norm_url,
+       n.doc_id = min(n.doc_id) OVER (PARTITION BY n.norm_url) AS kept
+FROM normed n
+""",
         "c4_clean": """
 WITH tkt AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk FROM documents),
 synth AS (
