@@ -809,6 +809,18 @@ def _q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment
+    (operators/packing.py:length_batches, the group_by_length dataloader
+    prep): deterministic in-bucket hash shuffle, batches of 8, per-batch
+    pad target + waste."""
+    from transmog_spark.operators.packing import length_batches
+
+    return length_batches(
+        _docs_ntok(spark, sf_dir), batch_size=8, seed="r5"
+    )
+
+
 def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup (RefinedWeb §3.2's first dedup stage): canonical
     URL (text.url_normalize) as the exact-dup key, min-id keeper — the
@@ -2672,7 +2684,7 @@ def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW = [
     "wordpiece_tokenize", "fuzzy_pairs", "dedupe_fuzzy", "sft_render",
     "curation_funnel", "embedding_drift", "embedding_outliers",
-    "pack_bestfit", "ann_metrics", "token_budget", "c4_clean", "url_dedup",
+    "pack_bestfit", "ann_metrics", "token_budget", "c4_clean", "url_dedup", "length_batches",
     "pack_masks", "source_overlap", "kn_perplexity", "scd2_intervals",
     "ppl_buckets", "media_resize", "quality_report",
     "contamination_report", "leakage_folds", "tokenizer_fertility",
@@ -2773,6 +2785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedupe_fuzzy": _q_dedupe_fuzzy,
         "token_budget": _q_token_budget,
         "c4_clean": _q_c4_clean,
+        "length_batches": _q_length_batches,
         "url_dedup": _q_url_dedup,
         "embedding_drift": _q_embedding_drift,
         "embedding_outliers": _q_embedding_outliers,
@@ -3236,6 +3249,31 @@ FROM docs GROUP BY 1
         "span_corruption": span_corruption_sql(seed="r5"),
         "mlm_mask": mlm_mask_sql(seed="r5"),
         "wordpiece_tokenize": wordpiece_tokenize_sql(_wp_seed_vocab()),
+        "length_batches": """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+         CAST(('0x' || substr(md5('r5#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT AS h
+  FROM documents),
+nz AS (
+  SELECT *, CASE WHEN n_tok <= 64 THEN 0 WHEN n_tok <= 128 THEN 1
+                 WHEN n_tok <= 256 THEN 2 WHEN n_tok <= 512 THEN 3
+                 WHEN n_tok <= 1024 THEN 4 WHEN n_tok <= 2048 THEN 5
+                 ELSE 6 END AS bucket
+  FROM base WHERE n_tok > 0),
+rn AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1 AS r
+  FROM nz),
+asg AS (
+  SELECT doc_id, n_tok, bucket,
+         CAST(bucket AS BIGINT) * 1099511627776 + r // 8 AS batch,
+         CAST(r % 8 AS INTEGER) AS pos_in_batch
+  FROM rn)
+SELECT doc_id, n_tok, bucket, batch, pos_in_batch,
+       max(n_tok) OVER (PARTITION BY bucket, batch) AS batch_max_tok,
+       max(n_tok) OVER (PARTITION BY bucket, batch) - n_tok AS pad_waste
+FROM asg
+""",
         "url_dedup": """
 WITH synth AS (SELECT doc_id, 'HTTPS://WWW.' || source || CAST((doc_id % 8) % 7 AS VARCHAR) || '.Example.COM:443/Path/' || CAST((doc_id % 8) AS VARCHAR) || CASE WHEN (doc_id % 8) % 3 = 0 THEN '/' ELSE '' END || '?utm_source=feed&id=' || CAST((doc_id % 8) % 5 AS VARCHAR) || '&utm_medium=x' || CASE WHEN (doc_id % 8) % 2 = 0 THEN '&ref=home' ELSE '' END || '#frag' AS u FROM documents),
 parts AS (

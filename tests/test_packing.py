@@ -477,3 +477,40 @@ def test_pack_bestfit_beats_first_fit_fill_rate(spark):
     assert bf.n_seqs <= ff.n_seqs
     assert bf.fill_rate >= ff.fill_rate
     assert bf.waste_tokens <= ff.waste_tokens
+
+
+def test_length_batches_buckets_and_waste(spark):
+    from transmog_spark.operators.packing import length_batches
+
+    rows = [(i, n, "s") for i, n in enumerate([10, 50, 60, 70, 100, 300, 5000, 0])]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok", "source"])
+    out = {r.doc_id: r for r in length_batches(df, batch_size=2).collect()}
+    assert 7 not in out  # zero-token row excluded
+    # bucket edges: <=64 -> 0, <=128 -> 1, <=512 -> 3, >2048 -> open bucket 6
+    assert out[0].bucket == 0 and out[2].bucket == 0
+    assert out[4].bucket == 1
+    assert out[5].bucket == 3 and out[6].bucket == 6
+    for r in out.values():
+        assert r.pad_waste == r.batch_max_tok - r.n_tok >= 0
+        assert 0 <= r.pos_in_batch < 2
+        assert r.batch >> 40 == r.bucket  # batch id encodes its bucket
+    # batches only mix sequences from one bucket; full batches have 2 rows
+    from collections import Counter
+
+    per_batch = Counter(r.batch for r in out.values())
+    assert all(c <= 2 for c in per_batch.values())
+
+
+def test_length_batches_deterministic_and_seeded(spark):
+    from transmog_spark.operators.packing import length_batches
+
+    rows = [(i, 30 + i % 5, "s") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok", "source"])
+    a = sorted((r.doc_id, r.batch) for r in length_batches(df, batch_size=4, seed="x").collect())
+    a2 = sorted((r.doc_id, r.batch) for r in length_batches(df, batch_size=4, seed="x").collect())
+    b = sorted((r.doc_id, r.batch) for r in length_batches(df, batch_size=4, seed="y").collect())
+    assert a == a2 and a != b
+    import pytest
+
+    with pytest.raises(ValueError):
+        length_batches(df, batch_size=0)

@@ -239,6 +239,14 @@ def test_wordpiece_tokenize_single_udf_map_only(spark, sf_dir):
     assert _arrow_nodes(plan) == 1
 
 
+def test_length_batches_single_exchange_shared_spine(spark, sf_dir):
+    # the (bucket) hash partitioning satisfies the (bucket, batch) window's
+    # clustered distribution, so rank + per-batch max share ONE Exchange
+    plan = _plan(spark, sf_dir, "length_batches")
+    assert _exchanges(plan) == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_c4_clean_zero_exchange_no_udf(spark, sf_dir):
     # the C4 line/page rules are pure Column regexps over one narrow pass
     plan = _plan(spark, sf_dir, "c4_clean")

@@ -731,3 +731,74 @@ def pack_bestfit(
         "seq_in_block",
         "seq_offset",
     )
+
+
+def length_batches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    ntok_col: str = "n_tok",
+    *,
+    batch_size: int,
+    bucket_bounds: tuple[int, ...] = (64, 128, 256, 512, 1024, 2048),
+    seed: str = "lb",
+) -> DataFrame:
+    """Length-bucketed batch assignment — the ``group_by_length`` data-
+    loader prep (HF Trainer's LengthGroupedSampler, the padded-batch dual
+    of the packing family): sequences are bucketed by length, shuffled
+    deterministically INSIDE their bucket (seeded hash, so batch
+    composition is reproducible on any cluster size/engine), and cut
+    into batches of ``batch_size``; each batch pads to its own maximum
+    instead of the global one.
+
+    Output: one row per document — ``bucket`` (index into
+    ``bucket_bounds``; the last bucket is open-ended), ``batch`` (global
+    batch id = bucket * 2^40 + in-bucket batch ordinal), ``pos_in_batch``,
+    ``batch_max_tok`` (the pad target) and ``pad_waste`` (padding tokens
+    this row pays). Zero-token/NULL rows are excluded.
+
+    Scale shape: one hash-ranked window per bucket (the shuffle key is
+    the bucket — bounded key count; row_number inside is the unavoidable
+    in-bucket order) + one (bucket, batch) max broadcast back via a
+    window over the same partitioning — ONE Exchange + ONE Sort for
+    everything (shared window spine; plan-pinned). The LAST batch of a
+    bucket may run short — reported, not silently merged.
+    """
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+    from pyspark.sql import Window
+
+    from transmog_spark.functions.hashing import md5_long
+
+    nt = F.col(ntok_col).cast("long")
+    bucket = F.lit(len(bucket_bounds))
+    for i, b in enumerate(reversed(bucket_bounds)):
+        bucket = F.when(nt <= b, F.lit(len(bucket_bounds) - 1 - i)).otherwise(
+            bucket
+        )
+    h = md5_long(F.concat(F.lit(f"{seed}#"), F.col(id_col).cast("string")))
+    base = df.select(
+        F.col(id_col), nt.alias("__nt"), bucket.alias("bucket"), h.alias("__h")
+    ).where(nt.isNotNull() & (nt > 0))
+    w = Window.partitionBy("bucket").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    rn = F.row_number().over(w) - 1
+    base = base.select(
+        F.col(id_col),
+        "__nt",
+        "bucket",
+        (rn % batch_size).alias("pos_in_batch"),
+        (
+            F.col("bucket").cast("long") * F.lit(1 << 40)
+            + (rn / batch_size).cast("long")
+        ).alias("batch"),
+    )
+    wb = Window.partitionBy("bucket", "batch")
+    mx = F.max("__nt").over(wb)
+    return base.select(
+        F.col(id_col),
+        F.col("__nt").alias(ntok_col),
+        "bucket",
+        "batch",
+        "pos_in_batch",
+        mx.alias("batch_max_tok"),
+        (mx - F.col("__nt")).alias("pad_waste"),
+    )
