@@ -125,6 +125,8 @@ HEADLINE = [
     "token_budget",
     # C4 heuristic line/page rules: pure Column regexps, zero shuffle
     "c4_clean",
+    # group-by-length batching: one shared Exchange for rank + batch max
+    "length_batches",
     # stage boundaries persist on first execution (see the entry docstring);
     # best-of-N then times the post-persist composed chain — the same
     # warm-index semantics as bm25_topk_indexed
