@@ -809,6 +809,29 @@ def _q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle objective prep
+    (operators/objectives.py:fim_transform, PSM format): seeded apply
+    decision + two seeded uniform cuts over the north-rule token arrays;
+    input_ids md5-scalarized."""
+    from transmog_spark.operators.objectives import fim_transform
+    from transmog_spark.operators.text import tokenize_ids
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize_ids(F.col("text")).alias("tokens"))
+    out = fim_transform(toks, "doc_id", "tokens", fim_rate=0.9, seed="r5")
+    return out.select(
+        "doc_id",
+        "n_tok",
+        "fim_applied",
+        F.md5(
+            F.array_join(
+                F.transform(F.col("input_ids"), lambda x: x.cast("string")), ","
+            )
+        ).alias("input_md5"),
+    )
+
+
 def _q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batch assignment
     (operators/packing.py:length_batches, the group_by_length dataloader
@@ -2684,7 +2707,7 @@ def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW = [
     "wordpiece_tokenize", "fuzzy_pairs", "dedupe_fuzzy", "sft_render",
     "curation_funnel", "embedding_drift", "embedding_outliers",
-    "pack_bestfit", "ann_metrics", "token_budget", "c4_clean", "url_dedup", "length_batches",
+    "pack_bestfit", "ann_metrics", "token_budget", "c4_clean", "url_dedup", "length_batches", "fim_transform",
     "pack_masks", "source_overlap", "kn_perplexity", "scd2_intervals",
     "ppl_buckets", "media_resize", "quality_report",
     "contamination_report", "leakage_folds", "tokenizer_fertility",
@@ -2785,6 +2808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedupe_fuzzy": _q_dedupe_fuzzy,
         "token_budget": _q_token_budget,
         "c4_clean": _q_c4_clean,
+        "fim_transform": _q_fim_transform,
         "length_batches": _q_length_batches,
         "url_dedup": _q_url_dedup,
         "embedding_drift": _q_embedding_drift,
@@ -3249,6 +3273,32 @@ FROM docs GROUP BY 1
         "span_corruption": span_corruption_sql(seed="r5"),
         "mlm_mask": mlm_mask_sql(seed="r5"),
         "wordpiece_tokenize": wordpiece_tokenize_sql(_wp_seed_vocab()),
+        "fim_transform": """
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+           x -> CAST(CAST(('0x' || substr(md5(x), 1, 15)) AS UBIGINT)::BIGINT % 32768 AS INTEGER)) AS t
+  FROM documents),
+cuts AS (
+  SELECT doc_id, t, len(t) AS n,
+         (CAST(('0x' || substr(md5('r5#apply#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT % 1000000 < 900000) AS fim,
+         CAST(CAST(('0x' || substr(md5('r5#c1#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT % (len(t) + 1) AS INTEGER) AS a,
+         CAST(CAST(('0x' || substr(md5('r5#c2#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT % (len(t) + 1) AS INTEGER) AS b
+  FROM toks),
+mm AS (
+  SELECT doc_id, t, n, fim, least(a, b) AS c1, greatest(a, b) AS c2 FROM cuts),
+built AS (
+  SELECT doc_id, n, fim,
+         CASE WHEN fim THEN
+           [32020] || coalesce(list_slice(t, 1, c1), []) ||
+           [32021] || coalesce(list_slice(t, c2 + 1, n), []) ||
+           [32022] || coalesce(list_slice(t, c1 + 1, c2), [])
+         ELSE t END AS ids
+  FROM mm)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tok, fim AS fim_applied,
+       md5(coalesce(array_to_string(ids, ','), '')) AS input_md5
+FROM built
+""",
         "length_batches": """
 WITH base AS (
   SELECT doc_id,

@@ -202,3 +202,38 @@ def test_sft_render_tokens_match_hash_tokenizer(spark):
     assert r.input_ids == [32012, tid("spark"), tid("engine"), tid("spark"), 32013]
     # all content + EOT carry loss for the assistant turn
     assert r.labels[1:] == r.input_ids[1:]
+
+
+def test_fim_transform_reconstruction_and_rates(spark):
+    from transmog_spark.operators.objectives import fim_transform
+
+    rows = [(i, list(range(i % 17))) for i in range(1, 400)]
+    df = spark.createDataFrame(rows, ["doc_id", "tokens"])
+    out = fim_transform(df, fim_rate=1.0, seed="t").collect()
+    for r in out:
+        assert r.fim_applied
+        ids = r.input_ids
+        # PSM framing: [PRE] pre [SUF] suf [MID] mid, all three markers once
+        assert ids[0] == 32020
+        s, m = ids.index(32021), ids.index(32022)
+        pre, suf, mid = ids[1:s], ids[s + 1 : m], ids[m + 1 :]
+        # reconstruction: pre + mid + suf == original tokens
+        orig = dict(rows)[r.doc_id]
+        assert pre + mid + suf == orig, r.doc_id
+        assert r.n_tok == len(orig) and len(ids) == len(orig) + 3
+
+    # rate 0 -> verbatim passthrough
+    out0 = fim_transform(df, fim_rate=0.0, seed="t").collect()
+    assert all(not r.fim_applied and r.input_ids == dict(rows)[r.doc_id] for r in out0)
+
+    # intermediate rate: seeded fraction, deterministic, seed-sensitive
+    a = {r.doc_id: r.fim_applied for r in fim_transform(df, fim_rate=0.5, seed="x").collect()}
+    a2 = {r.doc_id: r.fim_applied for r in fim_transform(df, fim_rate=0.5, seed="x").collect()}
+    b = {r.doc_id: r.fim_applied for r in fim_transform(df, fim_rate=0.5, seed="y").collect()}
+    assert a == a2 and a != b
+    frac = sum(a.values()) / len(a)
+    assert 0.35 < frac < 0.65
+    import pytest
+
+    with pytest.raises(ValueError):
+        fim_transform(df, fim_rate=1.5)

@@ -325,3 +325,79 @@ def sft_render(
             lambda e: F.when(e["m"] == 1, e["i"]).otherwise(F.lit(-100)),
         ).alias("labels"),
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    *,
+    fim_rate: float = 0.9,
+    pre_token: int = 32020,
+    suf_token: int = 32021,
+    mid_token: int = 32022,
+    seed: str = "",
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022, the
+    code-model infilling objective; PSM format): for a seeded ``fim_rate``
+    fraction of documents, two seeded uniform cut points split the token
+    stream into prefix/middle/suffix and the document is re-serialized as
+    ``[PRE] prefix [SUF] suffix [MID] middle`` — training then teaches the
+    model to produce the middle given both context sides. Untransformed
+    documents pass through verbatim (``fim_applied`` = false). Completes
+    the objectives family: CLM (pack_*), MLM (mlm_mask), span corruption
+    (T5/UL2), SFT (sft_render), FIM.
+
+    Determinism: the apply decision and both cuts are seeded md5 draws per
+    document (no RNG state) — bit-identical replay on any cluster size and
+    in the DuckDB mirror. Cuts c1 <= c2 come from two independent draws in
+    [0, n] put in order, so the middle length follows the order-statistic
+    distribution of the paper's uniform two-point split.
+
+    Scale shape: fully per-row (three slices + concat), zero shuffle, no
+    UDF. Output: (id, n_tok, fim_applied, input_ids) — n_tok counts the
+    ORIGINAL tokens; transformed rows carry n_tok + 3 ids.
+    """
+    if not 0 <= fim_rate <= 1:
+        raise ValueError("fim_rate must be in [0, 1]")
+    grid = round(fim_rate * 1_000_000)
+
+    def h(tag: str) -> "F.Column":
+        return md5_long(
+            F.concat(
+                F.lit(f"{seed}#{tag}#"), F.col(id_col).cast("string")
+            )
+        )
+
+    n = F.size(F.col(tokens_col))
+    staged = df.select(
+        F.col(id_col),
+        F.col(tokens_col).alias("__t"),
+        n.alias("__n"),
+        (h("apply") % 1_000_000 < grid).alias("__fim"),
+        (h("c1") % (n.cast("long") + 1)).cast("int").alias("__a"),
+        (h("c2") % (n.cast("long") + 1)).cast("int").alias("__b"),
+    )
+    staged = staged.select(
+        F.col(id_col),
+        "__t",
+        "__n",
+        "__fim",
+        F.least("__a", "__b").alias("__c1"),
+        F.greatest("__a", "__b").alias("__c2"),
+    )
+    marker = lambda t: F.array(F.lit(t).cast("int"))
+    fim_ids = F.concat(
+        marker(pre_token),
+        F.expr("slice(__t, 1, __c1)"),
+        marker(suf_token),
+        F.expr("slice(__t, __c2 + 1, __n - __c2)"),
+        marker(mid_token),
+        F.expr("slice(__t, __c1 + 1, __c2 - __c1)"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("__n").cast("long").alias("n_tok"),
+        F.col("__fim").alias("fim_applied"),
+        F.when(F.col("__fim"), fim_ids).otherwise(F.col("__t")).alias("input_ids"),
+    )
