@@ -809,6 +809,30 @@ def _q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ul2_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UL2 mixture-of-denoisers prep (operators/objectives.py:ul2_mixture):
+    seeded R/S/X mode assignment (0.5/0.25/0.25) over the north-rule token
+    arrays — R/X are span_corruption at two severities with the paradigm
+    token leading the input, S is a seeded prefix-LM split. Arrays
+    md5-scalarized."""
+    from transmog_spark.operators.objectives import ul2_mixture
+    from transmog_spark.operators.text import tokenize_ids
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize_ids(F.col("text")).alias("tokens"))
+    out = ul2_mixture(toks, "doc_id", "tokens", seed="r5")
+    js = lambda c: F.md5(
+        F.array_join(F.transform(F.col(c), lambda x: x.cast("string")), ",")
+    )
+    return out.select(
+        "doc_id",
+        "mode",
+        "n_tok",
+        js("input_ids").alias("input_md5"),
+        js("target_ids").alias("target_md5"),
+    )
+
+
 def _q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fill-in-the-middle objective prep
     (operators/objectives.py:fim_transform, PSM format): seeded apply
@@ -2707,7 +2731,7 @@ def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW = [
     "wordpiece_tokenize", "fuzzy_pairs", "dedupe_fuzzy", "sft_render",
     "curation_funnel", "embedding_drift", "embedding_outliers",
-    "pack_bestfit", "ann_metrics", "token_budget", "c4_clean", "url_dedup", "length_batches", "fim_transform",
+    "pack_bestfit", "ann_metrics", "token_budget", "c4_clean", "url_dedup", "length_batches", "fim_transform", "ul2_mixture",
     "pack_masks", "source_overlap", "kn_perplexity", "scd2_intervals",
     "ppl_buckets", "media_resize", "quality_report",
     "contamination_report", "leakage_folds", "tokenizer_fertility",
@@ -2808,6 +2832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedupe_fuzzy": _q_dedupe_fuzzy,
         "token_budget": _q_token_budget,
         "c4_clean": _q_c4_clean,
+        "ul2_mixture": _q_ul2_mixture,
         "fim_transform": _q_fim_transform,
         "length_batches": _q_length_batches,
         "url_dedup": _q_url_dedup,
@@ -3273,6 +3298,130 @@ FROM docs GROUP BY 1
         "span_corruption": span_corruption_sql(seed="r5"),
         "mlm_mask": mlm_mask_sql(seed="r5"),
         "wordpiece_tokenize": wordpiece_tokenize_sql(_wp_seed_vocab()),
+        "ul2_mixture": """
+WITH rpart AS (SELECT doc_id, 'R' AS mode, n_tok, input_md5, target_md5 FROM (
+WITH docs AS (
+  SELECT doc_id, list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), x -> CAST(CAST(('0x' || substr(md5(x), 1, 15)) AS UBIGINT)::BIGINT % 32768 AS INT)) AS t
+  FROM (SELECT * FROM documents WHERE CAST(('0x' || substr(md5('r5#mode#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT % 1000000 < 500000) rsrc),
+flag AS (
+  SELECT doc_id, u AS s, least(u + 3, len(t)) AS e
+  FROM docs, unnest(range(0, len(t))) AS r(u)
+  WHERE CAST(('0x' || substr(md5('r5#R#' || CAST(doc_id AS VARCHAR) || '#' || CAST(u AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT % 1000000 < 50000),
+m1 AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_e
+  FROM flag),
+m2 AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN s >= coalesce(prev_e, 0) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s) AS g
+  FROM m1),
+merged AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM m2 GROUP BY doc_id, g),
+agg AS (
+  SELECT doc_id, list(struct_pack(s := s, e := e) ORDER BY s) AS raw
+  FROM merged GROUP BY 1),
+j AS (
+  SELECT d.doc_id, d.t, coalesce(a.raw, []) AS raw
+  FROM docs d LEFT JOIN agg a USING (doc_id)),
+kd AS (
+  SELECT doc_id, t,
+         list_transform(range(1, len(raw) + 1),
+           i -> struct_pack(s := raw[i].s, e := raw[i].e, k := i - 1)) AS sp
+  FROM j),
+built AS (
+  SELECT doc_id,
+         len(t) AS n_tok,
+         len(sp) AS n_spans,
+         CASE WHEN len(t) > 0
+              THEN round(coalesce(list_sum(list_transform(sp, x -> x.e - x.s)), 0)
+                         / CAST(len(t) AS DOUBLE), 4)
+              ELSE 0.0 END AS corrupted_frac,
+         flatten(list_transform(range(0, len(t)), p -> CASE
+           WHEN len(list_filter(sp, x -> x.s <= p AND p < x.e)) = 0 THEN [t[p + 1]]
+           WHEN (list_filter(sp, x -> x.s <= p AND p < x.e))[1].s = p
+             THEN [CAST(32000 + (list_filter(sp, x -> x.s <= p AND p < x.e))[1].k AS INT)]
+           ELSE [] END)) AS input_ids,
+         flatten(list_transform(sp,
+           x -> list_concat([CAST(32000 + x.k AS INT)],
+                            list_slice(t, x.s + 1, x.e)))) AS target_ids
+  FROM kd)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(n_spans AS BIGINT) AS n_spans, corrupted_frac,
+       md5('32030' || CASE WHEN len(input_ids) = 0 THEN '' ELSE ',' || array_to_string(input_ids, ',') END) AS input_md5,
+       md5(coalesce(array_to_string(target_ids, ','), '')) AS target_md5
+FROM built
+)),
+xpart AS (SELECT doc_id, 'X' AS mode, n_tok, input_md5, target_md5 FROM (
+WITH docs AS (
+  SELECT doc_id, list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), x -> CAST(CAST(('0x' || substr(md5(x), 1, 15)) AS UBIGINT)::BIGINT % 32768 AS INT)) AS t
+  FROM (SELECT * FROM documents WHERE CAST(('0x' || substr(md5('r5#mode#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT % 1000000 >= 750000) xsrc),
+flag AS (
+  SELECT doc_id, u AS s, least(u + 8, len(t)) AS e
+  FROM docs, unnest(range(0, len(t))) AS r(u)
+  WHERE CAST(('0x' || substr(md5('r5#X#' || CAST(doc_id AS VARCHAR) || '#' || CAST(u AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT % 1000000 < 62500),
+m1 AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_e
+  FROM flag),
+m2 AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN s >= coalesce(prev_e, 0) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s) AS g
+  FROM m1),
+merged AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM m2 GROUP BY doc_id, g),
+agg AS (
+  SELECT doc_id, list(struct_pack(s := s, e := e) ORDER BY s) AS raw
+  FROM merged GROUP BY 1),
+j AS (
+  SELECT d.doc_id, d.t, coalesce(a.raw, []) AS raw
+  FROM docs d LEFT JOIN agg a USING (doc_id)),
+kd AS (
+  SELECT doc_id, t,
+         list_transform(range(1, len(raw) + 1),
+           i -> struct_pack(s := raw[i].s, e := raw[i].e, k := i - 1)) AS sp
+  FROM j),
+built AS (
+  SELECT doc_id,
+         len(t) AS n_tok,
+         len(sp) AS n_spans,
+         CASE WHEN len(t) > 0
+              THEN round(coalesce(list_sum(list_transform(sp, x -> x.e - x.s)), 0)
+                         / CAST(len(t) AS DOUBLE), 4)
+              ELSE 0.0 END AS corrupted_frac,
+         flatten(list_transform(range(0, len(t)), p -> CASE
+           WHEN len(list_filter(sp, x -> x.s <= p AND p < x.e)) = 0 THEN [t[p + 1]]
+           WHEN (list_filter(sp, x -> x.s <= p AND p < x.e))[1].s = p
+             THEN [CAST(32000 + (list_filter(sp, x -> x.s <= p AND p < x.e))[1].k AS INT)]
+           ELSE [] END)) AS input_ids,
+         flatten(list_transform(sp,
+           x -> list_concat([CAST(32000 + x.k AS INT)],
+                            list_slice(t, x.s + 1, x.e)))) AS target_ids
+  FROM kd)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(n_spans AS BIGINT) AS n_spans, corrupted_frac,
+       md5('32032' || CASE WHEN len(input_ids) = 0 THEN '' ELSE ',' || array_to_string(input_ids, ',') END) AS input_md5,
+       md5(coalesce(array_to_string(target_ids, ','), '')) AS target_md5
+FROM built
+)),
+sdocs AS (
+  SELECT doc_id, list_transform(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), x -> CAST(CAST(('0x' || substr(md5(x), 1, 15)) AS UBIGINT)::BIGINT % 32768 AS INTEGER)) AS t FROM documents
+  WHERE CAST(('0x' || substr(md5('r5#mode#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT % 1000000 >= 500000 AND CAST(('0x' || substr(md5('r5#mode#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT % 1000000 < 750000),
+scut AS (
+  SELECT doc_id, t, len(t) AS n, CAST(CAST(('0x' || substr(md5('r5#c#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT % (len(t) + 1) AS INTEGER) AS c
+  FROM sdocs),
+spart AS (
+  SELECT doc_id, 'S' AS mode, CAST(n AS BIGINT) AS n_tok,
+         md5('32031' || CASE WHEN c = 0 THEN ''
+             ELSE ',' || array_to_string(list_slice(t, 1, c), ',') END) AS input_md5,
+         md5(coalesce(array_to_string(coalesce(list_slice(t, c + 1, n), []), ','), ''))
+           AS target_md5
+  FROM scut)
+SELECT * FROM rpart UNION ALL SELECT * FROM spart UNION ALL SELECT * FROM xpart
+""",
         "fim_transform": """
 WITH toks AS (
   SELECT doc_id,

@@ -237,3 +237,36 @@ def test_fim_transform_reconstruction_and_rates(spark):
 
     with pytest.raises(ValueError):
         fim_transform(df, fim_rate=1.5)
+
+
+def test_ul2_mixture_modes_and_framing(spark):
+    from transmog_spark.operators.objectives import ul2_mixture
+
+    rows = [(i, list(range(20))) for i in range(1, 300)]
+    df = spark.createDataFrame(rows, ["doc_id", "tokens"])
+    out = ul2_mixture(df, seed="u").collect()
+    assert len(out) == 299  # every doc exactly one mode
+    by_mode = {}
+    for r in out:
+        by_mode.setdefault(r.mode, []).append(r)
+    # shares roughly honored (seeded hash, 299 docs)
+    assert 0.35 < len(by_mode["R"]) / 299 < 0.65
+    assert 0.12 < len(by_mode["S"]) / 299 < 0.40
+    assert 0.12 < len(by_mode["X"]) / 299 < 0.40
+    for r in by_mode["R"]:
+        assert r.input_ids[0] == 32030
+    for r in by_mode["X"]:
+        assert r.input_ids[0] == 32032
+        # X corrupts more: its target (sentinels + corrupted tokens) is
+        # on average much longer than R's at noise 0.5 vs 0.15
+    x_t = sum(len(r.target_ids) for r in by_mode["X"]) / len(by_mode["X"])
+    r_t = sum(len(r.target_ids) for r in by_mode["R"]) / len(by_mode["R"])
+    assert x_t > r_t
+    for r in by_mode["S"]:
+        # prefix-LM invariant: [S] + prefix / target reconstructs the doc
+        assert r.input_ids[0] == 32031
+        assert r.input_ids[1:] + r.target_ids == list(range(20))
+    import pytest
+
+    with pytest.raises(ValueError):
+        ul2_mixture(df, shares=(0.5, 0.2, 0.2))

@@ -401,3 +401,94 @@ def fim_transform(
         F.col("__fim").alias("fim_applied"),
         F.when(F.col("__fim"), fim_ids).otherwise(F.col("__t")).alias("input_ids"),
     )
+
+
+def ul2_mixture(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    *,
+    shares: tuple[float, float, float] = (0.5, 0.25, 0.25),
+    r_noise: float = 0.15,
+    r_span: int = 3,
+    x_noise: float = 0.5,
+    x_span: int = 8,
+    mode_tokens: tuple[int, int, int] = (32030, 32031, 32032),
+    sentinel_base: int = 32000,
+    seed: str = "",
+) -> DataFrame:
+    """UL2 mixture-of-denoisers prep (Tay et al. 2022; the PaLM-2
+    objective): each document is deterministically assigned one denoiser
+    mode by a seeded hash over ``shares`` — R (regular span corruption,
+    T5-style), S (sequential / prefix-LM: one seeded cut, predict the
+    continuation), X (extreme corruption: higher density, longer spans) —
+    and re-serialized as (input_ids, target_ids) with the mode's paradigm
+    token leading the input (the [R]/[S]/[X] convention).
+
+    R and X reuse ``span_corruption`` verbatim (seeds namespaced per
+    mode); S is a per-row prefix split at a seeded uniform cut. All three
+    legs are zero-shuffle per-row transforms over disjoint slices — the
+    union is a plan-level concatenation, no data movement.
+
+    Output: (id, mode, n_tok, input_ids, target_ids).
+    """
+    if abs(sum(shares) - 1.0) > 1e-9:
+        raise ValueError("shares must sum to 1")
+    r_tok, s_tok, x_tok = mode_tokens
+    hm = md5_long(
+        F.concat(F.lit(f"{seed}#mode#"), F.col(id_col).cast("string"))
+    ) % 1_000_000
+    t1 = round(shares[0] * 1_000_000)
+    t2 = t1 + round(shares[1] * 1_000_000)
+    base = df.select(F.col(id_col), F.col(tokens_col), hm.alias("__hm"))
+
+    def with_mode(out: DataFrame, mode: str, tok: int) -> DataFrame:
+        return out.select(
+            F.col(id_col),
+            F.lit(mode).alias("mode"),
+            F.col("n_tok"),
+            F.concat(
+                F.array(F.lit(tok).cast("int")), F.col("input_ids")
+            ).alias("input_ids"),
+            F.col("target_ids"),
+        )
+
+    r_in = base.where(F.col("__hm") < t1).select(id_col, tokens_col)
+    x_in = base.where(F.col("__hm") >= t2).select(id_col, tokens_col)
+    rout = with_mode(
+        span_corruption(
+            r_in, id_col, tokens_col,
+            noise_density=r_noise, span_len=r_span,
+            sentinel_base=sentinel_base, seed=f"{seed}#R",
+        ),
+        "R", r_tok,
+    )
+    xout = with_mode(
+        span_corruption(
+            x_in, id_col, tokens_col,
+            noise_density=x_noise, span_len=x_span,
+            sentinel_base=sentinel_base, seed=f"{seed}#X",
+        ),
+        "X", x_tok,
+    )
+    s_in = base.where((F.col("__hm") >= t1) & (F.col("__hm") < t2))
+    n = F.size(F.col(tokens_col))
+    hc = md5_long(
+        F.concat(F.lit(f"{seed}#c#"), F.col(id_col).cast("string"))
+    )
+    staged = s_in.select(
+        F.col(id_col),
+        F.col(tokens_col).alias("__t"),
+        n.alias("__n"),
+        (hc % (n.cast("long") + 1)).cast("int").alias("__c"),
+    )
+    sout = staged.select(
+        F.col(id_col),
+        F.lit("S").alias("mode"),
+        F.col("__n").cast("long").alias("n_tok"),
+        F.concat(
+            F.array(F.lit(s_tok).cast("int")), F.expr("slice(__t, 1, __c)")
+        ).alias("input_ids"),
+        F.expr("slice(__t, __c + 1, __n - __c)").alias("target_ids"),
+    )
+    return rout.unionByName(sout).unionByName(xout)

@@ -4269,17 +4269,26 @@ def span_corruption_sql(
     span_len: int = 3,
     sentinel_base: int = 32000,
     seed: str = "",
+    prefix: int | None = None,
 ) -> str:
     """Mirror of operators.objectives.span_corruption over tokenize_ids —
     same seeded per-position start hash, same cummax interval merge, same
     sentinel indexing; input/target arrays md5-scalarized (driver
-    canonicalizer cannot hash list cells)."""
+    canonicalizer cannot hash list cells). ``prefix`` prepends a paradigm
+    token to the hashed input stream (the UL2 [R]/[X] framing)."""
     thresh = round(noise_density / span_len * 1000000)
     tok = f"CAST({duck_md5_long('x')} % {vocab} AS INT)"
     h = duck_md5_long(
         f"'{seed}#' || CAST({id_col} AS VARCHAR) || '#' || CAST(u AS VARCHAR)"
     )
     inspan = "list_filter(sp, x -> x.s <= p AND p < x.e)"
+    if prefix is None:
+        pfx = "coalesce(array_to_string(input_ids, ','), '')"
+    else:
+        pfx = (
+            f"'{prefix}' || CASE WHEN len(input_ids) = 0 THEN '' "
+            f"ELSE ',' || array_to_string(input_ids, ',') END"
+        )
     return f"""
 WITH docs AS (
   SELECT {id_col}, list_transform({duck_ws_tokens(text_col)}, x -> {tok}) AS t
@@ -4330,7 +4339,7 @@ built AS (
   FROM kd)
 SELECT {id_col}, CAST(n_tok AS BIGINT) AS n_tok,
        CAST(n_spans AS BIGINT) AS n_spans, corrupted_frac,
-       md5(coalesce(array_to_string(input_ids, ','), '')) AS input_md5,
+       md5({pfx}) AS input_md5,
        md5(coalesce(array_to_string(target_ids, ','), '')) AS target_md5
 FROM built
 """
