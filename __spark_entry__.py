@@ -2723,11 +2723,14 @@ def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 queries() entries.
-# This explicit window puts (a) this session's new operators, (b) the
-# round-5 flagship surface, and (c) the VERDICT-r4-named rows
-# (curation_pipeline, semdedup, dup_spans, pack_assemble) inside it;
-# everything else keeps registry order after the window. All 147 pairs
-# are equally oracle-gated by scripts/check_oracle.py regardless.
+# This explicit window puts (a) this session's new operators (wordpiece,
+# fuzzy/dedupe_fuzzy, sft_render, curation_funnel, embedding drift/
+# outliers, pack_bestfit, ann_metrics, token_budget, c4_clean, url_dedup,
+# length_batches, fim_transform, ul2_mixture), (b) the round-5 flagship
+# surface, and (c) the VERDICT-r4-named rows (curation_pipeline,
+# semdedup, dup_spans, pack_assemble) inside it; everything else keeps
+# registry order after the window. All 151 pairs are equally oracle-gated
+# by scripts/check_oracle.py regardless.
 _DRIVER_WINDOW = [
     "wordpiece_tokenize", "fuzzy_pairs", "dedupe_fuzzy", "sft_render",
     "curation_funnel", "embedding_drift", "embedding_outliers",
