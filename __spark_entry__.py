@@ -809,6 +809,34 @@ def _q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs
+    (operators/dedup.py:containment_pairs — the subset/quote detector
+    Jaccard dilutes away): planted quote docs (id + 2e6, first 24
+    ws-tokens of every 11th doc) reach containment 1.0 against their
+    source while Jaccard stays low; same min-shingle blocking as
+    ngram_jaccard_pairs, mirrored exactly."""
+    from transmog_spark.operators.dedup import containment_pairs
+    from transmog_spark.operators.text import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    quotes = d.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.array_join(F.slice(ws_tokens(F.col("text")), 1, 24), " ").alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(quotes)
+    out = containment_pairs(
+        corpus, "doc_id", "text", shingle_n=3, threshold=0.8, max_bucket=1000
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "containment_ab",
+        "containment_ba",
+        F.round("jaccard_sim", 4).alias("jaccard_sim"),
+    )
+
+
 def _q_ul2_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UL2 mixture-of-denoisers prep (operators/objectives.py:ul2_mixture):
     seeded R/S/X mode assignment (0.5/0.25/0.25) over the north-rule token
@@ -2734,7 +2762,7 @@ def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW = [
     "wordpiece_tokenize", "fuzzy_pairs", "dedupe_fuzzy", "sft_render",
     "curation_funnel", "embedding_drift", "embedding_outliers",
-    "pack_bestfit", "ann_metrics", "token_budget", "c4_clean", "url_dedup", "length_batches", "fim_transform", "ul2_mixture",
+    "pack_bestfit", "ann_metrics", "token_budget", "c4_clean", "url_dedup", "length_batches", "fim_transform", "ul2_mixture", "containment_pairs",
     "pack_masks", "source_overlap", "kn_perplexity", "scd2_intervals",
     "ppl_buckets", "media_resize", "quality_report",
     "contamination_report", "leakage_folds", "tokenizer_fertility",
@@ -2835,6 +2863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedupe_fuzzy": _q_dedupe_fuzzy,
         "token_budget": _q_token_budget,
         "c4_clean": _q_c4_clean,
+        "containment_pairs": _q_containment_pairs,
         "ul2_mixture": _q_ul2_mixture,
         "fim_transform": _q_fim_transform,
         "length_batches": _q_length_batches,
@@ -3301,6 +3330,42 @@ FROM docs GROUP BY 1
         "span_corruption": span_corruption_sql(seed="r5"),
         "mlm_mask": mlm_mask_sql(seed="r5"),
         "wordpiece_tokenize": wordpiece_tokenize_sql(_wp_seed_vocab()),
+        "containment_pairs": """
+WITH srcdocs AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS id,
+         array_to_string(list_slice(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), 1, 24), ' ') AS text
+  FROM documents WHERE doc_id % 11 = 0),
+docs AS (SELECT id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t FROM srcdocs),
+base0 AS (
+  SELECT id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+           i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh
+  FROM docs),
+base AS (
+  SELECT id, sh,
+         list_min(list_transform(sh,
+           s -> CAST(('0x' || substr(md5(s), 1, 15)) AS UBIGINT)::BIGINT)) AS minh
+  FROM base0),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY minh ORDER BY id) AS rn FROM base
+  ) WHERE rn <= 1000),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         len(list_intersect(a.sh, b.sh)) AS inter,
+         len(a.sh) AS na, len(b.sh) AS nb
+  FROM capped a JOIN capped b ON a.minh = b.minh AND a.id < b.id),
+scored AS (
+  SELECT DISTINCT id_a, id_b,
+         CASE WHEN na > 0 THEN round(inter::DOUBLE / na, 4) ELSE 0.0 END AS containment_ab,
+         CASE WHEN nb > 0 THEN round(inter::DOUBLE / nb, 4) ELSE 0.0 END AS containment_ba,
+         CASE WHEN na + nb - inter > 0
+              THEN round(inter::DOUBLE / (na + nb - inter), 4) ELSE 0.0 END AS jaccard_sim
+  FROM pairs)
+SELECT * FROM scored WHERE greatest(containment_ab, containment_ba) >= 0.8
+""",
         "ul2_mixture": """
 WITH rpart AS (SELECT doc_id, 'R' AS mode, n_tok, input_md5, target_md5 FROM (
 WITH docs AS (

@@ -524,3 +524,27 @@ def test_entropy_profile_matches_pure_python_on_random_texts(spark):
             r["token_entropy"], r["distinct_token_ratio"],
         )
         assert got == expect(text), (i, got, expect(text), text)
+
+
+def test_containment_pairs_finds_embedded_quote(spark):
+    from transmog_spark.operators.dedup import containment_pairs
+
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    rows = [
+        (1, big),
+        # the quote's shingles are all inside doc 1 AND include the page's
+        # min-hash shingle ('epsilon zeta eta' — verified by direct md5),
+        # so the single-band blocking pairs them; Jaccard stays diluted
+        (2, "epsilon zeta eta theta iota kappa"),
+        (3, "totally different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r.id_a, r.id_b): r for r in containment_pairs(
+        df, "doc_id", "text", shingle_n=3, threshold=0.8
+    ).collect()}
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert r.containment_ba == 1.0  # quote fully contained in the page
+    assert r.containment_ab < 0.8   # page NOT contained in the quote
+    assert r.jaccard_sim < 0.8      # Jaccard alone would have missed it
+    assert all(3 not in k for k in out)

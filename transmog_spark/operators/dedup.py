@@ -794,3 +794,74 @@ def _hyperplane_signature(vec: Column, dim: int, n_planes: int) -> Column:
             F.lit(0).cast("long")
         )
     return sig
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT near-dup pairs — the subset/quote
+    detector Jaccard structurally misses: a 30-token notice embedded in a
+    3,000-token page has Jaccard ~0.01 but containment(small in big)
+    ~1.0 (the same dilution argument as ``decontaminate_fuzzy``, applied
+    corpus-internally). Candidates come from the same min-shingle-hash
+    blocking as ``ngram_jaccard_pairs`` (shared recall envelope, exact
+    verification); a pair survives when EITHER direction's containment
+    |A∩B| / |A| reaches ``threshold``.
+
+    Output: (id_a, id_b, containment_ab, containment_ba, jaccard_sim) —
+    containment_ab = fraction of a's shingles present in b, round-4.
+
+    Scale shape: identical to ngram_jaccard_pairs — one explode +
+    partial-min for the block key, capped buckets, shingle arrays only
+    rejoined for verified candidates.
+    """
+    sh = shingle_frame(df, id_col, text_col, shingle_n)
+    minh = (
+        sh.select("__id", F.explode("__sh").alias("__s"))
+        .select("__id", md5_long(F.col("__s")).alias("__h"))
+        .groupBy("__id")
+        .agg(F.min("__h").alias("__minh"))
+    )
+    wb = Window.partitionBy("__minh").orderBy("__id")
+    capped = minh.withColumn("__bn", F.row_number().over(wb)).where(
+        F.col("__bn") <= max_bucket
+    )
+    a = capped.select("__minh", F.col("__id").alias("id_a"))
+    b = capped.select("__minh", F.col("__id").alias("id_b"))
+    cand = (
+        a.join(b, "__minh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    j = cand.join(
+        sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a"
+    ).join(
+        sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    c_ab = F.when(
+        F.size("sh_a") > 0, F.round(inter / F.size("sh_a"), 4)
+    ).otherwise(F.lit(0.0))
+    c_ba = F.when(
+        F.size("sh_b") > 0, F.round(inter / F.size("sh_b"), 4)
+    ).otherwise(F.lit(0.0))
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            c_ab.alias("containment_ab"),
+            c_ba.alias("containment_ba"),
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
+        )
+        .where(
+            F.greatest(F.col("containment_ab"), F.col("containment_ba"))
+            >= threshold
+        )
+    )
