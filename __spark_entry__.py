@@ -809,6 +809,23 @@ def _q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection
+    (operators/similarity.py:jl_project): seeded Rademacher ±1 matrix over
+    the 1e6 integer grid — exact BIGINT sums, bit-identical mirror; 64 ->
+    8 dims. proj md5-scalarized."""
+    from transmog_spark.operators.similarity import jl_project
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = jl_project(e, "vec_id", "embedding", dim=64, out_dim=8, seed="r5")
+    return out.select(
+        "vec_id",
+        F.md5(
+            F.array_join(F.transform(F.col("proj"), lambda x: x.cast("string")), ",")
+        ).alias("proj_md5"),
+    )
+
+
 def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup pairs
     (operators/dedup.py:containment_pairs — the subset/quote detector
@@ -2762,7 +2779,7 @@ def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW = [
     "wordpiece_tokenize", "fuzzy_pairs", "dedupe_fuzzy", "sft_render",
     "curation_funnel", "embedding_drift", "embedding_outliers",
-    "pack_bestfit", "ann_metrics", "token_budget", "c4_clean", "url_dedup", "length_batches", "fim_transform", "ul2_mixture", "containment_pairs",
+    "pack_bestfit", "ann_metrics", "token_budget", "c4_clean", "url_dedup", "length_batches", "fim_transform", "ul2_mixture", "containment_pairs", "jl_project",
     "pack_masks", "source_overlap", "kn_perplexity", "scd2_intervals",
     "ppl_buckets", "media_resize", "quality_report",
     "contamination_report", "leakage_folds", "tokenizer_fertility",
@@ -2863,6 +2880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedupe_fuzzy": _q_dedupe_fuzzy,
         "token_budget": _q_token_budget,
         "c4_clean": _q_c4_clean,
+        "jl_project": _q_jl_project,
         "containment_pairs": _q_containment_pairs,
         "ul2_mixture": _q_ul2_mixture,
         "fim_transform": _q_fim_transform,
@@ -3330,6 +3348,24 @@ FROM docs GROUP BY 1
         "span_corruption": span_corruption_sql(seed="r5"),
         "mlm_mask": mlm_mask_sql(seed="r5"),
         "wordpiece_tokenize": wordpiece_tokenize_sql(_wp_seed_vocab()),
+        "jl_project": """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS xi
+  FROM embeddings)
+SELECT vec_id,
+       md5(array_to_string([
+         CAST(list_sum(list_transform(range(1, 65), i -> xi[i] * ([1, -1, 1, 1, 1, 1, -1, 1, 1, 1, 1, 1, 1, 1, -1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, 1, 1, 1, 1, -1, -1, 1, 1, -1, 1, -1, 1, -1, -1, 1, -1, -1, 1, 1, 1, -1, -1, -1, -1, 1, 1, -1, -1, 1, -1, 1, 1, 1, -1, -1, -1, -1, 1, 1])[i])) AS BIGINT),
+         CAST(list_sum(list_transform(range(1, 65), i -> xi[i] * ([-1, -1, -1, 1, 1, 1, -1, -1, 1, -1, 1, -1, 1, -1, 1, 1, 1, -1, 1, 1, -1, -1, -1, 1, 1, -1, -1, -1, 1, 1, -1, 1, 1, 1, -1, 1, -1, 1, -1, 1, -1, 1, 1, -1, -1, 1, -1, -1, -1, 1, 1, 1, -1, 1, 1, 1, -1, 1, -1, -1, 1, 1, 1, -1])[i])) AS BIGINT),
+         CAST(list_sum(list_transform(range(1, 65), i -> xi[i] * ([1, -1, 1, -1, -1, -1, -1, 1, 1, -1, -1, -1, 1, -1, 1, 1, 1, -1, 1, -1, -1, -1, 1, -1, 1, -1, -1, 1, 1, -1, 1, -1, -1, -1, -1, -1, 1, -1, -1, -1, -1, 1, -1, 1, 1, 1, -1, 1, -1, 1, -1, 1, 1, 1, -1, 1, 1, 1, 1, -1, 1, -1, -1, 1])[i])) AS BIGINT),
+         CAST(list_sum(list_transform(range(1, 65), i -> xi[i] * ([1, 1, -1, -1, -1, -1, 1, 1, -1, 1, -1, -1, 1, 1, -1, 1, 1, 1, -1, -1, -1, -1, -1, 1, -1, -1, 1, -1, -1, -1, -1, 1, 1, -1, 1, 1, 1, 1, -1, -1, -1, 1, 1, -1, -1, 1, -1, -1, -1, 1, -1, -1, 1, -1, -1, 1, -1, -1, -1, 1, -1, -1, -1, -1])[i])) AS BIGINT),
+         CAST(list_sum(list_transform(range(1, 65), i -> xi[i] * ([-1, 1, -1, -1, -1, 1, -1, 1, -1, 1, -1, -1, 1, 1, -1, -1, -1, 1, 1, -1, 1, 1, -1, 1, -1, -1, 1, -1, -1, 1, -1, 1, -1, -1, 1, -1, -1, -1, 1, 1, -1, -1, -1, -1, 1, 1, -1, -1, 1, 1, -1, 1, -1, -1, 1, 1, -1, 1, 1, 1, 1, -1, -1, -1])[i])) AS BIGINT),
+         CAST(list_sum(list_transform(range(1, 65), i -> xi[i] * ([1, 1, 1, -1, -1, -1, -1, -1, -1, 1, 1, 1, -1, -1, -1, -1, 1, 1, -1, -1, 1, -1, 1, 1, 1, -1, -1, -1, -1, 1, -1, 1, -1, 1, -1, -1, -1, -1, -1, 1, -1, -1, 1, -1, -1, -1, -1, 1, -1, 1, -1, -1, 1, 1, 1, -1, 1, -1, 1, -1, -1, -1, 1, -1])[i])) AS BIGINT),
+         CAST(list_sum(list_transform(range(1, 65), i -> xi[i] * ([1, -1, 1, -1, -1, 1, 1, 1, 1, 1, 1, -1, -1, 1, 1, -1, 1, -1, -1, -1, -1, -1, -1, 1, -1, -1, -1, 1, -1, -1, 1, -1, -1, -1, 1, -1, 1, -1, -1, -1, -1, 1, -1, 1, -1, -1, -1, 1, -1, 1, -1, 1, 1, -1, 1, -1, 1, 1, 1, -1, -1, 1, -1, 1])[i])) AS BIGINT),
+         CAST(list_sum(list_transform(range(1, 65), i -> xi[i] * ([1, -1, -1, -1, -1, -1, -1, -1, 1, 1, 1, -1, -1, -1, -1, -1, 1, -1, -1, 1, 1, -1, -1, 1, 1, -1, 1, 1, -1, -1, -1, 1, 1, -1, 1, -1, -1, 1, -1, -1, 1, 1, 1, -1, -1, -1, -1, -1, -1, 1, 1, -1, 1, -1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1])[i])) AS BIGINT)
+       ], ',')) AS proj_md5
+FROM e
+""",
         "containment_pairs": """
 WITH srcdocs AS (
   SELECT doc_id AS id, text FROM documents

@@ -104,3 +104,44 @@ def test_embedding_outliers_flags_planted_vector(spark):
     # cosine to own centroid is on the round-6 grid and within [-1, 1]
     for r in out.values():
         assert -1.0 <= r.cos_centroid <= 1.0
+
+
+def test_jl_project_distance_preservation_and_exactness(spark):
+    import math
+    import random
+
+    from transmog_spark.operators.similarity import jl_project
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r.proj for r in jl_project(
+        df, "vec_id", "embedding", dim=64, out_dim=32, seed="t"
+    ).collect()}
+    # determinism + seed sensitivity
+    out2 = {r.vec_id: r.proj for r in jl_project(
+        df, "vec_id", "embedding", dim=64, out_dim=32, seed="t"
+    ).collect()}
+    outb = {r.vec_id: r.proj for r in jl_project(
+        df, "vec_id", "embedding", dim=64, out_dim=32, seed="u"
+    ).collect()}
+    assert out == out2 and out != outb
+    # JL property: pairwise L2 distances preserved in expectation after
+    # the 1/sqrt(out_dim) normalization (loose band — random matrix)
+    def d(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    ratios = []
+    for a in range(0, 10):
+        for b in range(a + 1, 10):
+            orig = d(rows[a][1], rows[b][1])
+            proj = d(out[a], out[b]) / (1_000_000 * math.sqrt(32))
+            ratios.append(proj / orig)
+    mean = sum(ratios) / len(ratios)
+    assert 0.8 < mean < 1.2, mean
+    import pytest
+
+    with pytest.raises(ValueError):
+        jl_project(df, dim=0, out_dim=4)

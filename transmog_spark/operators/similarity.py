@@ -1638,3 +1638,69 @@ def embedding_outliers(
         z.alias("z"),
         F.coalesce(z <= F.lit(-z_threshold), F.lit(False)).alias("is_outlier"),
     )
+
+
+def jl_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    dim: int,
+    out_dim: int = 16,
+    seed: str = "jl",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection — dimensionality reduction
+    for embedding pipelines (cheaper ANN candidate generation, sketch
+    columns, privacy-lossy exports) with the JL distance-preservation
+    guarantee. The projection matrix is RADEMACHER ±1 signs drawn from a
+    seeded hash per (input_dim, output_dim) cell (Achlioptas 2003 shows
+    ±1 suffices) — no trained artifact to ship: both engines regenerate
+    the identical matrix from the seed.
+
+    Exactness: components are scaled to the 1e6 integer grid FIRST
+    (round(x·scale) as BIGINT), and each output coordinate is an exact
+    signed integer sum — zero float arithmetic anywhere, so the mirror is
+    bit-identical, not round-tolerant. Downstream cosine/L2 on the
+    projected vectors divides the scale away.
+
+    ``dim`` must be given explicitly (plan-time sign arrays are unrolled
+    per output coordinate — out_dim arrays of dim literals, the IVF/PQ
+    centroid-literal idiom). Scale shape: one narrow map pass, zero
+    shuffle, no UDF.
+
+    Output: (id, proj: array<long> of length out_dim, in the input
+    scale·component units).
+    """
+    if out_dim < 1 or dim < 1:
+        raise ValueError("dim and out_dim must be >= 1")
+    import hashlib
+
+    def _h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sign_arrays = []
+    for j in range(out_dim):
+        signs = [
+            1 if _h(f"{seed}#{i}#{j}") % 2 == 0 else -1 for i in range(dim)
+        ]
+        sign_arrays.append(signs)
+
+    xi = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale).cast("long"),
+    )
+    staged = df.select(F.col(id_col), xi.alias("__xi"))
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                F.col("__xi"),
+                F.array(*[F.lit(s) for s in sign_arrays[j]]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        for j in range(out_dim)
+    ]
+    return staged.select(F.col(id_col), F.array(*comps).alias("proj"))
