@@ -195,3 +195,16 @@ def test_c4_clean_precedence_and_counts(spark):
     out = {r.doc_id: r for r in c4_clean(df, blocklist=("bad",)).collect()}
     assert out[1].verdict == "drop_lorem"
     assert out[2].verdict == "drop_short" and out[2].n_sentences == 0
+
+
+def test_c4_clean_blocklist_metacharacters_literal(spark):
+    from transmog_spark.operators.quality import c4_clean
+
+    # 'c++' must match literally, not as a regex; and must NOT match 'c'
+    df = spark.createDataFrame(
+        [(1, "we write c++ here daily."), (2, "plain c code only here.")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.verdict for r in c4_clean(df, blocklist=("c++",), min_sentences=1).collect()}
+    assert out[1] == "drop_blocklist"
+    assert out[2] == "keep"

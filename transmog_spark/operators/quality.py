@@ -327,8 +327,19 @@ def c4_clean(
     )
     low = F.lower(F.col(text_col))
     block_hit = F.lit(False)
+    import re as _re
+
     for w in blocklist:
-        block_hit = block_hit | low.rlike(rf"\b{w}\b")
+        # escape: a blocklist entry with regex metacharacters must match
+        # literally, not alter the pattern (Python re.escape emits only
+        # backslash-escapes, which Java regex accepts identically).
+        # \b only exists between a word and a non-word char, so anchor
+        # only the edges that ARE word characters ('c++' gets a leading
+        # \b but no trailing one — there is no boundary between '+' and
+        # a following space)
+        lead = r"\b" if (w and (w[0].isalnum() or w[0] == "_")) else ""
+        trail = r"\b" if (w and (w[-1].isalnum() or w[-1] == "_")) else ""
+        block_hit = block_hit | low.rlike(f"{lead}{_re.escape(w)}{trail}")
     staged = df.select(
         F.col(id_col),
         F.size(lines).alias("n_lines"),
