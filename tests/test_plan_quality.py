@@ -247,6 +247,24 @@ def test_length_batches_single_exchange_shared_spine(spark, sf_dir):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_fim_transform_zero_exchange_no_udf(spark, sf_dir):
+    # seeded cuts + three slices + concat: one narrow per-row projection
+    plan = _plan(spark, sf_dir, "fim_transform")
+    assert _exchanges(plan) == 0
+    assert _arrow_nodes(plan) == 0
+    assert "BatchEvalPython" not in plan
+
+
+def test_token_budget_bounded_cell_frame_broadcast(spark, sf_dir):
+    # corpus scans feed a bounded (merit, hash-bucket) cell histogram; the
+    # cell frame and its cumulative decisions come back via BROADCAST —
+    # the corpus is never globally sorted
+    plan = _plan(spark, sf_dir, "token_budget")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) >= 1
+    assert _exchanges(plan) <= 4
+
+
 def test_c4_clean_zero_exchange_no_udf(spark, sf_dir):
     # the C4 line/page rules are pure Column regexps over one narrow pass
     plan = _plan(spark, sf_dir, "c4_clean")
