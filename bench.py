@@ -127,6 +127,10 @@ HEADLINE = [
     "c4_clean",
     # group-by-length batching: one shared Exchange for rank + batch max
     "length_batches",
+    # asymmetric containment near-dup pairs (min-shingle blocking + verify)
+    "containment_pairs",
+    # JL Rademacher projection: exact integer sums, one narrow map pass
+    "jl_project",
     # stage boundaries persist on first execution (see the entry docstring);
     # best-of-N then times the post-persist composed chain — the same
     # warm-index semantics as bm25_topk_indexed
