@@ -809,6 +809,38 @@ def _q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap-projection retrieval stack: JL 64->8 candidates (top-20 by
+    cosine over the EXACT-integer projected vectors — 8-dim dots stay
+    below 2^53, so both engines' doubles are bit-identical and raw
+    ranking is parity-safe) -> exact full-precision rerank to top-5
+    (operators/similarity.py:jl_project + brute_force_topk +
+    rerank_topk). The 8x-cheaper scan does candidate generation; exact
+    scoring touches only |Q|*20 vectors."""
+    from transmog_spark.operators.similarity import (
+        brute_force_topk,
+        jl_project,
+        rerank_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    proj = jl_project(e, "vec_id", "embedding", dim=64, out_dim=8, seed="r5")
+    cand = brute_force_topk(
+        proj,
+        proj.where(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="proj",
+        k=20,
+    )
+    out = rerank_topk(
+        e, e.where(F.col("vec_id") < 10), cand,
+        id_col="vec_id", vec_col="embedding", k=5,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
 def _q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss random projection
     (operators/similarity.py:jl_project): seeded Rademacher ±1 matrix over
@@ -2779,7 +2811,7 @@ def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW = [
     "wordpiece_tokenize", "fuzzy_pairs", "dedupe_fuzzy", "sft_render",
     "curation_funnel", "embedding_drift", "embedding_outliers",
-    "pack_bestfit", "ann_metrics", "token_budget", "c4_clean", "url_dedup", "length_batches", "fim_transform", "ul2_mixture", "containment_pairs", "jl_project",
+    "pack_bestfit", "ann_metrics", "token_budget", "c4_clean", "url_dedup", "length_batches", "fim_transform", "ul2_mixture", "containment_pairs", "jl_project", "jl_rerank",
     "pack_masks", "source_overlap", "kn_perplexity", "scd2_intervals",
     "ppl_buckets", "media_resize", "quality_report",
     "contamination_report", "leakage_folds", "tokenizer_fertility",
@@ -2881,6 +2913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": _q_token_budget,
         "c4_clean": _q_c4_clean,
         "jl_project": _q_jl_project,
+        "jl_rerank": _q_jl_rerank,
         "containment_pairs": _q_containment_pairs,
         "ul2_mixture": _q_ul2_mixture,
         "fim_transform": _q_fim_transform,
@@ -3998,6 +4031,32 @@ FROM documents GROUP BY 1
         "diverse_sample": diverse_sample_sql(
             nlist=16, refine_iterations=1, dim=64, per_cell=5, lam=0.5
         ),
+        "jl_rerank": rerank_topk_sql("""
+WITH ev AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS xi
+  FROM embeddings),
+pr AS (
+  SELECT vec_id, [
+         CAST(list_sum(list_transform(range(1, 65), i -> xi[i] * ([1, -1, 1, 1, 1, 1, -1, 1, 1, 1, 1, 1, 1, 1, -1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, 1, 1, 1, 1, -1, -1, 1, 1, -1, 1, -1, 1, -1, -1, 1, -1, -1, 1, 1, 1, -1, -1, -1, -1, 1, 1, -1, -1, 1, -1, 1, 1, 1, -1, -1, -1, -1, 1, 1])[i])) AS DOUBLE),
+         CAST(list_sum(list_transform(range(1, 65), i -> xi[i] * ([-1, -1, -1, 1, 1, 1, -1, -1, 1, -1, 1, -1, 1, -1, 1, 1, 1, -1, 1, 1, -1, -1, -1, 1, 1, -1, -1, -1, 1, 1, -1, 1, 1, 1, -1, 1, -1, 1, -1, 1, -1, 1, 1, -1, -1, 1, -1, -1, -1, 1, 1, 1, -1, 1, 1, 1, -1, 1, -1, -1, 1, 1, 1, -1])[i])) AS DOUBLE),
+         CAST(list_sum(list_transform(range(1, 65), i -> xi[i] * ([1, -1, 1, -1, -1, -1, -1, 1, 1, -1, -1, -1, 1, -1, 1, 1, 1, -1, 1, -1, -1, -1, 1, -1, 1, -1, -1, 1, 1, -1, 1, -1, -1, -1, -1, -1, 1, -1, -1, -1, -1, 1, -1, 1, 1, 1, -1, 1, -1, 1, -1, 1, 1, 1, -1, 1, 1, 1, 1, -1, 1, -1, -1, 1])[i])) AS DOUBLE),
+         CAST(list_sum(list_transform(range(1, 65), i -> xi[i] * ([1, 1, -1, -1, -1, -1, 1, 1, -1, 1, -1, -1, 1, 1, -1, 1, 1, 1, -1, -1, -1, -1, -1, 1, -1, -1, 1, -1, -1, -1, -1, 1, 1, -1, 1, 1, 1, 1, -1, -1, -1, 1, 1, -1, -1, 1, -1, -1, -1, 1, -1, -1, 1, -1, -1, 1, -1, -1, -1, 1, -1, -1, -1, -1])[i])) AS DOUBLE),
+         CAST(list_sum(list_transform(range(1, 65), i -> xi[i] * ([-1, 1, -1, -1, -1, 1, -1, 1, -1, 1, -1, -1, 1, 1, -1, -1, -1, 1, 1, -1, 1, 1, -1, 1, -1, -1, 1, -1, -1, 1, -1, 1, -1, -1, 1, -1, -1, -1, 1, 1, -1, -1, -1, -1, 1, 1, -1, -1, 1, 1, -1, 1, -1, -1, 1, 1, -1, 1, 1, 1, 1, -1, -1, -1])[i])) AS DOUBLE),
+         CAST(list_sum(list_transform(range(1, 65), i -> xi[i] * ([1, 1, 1, -1, -1, -1, -1, -1, -1, 1, 1, 1, -1, -1, -1, -1, 1, 1, -1, -1, 1, -1, 1, 1, 1, -1, -1, -1, -1, 1, -1, 1, -1, 1, -1, -1, -1, -1, -1, 1, -1, -1, 1, -1, -1, -1, -1, 1, -1, 1, -1, -1, 1, 1, 1, -1, 1, -1, 1, -1, -1, -1, 1, -1])[i])) AS DOUBLE),
+         CAST(list_sum(list_transform(range(1, 65), i -> xi[i] * ([1, -1, 1, -1, -1, 1, 1, 1, 1, 1, 1, -1, -1, 1, 1, -1, 1, -1, -1, -1, -1, -1, -1, 1, -1, -1, -1, 1, -1, -1, 1, -1, -1, -1, 1, -1, 1, -1, -1, -1, -1, 1, -1, 1, -1, -1, -1, 1, -1, 1, -1, 1, 1, -1, 1, -1, 1, 1, 1, -1, -1, 1, -1, 1])[i])) AS DOUBLE),
+         CAST(list_sum(list_transform(range(1, 65), i -> xi[i] * ([1, -1, -1, -1, -1, -1, -1, -1, 1, 1, 1, -1, -1, -1, -1, -1, 1, -1, -1, 1, 1, -1, -1, 1, 1, -1, 1, 1, -1, -1, -1, 1, 1, -1, 1, -1, -1, 1, -1, -1, 1, 1, 1, -1, -1, -1, -1, -1, -1, 1, 1, -1, 1, -1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1])[i])) AS DOUBLE)
+       ] AS p
+  FROM ev),
+qs AS (SELECT vec_id AS query_id, p AS qp FROM pr WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qp, c.p) AS cos,
+         row_number() OVER (PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.qp, c.p) DESC, c.vec_id) AS rn
+  FROM qs q JOIN pr c ON c.vec_id <> q.query_id)
+SELECT query_id, neighbor_id FROM scored WHERE rn <= 20
+""", query_filter="vec_id < 10", k=5),
         "rerank_topk": rerank_topk_sql(
             ivfpq_topk_sql(
                 query_filter="vec_id < 10", k=40, dim=64, nlist=16, nprobe=4,
