@@ -145,3 +145,30 @@ def test_jl_project_distance_preservation_and_exactness(spark):
 
     with pytest.raises(ValueError):
         jl_project(df, dim=0, out_dim=4)
+
+
+def test_jl_rerank_stack_composes(spark):
+    from pyspark.sql import functions as F
+
+    from transmog_spark.operators.similarity import (
+        brute_force_topk,
+        jl_project,
+        rerank_topk,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    proj = jl_project(df, "vec_id", "embedding", dim=16, out_dim=8, seed="t")
+    cand = brute_force_topk(
+        proj, proj.where(F.col("vec_id") < 5), id_col="vec_id", vec_col="proj", k=15
+    )
+    out = rerank_topk(
+        df, df.where(F.col("vec_id") < 5), cand, id_col="vec_id", vec_col="embedding", k=3
+    )
+    rows_out = out.collect()
+    assert {r.query_id for r in rows_out} == set(range(5))
+    for r in rows_out:
+        assert 1 <= r.rank <= 3 and r.neighbor_id != r.query_id
