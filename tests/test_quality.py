@@ -208,3 +208,23 @@ def test_c4_clean_blocklist_metacharacters_literal(spark):
     out = {r.doc_id: r.verdict for r in c4_clean(df, blocklist=("c++",), min_sentences=1).collect()}
     assert out[1] == "drop_blocklist"
     assert out[2] == "keep"
+
+
+def test_curation_funnel_tokens_conserved_by_packing(spark, sf_dir):
+    # cross-operator invariant: the funnel's final-stage token total must
+    # equal the packing flagship's total span length — pack_concat
+    # CONSERVES tokens exactly (every kept token lands in exactly one span)
+    import pyspark.sql.functions as SF
+
+    import __spark_entry__ as entrymod
+
+    funnel = {
+        r.stage: r
+        for r in entrymod.queries()["curation_funnel"](spark, sf_dir).collect()
+    }
+    packed_tokens = (
+        entrymod.queries()["curation_pipeline"](spark, sf_dir)
+        .agg(SF.sum("span_len"))
+        .collect()[0][0]
+    )
+    assert funnel["span_stripped"].n_tokens == packed_tokens
