@@ -1000,3 +1000,41 @@ def test_token_budget_select_hash_order_and_exact_budget(spark):
 
     with pytest.raises(ValueError):
         token_budget_select(df, "doc_id", "n_tok", budget=-1)
+
+
+def test_token_budget_driver_row_tight_and_bounded(spark, sf_dir):
+    # the driver row's selected set must fit the 12k budget AND be maximal
+    # for its prefix order: the gap to the budget is smaller than the
+    # largest selectable document (otherwise the prefix stopped early)
+    import pyspark.sql.functions as SF
+
+    import __spark_entry__ as entrymod
+
+    out = entrymod.queries()["token_budget"](spark, sf_dir)
+    sel = out.where("selected")
+    total = sel.agg(SF.sum("n_tok")).collect()[0][0]
+    assert total <= 12_000
+    biggest = out.agg(SF.max("n_tok")).collect()[0][0]
+    assert 12_000 - total < biggest
+
+
+def test_url_dedup_driver_row_one_keeper_per_url(spark, sf_dir):
+    import pyspark.sql.functions as SF
+
+    import __spark_entry__ as entrymod
+
+    out = entrymod.queries()["url_dedup"](spark, sf_dir)
+    n_urls = out.select("norm_url").distinct().count()
+    n_kept = out.where("kept").count()
+    assert n_kept == n_urls  # exactly one keeper per canonical URL
+    # keeper is the min doc_id of its group
+    bad = (
+        out.groupBy("norm_url")
+        .agg(
+            SF.min("doc_id").alias("mn"),
+            SF.min(SF.when(SF.col("kept"), SF.col("doc_id"))).alias("kp"),
+        )
+        .where("mn <> kp")
+        .count()
+    )
+    assert bad == 0
