@@ -809,6 +809,17 @@ def _q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cos_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cosine-spectrum histogram
+    (operators/similarity.py:cosine_spectrum): deterministic id-shift
+    pair sampling at strides 1/7/101, round-6 cosines bucketed on exact
+    integers — the isotropy diagnostic run before picking an ANN tier."""
+    from transmog_spark.operators.similarity import cosine_spectrum
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_spectrum(e, "vec_id", "embedding", strides=(1, 7, 101))
+
+
 def _q_jl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cheap-projection retrieval stack: JL 64->8 candidates (top-20 by
     cosine over the EXACT-integer projected vectors — 8-dim dots stay
@@ -2811,7 +2822,7 @@ def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW = [
     "wordpiece_tokenize", "fuzzy_pairs", "dedupe_fuzzy", "sft_render",
     "curation_funnel", "embedding_drift", "embedding_outliers",
-    "pack_bestfit", "ann_metrics", "token_budget", "c4_clean", "url_dedup", "length_batches", "fim_transform", "ul2_mixture", "containment_pairs", "jl_project", "jl_rerank",
+    "pack_bestfit", "ann_metrics", "token_budget", "c4_clean", "url_dedup", "length_batches", "fim_transform", "ul2_mixture", "containment_pairs", "jl_project", "jl_rerank", "cos_spectrum",
     "pack_masks", "source_overlap", "kn_perplexity", "scd2_intervals",
     "ppl_buckets", "media_resize", "quality_report",
     "contamination_report", "leakage_folds", "tokenizer_fertility",
@@ -2914,6 +2925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": _q_c4_clean,
         "jl_project": _q_jl_project,
         "jl_rerank": _q_jl_rerank,
+        "cos_spectrum": _q_cos_spectrum,
         "containment_pairs": _q_containment_pairs,
         "ul2_mixture": _q_ul2_mixture,
         "fim_transform": _q_fim_transform,
@@ -3381,6 +3393,20 @@ FROM docs GROUP BY 1
         "span_corruption": span_corruption_sql(seed="r5"),
         "mlm_mask": mlm_mask_sql(seed="r5"),
         "wordpiece_tokenize": wordpiece_tokenize_sql(_wp_seed_vocab()),
+        "cos_spectrum": """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+pairs AS (
+  SELECT s.stride, a.vec_id,
+         CAST(round(list_cosine_similarity(a.v, b.v) * 1000000) AS BIGINT) AS c6
+  FROM (VALUES (1), (7), (101)) s(stride)
+  JOIN e a ON TRUE
+  JOIN e b ON b.vec_id = a.vec_id + s.stride)
+SELECT stride,
+       round(CAST(floor(c6 / 50000.0) AS BIGINT) * 50000 / 1000000.0, 6) AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs
+GROUP BY stride, floor(c6 / 50000.0)
+""",
         "jl_project": """
 WITH e AS (
   SELECT vec_id,

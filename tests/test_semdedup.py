@@ -172,3 +172,31 @@ def test_jl_rerank_stack_composes(spark):
     assert {r.query_id for r in rows_out} == set(range(5))
     for r in rows_out:
         assert 1 <= r.rank <= 3 and r.neighbor_id != r.query_id
+
+
+def test_cosine_spectrum_buckets_and_structure(spark):
+    import pytest
+
+    from transmog_spark.operators.similarity import cosine_spectrum
+
+    # two tight clusters along +x and +y: stride-1 pairs alternate between
+    # same-cluster (cos ~1) and cross-cluster (cos ~0) -> bimodal spectrum
+    rows = []
+    for i in range(40):
+        v = [1.0, 0.001 * (i % 3), 0.0] if i % 2 == 0 else [0.001 * (i % 3), 1.0, 0.0]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = cosine_spectrum(df, strides=(1, 2), bucket_width=0.5).collect()
+    hist = {}
+    for r in out:
+        hist[(r.stride, r.bucket_lo)] = r.n_pairs
+    # stride 1 = always cross-cluster (near 0); stride 2 = same cluster (~1)
+    assert hist[(1, 0.0)] == 39
+    # cos == 1.0 rounds into the bucket starting at 1.0
+    assert hist[(2, 1.0)] + hist.get((2, 0.5), 0) == 38
+    assert (2, 0.0) not in hist
+    # pair counts: n - stride per stride
+    assert sum(n for (s, _), n in hist.items() if s == 1) == 39
+    assert sum(n for (s, _), n in hist.items() if s == 2) == 38
+    with pytest.raises(ValueError):
+        cosine_spectrum(df, bucket_width=0)

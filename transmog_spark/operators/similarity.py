@@ -1704,3 +1704,68 @@ def jl_project(
         for j in range(out_dim)
     ]
     return staged.select(F.col(id_col), F.array(*comps).alias("proj"))
+
+
+def cosine_spectrum(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    strides: tuple[int, ...] = (1, 7, 101),
+    bucket_width: float = 0.05,
+) -> DataFrame:
+    """Pairwise cosine-spectrum histogram — the corpus ISOTROPY diagnostic
+    this engine's own ANN analyses lean on (BENCH/ann.md: a flat spectrum
+    means no cluster structure, so IVF/PQ/JL candidate tiers pay their
+    information-theoretic floor; a multi-modal spectrum means bucketing
+    tiers will work). Run it BEFORE choosing an index tier or a SemDeDup
+    threshold.
+
+    Sampling is deterministic id-shift pairing — vector k pairs with
+    k + stride for each configured stride — so the sample is O(n·|strides|)
+    pairs (never the n² matrix), reproducible on any cluster size, and
+    stride diversity breaks any id-locality correlation. Cosines land on
+    the round-6 grid, then bucket on EXACT integers (floor(c6 / w6) with
+    w6 = bucket_width·1e6) — engine-identical bucketing with no float
+    boundary risk.
+
+    Output: (stride, bucket_lo, n_pairs) — bucket_lo is the bucket's
+    inclusive lower cosine bound, round-6.
+
+    Scale shape: |strides| self-joins on the shifted id (AQE-broadcast at
+    probe scale, hash joins at corpus scale), one map-side-combined
+    groupBy of (stride, bucket) — the histogram frame is ~|strides|·(2/w)
+    rows.
+    """
+    if bucket_width <= 0 or bucket_width > 2:
+        raise ValueError("bucket_width must be in (0, 2]")
+    w6 = round(bucket_width * 1_000_000)
+    a = df.select(F.col(id_col).alias("__ia"), F.col(vec_col).alias("__va"))
+    outs = []
+    for s in strides:
+        b = df.select(
+            (F.col(id_col) - F.lit(s)).alias("__ia"),
+            F.col(vec_col).alias("__vb"),
+        )
+        c6 = F.round(cosine_sim(F.col("__va"), F.col("__vb")) * 1_000_000).cast(
+            "long"
+        )
+        outs.append(
+            a.join(b, "__ia")
+            .select(
+                F.lit(s).alias("stride"),
+                F.floor(c6 / F.lit(w6)).cast("long").alias("__bk"),
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return (
+        u.groupBy("stride", "__bk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "stride",
+            F.round(F.col("__bk") * w6 / 1_000_000, 6).alias("bucket_lo"),
+            "n_pairs",
+        )
+    )
