@@ -53,6 +53,25 @@ DEFAULT_HASH_BLOCKS = 1024
 _NUMERIC_ID_TYPES = {"tinyint", "smallint", "int", "bigint", "long"}
 
 
+def _slot_partitioned(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-partition a frame by ``keys`` into defaultParallelism
+    partitions ahead of a Python-batched (applyInPandas) stage.
+
+    AQE's size-based coalescing targets shuffle BYTES (~64 MB advisory),
+    which is mis-calibrated for Python-bound stages: a few hundred KB of
+    block metadata coalesces to ONE post-shuffle partition and the whole
+    Arrow/pandas pass runs on one core (measured: pack_greedy 3.0s → the
+    applyInPandas ran single-partition at bench scale).  A user-specified
+    repartition count is exempt from AQE coalescing, so the stage always
+    gets one partition per scheduler slot; at production data volumes the
+    same count spreads the same way — partitioning a Python stage by
+    available slots, not by shuffle bytes, is the right call at any scale
+    (Python throughput per core, not shuffle read, is the bottleneck).
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, *[F.col(k) for k in keys])
+
+
 def _blocked(
     df: DataFrame, id_col: str, block_rows: int, hash_blocks: int
 ) -> DataFrame:
@@ -217,7 +236,11 @@ def pack_greedy(
         out["seq_offset"] = offs
         return out
 
-    packed = b.groupBy(source_col, "block").applyInPandas(fill, schema=schema)
+    packed = (
+        _slot_partitioned(b, source_col, "block")
+        .groupBy(source_col, "block")
+        .applyInPandas(fill, schema=schema)
+    )
     return packed.select(
         source_col,
         F.col("block").cast("long"),
@@ -722,7 +745,11 @@ def pack_bestfit(
         out["seq_offset"] = offs
         return out
 
-    packed = b.groupBy(source_col, "block").applyInPandas(fill, schema=schema)
+    packed = (
+        _slot_partitioned(b, source_col, "block")
+        .groupBy(source_col, "block")
+        .applyInPandas(fill, schema=schema)
+    )
     return packed.select(
         source_col,
         F.col("block").cast("long"),

@@ -466,8 +466,15 @@ def mmr_topk(
             T.StructField("rank", T.IntegerType()),
         ]
     )
+    # slot-partition ahead of the Python-batched stage: AQE's size-based
+    # coalescing would funnel the tiny pool into ONE post-shuffle
+    # partition and serialize the per-group greedy (packing._slot_partitioned
+    # rationale; user-specified counts are exempt from coalescing)
+    from transmog_spark.operators.packing import _slot_partitioned
+
     return (
-        pool.groupBy("__g")
+        _slot_partitioned(pool, "__g")
+        .groupBy("__g")
         .applyInPandas(_mmr_greedy_fn(k, lam), schema=out_schema)
         .select(
             F.col("__g").alias("query_id"),
@@ -530,8 +537,11 @@ def diverse_sample(
             T.StructField("rank", T.IntegerType()),
         ]
     )
+    from transmog_spark.operators.packing import _slot_partitioned
+
     return (
-        pool.groupBy("__g")
+        _slot_partitioned(pool, "__g")
+        .groupBy("__g")
         .applyInPandas(_mmr_greedy_fn(per_cell, lam), schema=out_schema)
         .select(
             F.col("__g").alias("cluster_id"),
@@ -988,22 +998,50 @@ def semdedup(
             refine_iterations=refine_iterations,
         )
 
+    # Per-pair work minimized (guide §1.2 "per-task work"): each side
+    # precomputes its vector NORM once per row — cosine_sim would refold
+    # both norms per PAIR (3 full-dim folds/pair instead of 1).  The fold
+    # is the exact expression cosine_sim uses, so dot/(nx·ny) is
+    # IEEE-identical to the original cosine_sim(x, y).
+    def _norm(vec: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                vec, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+            )
+        )
+
     x = assigned.select(
         F.col("vec_id").alias("__xid"), F.col("__cv").alias("__xv"),
         "cluster_id", F.col("cent_sim").alias("__xs"),
+        _norm(F.col("__cv")).alias("__xn"),
     )
     y = assigned.select(
         F.col("vec_id").alias("__yid"), F.col("__cv").alias("__yv"),
         "cluster_id", F.col("cent_sim").alias("__ys"),
+        _norm(F.col("__cv")).alias("__yn"),
     )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("__xv"), F.col("__yv"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pair_sim = F.when(
+        (F.col("__xn") > 0) & (F.col("__yn") > 0),
+        dot / (F.col("__xn") * F.col("__yn")),
+    ).otherwise(F.lit(0.0))
     dropped = (
         x.join(y, "cluster_id")
-        .where(F.col("__xid") != F.col("__yid"))
-        .where(F.round(cosine_sim(F.col("__xv"), F.col("__yv")), 6) >= threshold)
+        # the cheap lexicographic keep-rule predicate FIRST: it keeps
+        # exactly the ordered half of each pair (strict <, so it also
+        # implies xid != yid) and halves the full-dim dot evaluations
         .where(
             (F.col("__ys") < F.col("__xs"))
             | ((F.col("__ys") == F.col("__xs")) & (F.col("__yid") < F.col("__xid")))
         )
+        .where(F.round(pair_sim, 6) >= threshold)
         .select(F.col("__xid").alias("vec_id"))
         .distinct()
     )

@@ -54,6 +54,16 @@ def duplicate_spans(
     g = df.select(F.col(id_col), F.posexplode(grams).alias("__p", "__g")).select(
         id_col, "__p", md5_long(F.col("__g")).alias("__gh")
     )
+    # ONE shared gram-stream exchange (guide §2.4): the count branch and
+    # the flag branch both need the stream hashed by __gh, but a plain
+    # groupBy puts a partial aggregate BELOW its exchange, so the two
+    # exchange subtrees differ and ReuseExchange cannot fire — the whole
+    # tokenize→ngram→md5 construction (the expensive pass) used to run
+    # TWICE.  An explicit hash repartition on __gh gives both branches a
+    # byte-identical exchange child: the aggregate runs post-shuffle and
+    # the join probes the same exchange via ReuseExchange.  The join
+    # SHAPE stays (AQE still broadcast-sizes the dup side / splits skew).
+    g = g.repartition("__gh")
     dup = (
         g.groupBy("__gh")
         .agg(F.count(F.lit(1)).alias("__c"))
