@@ -217,11 +217,13 @@ def ngram_jaccard_pairs(
     capped = minh.withColumn("__bn", F.row_number().over(wb)).where(F.col("__bn") <= max_bucket)
     a = capped.select("__minh", F.col("__id").alias("id_a"))
     b = capped.select("__minh", F.col("__id").alias("id_b"))
+    # each doc sits in exactly ONE block (its global min-shingle hash is a
+    # per-doc scalar), so a pair can only form once — no dedup exchange
+    # needed, unlike multi-band LSH
     cand = (
         a.join(b, "__minh")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     return (
         cand.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
@@ -834,11 +836,13 @@ def containment_pairs(
     )
     a = capped.select("__minh", F.col("__id").alias("id_a"))
     b = capped.select("__minh", F.col("__id").alias("id_b"))
+    # each doc sits in exactly ONE block (its global min-shingle hash is a
+    # per-doc scalar), so a pair can only form once — no dedup exchange
+    # needed, unlike multi-band LSH
     cand = (
         a.join(b, "__minh")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     j = cand.join(
         sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a"
