@@ -17,16 +17,21 @@ from pyspark.sql import functions as F
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
-# Tables whose consumers do heavy per-row map work (shingling, token
-# explodes, vector folds) before their first exchange. See ``_t``.
-_SPREAD_TABLES = {"documents", "embeddings"}
+# Tables whose consumers ALWAYS do heavy per-row map work (vector folds)
+# before their first exchange. See ``_t``; ``documents`` consumers opt in
+# per call site instead (measured: the extra exchange costs ~0.2-0.5 s of
+# stage/AQE barrier per query, which light column-expression consumers
+# never earn back — r6 A/B, OPTIMIZATION_r06.md).
+_SPREAD_TABLES = {"embeddings"}
 
 # (sf_dir, table) -> scan partition count, probed once per session (split
 # planning only — no job runs).
 _SCAN_PARTS: dict[tuple[str, str], int] = {}
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool | None = None
+) -> DataFrame:
     """Read a driver table, scale-adaptively spreading tiny scans.
 
     The bench/test parquet files are single row groups, so their scans are
@@ -40,9 +45,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     shuffle. Values are partition-independent by engine-wide contract
     (hash/scaled-integer keys, rounded grids — the DuckDB oracle gate
     re-verifies this at sf0.01 under the spread).
+
+    ``spread=None`` means the table default (embeddings: yes — every
+    consumer folds full vectors per row; others: no). Call sites whose
+    pre-exchange map pass is heavy (per-shingle md5, tagged gram explodes,
+    Arrow-batched encoders) pass ``spread=True``; light column-expression
+    consumers keep the scan-aligned single-stage shape.
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in _SPREAD_TABLES:
+    if spread is None:
+        spread = name in _SPREAD_TABLES
+    if spread:
         par = spark.sparkContext.defaultParallelism
         key = (sf_dir, name)
         n = _SCAN_PARTS.get(key)
@@ -401,7 +414,7 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transmog_spark.operators.dedup import minhash_near_duplicates
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return minhash_near_duplicates(
         d, "doc_id", "text", shingle_n=3, num_hashes=8, bands=4, threshold=0.2, max_bucket=500
     )
@@ -410,21 +423,21 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transmog_spark.operators.dedup import ngram_jaccard_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.15, max_bucket=500)
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transmog_spark.operators.dedup import simhash_frame
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return simhash_frame(d, "doc_id", "text", bits=32)
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transmog_spark.operators.dedup import simhash_near_duplicates
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return simhash_near_duplicates(
         d, "doc_id", "text", bits=32, max_hamming=3, band_bits=8, max_bucket=1000
     )
@@ -500,7 +513,7 @@ def _q_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transmog_spark.operators.text import text_profile
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return text_profile(d, "doc_id", "text")
 
 
@@ -510,7 +523,7 @@ def _q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio gates miss; scaled-integer ln grid for cross-engine parity."""
     from transmog_spark.operators.text import entropy_profile
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return entropy_profile(d, "doc_id", "text")
 
 
@@ -612,7 +625,7 @@ def _q_boundary_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     5th token, shared with the oracle). Entirely per-row: zero shuffles."""
     from transmog_spark.operators.packing import boundary_chunks
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     sp = F.split(F.col("text"), " ")
     txt = F.array_join(
         F.zip_with(
@@ -665,7 +678,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_report): which quality rule rejects how much of each source."""
     from transmog_spark.operators.quality import quality_report
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return quality_report(d, "doc_id", "text", source_col="source")
 
 
@@ -675,7 +688,7 @@ def _q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged above contamination 0."""
     from transmog_spark.operators.corpus import contamination_report
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     bench = d.where(F.col("doc_id") % 97 == 0)
     corpus = d.where(F.col("doc_id") % 97 != 0)
     return contamination_report(corpus, bench, n=3)
@@ -687,7 +700,7 @@ def _q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     in fixed precedence; each doc gets 'keep' or the first failing rule."""
     from transmog_spark.operators.quality import quality_gate
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return quality_gate(d, "doc_id", "text")
 
 
@@ -795,7 +808,7 @@ def _q_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     piece streams across engines."""
     from transmog_spark.operators.wordpiece import seed_wp_vocab, wordpiece_tokenize
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return wordpiece_tokenize(d, list(seed_wp_vocab()), "doc_id", "text")
 
 
@@ -911,7 +924,7 @@ def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transmog_spark.operators.dedup import containment_pairs
     from transmog_spark.operators.text import ws_tokens
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     quotes = d.where(F.col("doc_id") % 11 == 0).select(
         (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
         F.array_join(F.slice(ws_tokens(F.col("text")), 1, 24), " ").alias("text"),
@@ -1017,7 +1030,7 @@ def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transmog_spark.operators.quality import c4_clean
     from transmog_spark.operators.text import ws_tokens
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     tk = ws_tokens(F.col("text"))
 
     def line(i):
@@ -1081,7 +1094,7 @@ def _q_dedupe_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair join with the recursive-CTE components mirror."""
     from transmog_spark.operators.editsim import dedupe_fuzzy
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     base = d.select(F.col("doc_id"), F.substring("text", 1, 24).alias("key"))
     mut = d.where(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
@@ -1125,7 +1138,7 @@ def _q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan memoized: the PassJoin probe unroll (75 segment keys/string)
     # is ~0.7s of identical per-call plan derivation (bench_extra `build`)
     def _build() -> DataFrame:
-        d = _t(spark, sf_dir, "documents")
+        d = _t(spark, sf_dir, "documents", spread=True)
         base = d.select(
             F.col("doc_id"), F.substring("text", 1, 24).alias("key")
         )
@@ -1178,7 +1191,7 @@ def _q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE encoder produced byte-identical subword sequences."""
     from transmog_spark.operators.bpe import bpe_tokenize, seed_merges
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return bpe_tokenize(d, list(seed_merges()), "doc_id", "text")
 
 
@@ -1387,7 +1400,7 @@ def _minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _PAIRS_CACHE:
         from transmog_spark.operators.dedup import minhash_near_duplicates
 
-        d = _t(spark, sf_dir, "documents")
+        d = _t(spark, sf_dir, "documents", spread=True)
         _PAIRS_CACHE[key] = minhash_near_duplicates(
             d, "doc_id", "text", shingle_n=3, num_hashes=8, bands=4,
             threshold=0.2, max_bucket=500,
@@ -1723,7 +1736,7 @@ def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc token spans covered by corpus-wide >=2x 8-grams."""
     from transmog_spark.operators.spans import duplicate_spans
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return duplicate_spans(d, "doc_id", "text", n=8, min_count=2)
 
 
@@ -1733,7 +1746,7 @@ def _q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     token covered by a duplicated span."""
     from transmog_spark.operators.spans import strip_duplicate_spans
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return strip_duplicate_spans(d, "doc_id", "text", n=8, min_count=2)
 
 
@@ -2075,7 +2088,7 @@ def _minhash_index_cached(spark: SparkSession, sf_dir: str) -> str:
             minhash_index_update,
         )
 
-        d = _t(spark, sf_dir, "documents")
+        d = _t(spark, sf_dir, "documents", spread=True)
         store = d.where(F.col("doc_id") % 2 == 0)
         path = tempfile.mkdtemp(prefix="tmg_mhidx_")
         minhash_index(store.where(F.col("doc_id") % 4 == 0), path)
@@ -2097,7 +2110,7 @@ def _q_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Plan memoized: the probe band frame's signature tree re-derives
     # identically per call (~0.5s driver time, bench_extra `build`).
     def _build() -> DataFrame:
-        d = _t(spark, sf_dir, "documents")
+        d = _t(spark, sf_dir, "documents", spread=True)
         probe = d.where(F.col("doc_id") % 2 == 1)
         return minhash_probe(
             spark, _minhash_index_cached(spark, sf_dir), probe,
@@ -2140,7 +2153,7 @@ def _q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transmog_spark.operators.winnow import winnow_fingerprints
 
     return winnow_fingerprints(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", k=5, w=4
+        _t(spark, sf_dir, "documents", spread=True), "doc_id", "text", k=5, w=4
     )
 
 
@@ -2151,7 +2164,7 @@ def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transmog_spark.operators.winnow import winnow_pairs
 
     return winnow_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        _t(spark, sf_dir, "documents", spread=True), "doc_id", "text",
         k=5, w=4, min_shared=2, max_bucket=500,
     )
 
@@ -2206,7 +2219,7 @@ def _q_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transmog_spark.operators.hashfeat import hash_features
 
     return hash_features(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", dim=64, seed=1
+        _t(spark, sf_dir, "documents", spread=True), "doc_id", "text", dim=64, seed=1
     )
 
 
@@ -2217,7 +2230,7 @@ def _q_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transmog_spark.operators.hashfeat import hashed_cosine_topk
 
     return hashed_cosine_topk(
-        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        _t(spark, sf_dir, "documents", spread=True), "doc_id", "text",
         dim=64, seed=1, query_filter="doc_id < 5", k=5,
     )
 
@@ -2551,7 +2564,7 @@ def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     source pair — the is-this-source-a-mirror telemetry."""
     from transmog_spark.operators.corpus import source_overlap
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return source_overlap(d, "doc_id", "text", "source", shingle_n=3)
 
 
@@ -2686,7 +2699,7 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the held-out benchmark slice (doc_id % 97 == 0)."""
     from transmog_spark.operators.corpus import decontaminate
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     bench = d.where(F.col("doc_id") % 97 == 0)
     corpus = d.where(F.col("doc_id") % 97 != 0)
     return decontaminate(corpus, bench, n=3)
@@ -2697,7 +2710,7 @@ def _q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     per corpus doc (benchmark = doc_id % 97 == 0 slice)."""
     from transmog_spark.operators.corpus import decontaminate_fuzzy
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     bench = d.where(F.col("doc_id") % 97 == 0)
     corpus = d.where(F.col("doc_id") % 97 != 0)
     return decontaminate_fuzzy(corpus, bench, shingle_n=3, threshold=0.5)
@@ -2708,7 +2721,7 @@ def _q_vocab_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     the data-mixing / domain-shift telemetry number."""
     from transmog_spark.operators.lm import vocab_kl
 
-    return vocab_kl(_t(spark, sf_dir, "documents"))
+    return vocab_kl(_t(spark, sf_dir, "documents", spread=True))
 
 
 def _q_alpha_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2756,7 +2769,7 @@ def _q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows are identical by construction."""
     from transmog_spark.operators.nb import nb_classify, nb_model
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _NB_MODEL_CACHE:
         tok_lp, classes = nb_model(d)
@@ -2777,7 +2790,7 @@ def _q_nb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     'src0' with >= 0.5 nats of margin over the runner-up class."""
     from transmog_spark.operators.nb import nb_gate
 
-    return nb_gate(_t(spark, sf_dir, "documents"), target="src0", min_margin=0.5)
+    return nb_gate(_t(spark, sf_dir, "documents", spread=True), target="src0", min_margin=0.5)
 
 
 def _q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2785,7 +2798,7 @@ def _q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     telemetry before the classifier gates anything (diagonal = recall)."""
     from transmog_spark.operators.nb import nb_confusion
 
-    return nb_confusion(_t(spark, sf_dir, "documents"))
+    return nb_confusion(_t(spark, sf_dir, "documents", spread=True))
 
 
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2793,7 +2806,7 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated 3-gram fractions) per document."""
     from transmog_spark.operators.text import repetition_profile
 
-    return repetition_profile(_t(spark, sf_dir, "documents"))
+    return repetition_profile(_t(spark, sf_dir, "documents", spread=True))
 
 
 MIX_WEIGHTS = {"src0": 2.5, "src1": 0.5, "src2": 0.0}
@@ -2845,7 +2858,7 @@ def _curation_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
     from transmog_spark.operators.quality import quality_gate
     from transmog_spark.operators.spans import strip_duplicate_spans
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     bench = d.where(F.col("doc_id") % 97 == 0)
     corpus = d.where(F.col("doc_id") % 97 != 0)
     qg = quality_gate(d).where(F.col("verdict") == "keep").select("doc_id")
