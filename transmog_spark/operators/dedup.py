@@ -180,10 +180,17 @@ def minhash_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
     )
     # verify only the (small) candidate set with exact Jaccard: two joins
-    # back to the per-doc shingle arrays
+    # back to the per-doc shingle arrays. BROADCAST THE CANDIDATE SIDE
+    # (bounded by the max_bucket cap) — left to size estimates the planner
+    # broadcasts the shingle frame instead, which rebuilds the whole
+    # text->shingle pass single-threaded inside each BroadcastExchange
+    # and is the wrong side at any scale (guide §3.1).
+    with_a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")).join(
+        F.broadcast(cand), "id_a"
+    )
     pairs = (
-        cand.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+        sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+        .join(F.broadcast(with_a), "id_b")
         .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
         .where(F.col("jaccard_sim") >= threshold)
     )
@@ -225,9 +232,14 @@ def ngram_jaccard_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
+    # broadcast the capped candidate side, probe the shared shingle
+    # exchange (see minhash_near_duplicates rationale)
+    with_a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")).join(
+        F.broadcast(cand), "id_a"
+    )
     return (
-        cand.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+        sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+        .join(F.broadcast(with_a), "id_b")
         .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
         .where(F.col("jaccard_sim") >= threshold)
     )
@@ -844,10 +856,13 @@ def containment_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    j = cand.join(
-        sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a"
-    ).join(
-        sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b"
+    # broadcast the capped candidate side, probe the shared shingle
+    # exchange (see minhash_near_duplicates rationale)
+    with_a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")).join(
+        F.broadcast(cand), "id_a"
+    )
+    j = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")).join(
+        F.broadcast(with_a), "id_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     c_ab = F.when(
