@@ -141,8 +141,12 @@ def test_minhash_shuffles_longs_not_shingles(spark, sf_dir):
 
 
 def test_whole_stage_codegen_everywhere(spark, sf_dir):
-    # AQE hides codegen until the final plan; disable it for this check
+    # AQE hides codegen until the final plan; disable it for this check.
+    # The prepared-plan registry cache (entry `_prepared`) would hand back
+    # frames whose physical plan was already derived under AQE, so clear
+    # it on both sides of the conf toggle to plan fresh each way.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    entrymod._PLAN_CACHE.clear()
     try:
         for q in ("tpch_q1", "lag_lead", "event_type_stats"):
             plan = _plan(spark, sf_dir, q, mode="codegen")
@@ -150,6 +154,7 @@ def test_whole_stage_codegen_everywhere(spark, sf_dir):
             assert m and int(m.group(1)) >= 1, q
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        entrymod._PLAN_CACHE.clear()
 
 
 def test_token_chunks_is_narrow(spark, sf_dir):
