@@ -192,7 +192,19 @@ def nb_classify(
     BENCH/scan_audit.md; pinned in tests/test_plan_quality.py).
     """
     if model is not None:
+        # Pre-trained path: the class table is C bounded rows by contract —
+        # collect it once at plan build and UNROLL the per-class score as
+        # literal-pivot aggregate columns. This removes the (id, label)
+        # score-row expansion, its exchange, the spine join on (id, label)
+        # and the per-id rank window entirely: one groupBy(id) + one spine
+        # join on id, argmax/runner-up as an exact integer array sort
+        # (score_e4 DESC, label ASC via struct(-score_e4, label) ASC —
+        # the same total order the window used, on the same 1e-4 grid).
         tok_lp, classes = model
+        cls = sorted(
+            (r["label"], int(r["prior_e4"]), int(r["unk_e4"]))
+            for r in classes.select("label", "prior_e4", "unk_e4").collect()
+        )
         doc_toks = (
             df.select(
                 F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("tok")
@@ -200,6 +212,71 @@ def nb_classify(
             .where(F.col("tok").isNotNull())
             .groupBy(id_col, "tok")
             .agg(F.count(F.lit(1)).alias("m"))
+        )
+        spine = df.select(
+            F.col(id_col),
+            F.greatest(F.size(ws_tokens(F.col(text_col))), F.lit(0)).alias(
+                "n_tok"
+            ),
+        )
+        if not cls:
+            # empty train split => empty result (same contract as the
+            # crossJoin against an empty class frame)
+            return spine.where(F.lit(False)).select(
+                F.col(id_col),
+                F.lit(None).cast("string").alias("pred_label"),
+                F.lit(None).cast("double").alias("score"),
+                F.lit(None).cast("double").alias("margin"),
+                F.col("n_tok").cast("long").alias("n_tok"),
+            )
+        sums = (
+            doc_toks.join(tok_lp, "tok")
+            .groupBy(id_col)
+            .agg(
+                *[
+                    F.sum(
+                        F.when(
+                            F.col("label") == lab, F.col("m") * F.col("dlp_e4")
+                        )
+                    ).alias(f"__s{i}")
+                    for i, (lab, _p, _u) in enumerate(cls)
+                ]
+            )
+        )
+        n_tok_l = F.col("n_tok").cast("long")
+        scored = spine.join(sums, id_col, "left").select(
+            F.col(id_col),
+            "n_tok",
+            F.sort_array(
+                F.array(
+                    *[
+                        F.struct(
+                            (
+                                -(
+                                    F.lit(prior)
+                                    + n_tok_l * F.lit(unk)
+                                    + F.coalesce(f"__s{i}", F.lit(0))
+                                )
+                            ).alias("neg"),
+                            F.lit(lab).alias("label"),
+                        )
+                        for i, (lab, prior, unk) in enumerate(cls)
+                    ]
+                )
+            ).alias("__rank"),
+        )
+        best = F.col("__rank")[0]
+        margin = (
+            (F.col("__rank")[1]["neg"] - best["neg"]) / F.lit(10000.0)
+            if len(cls) > 1
+            else F.lit(None).cast("double")
+        )
+        return scored.select(
+            F.col(id_col),
+            best["label"].alias("pred_label"),
+            (-best["neg"] / F.lit(10000.0)).alias("score"),
+            margin.alias("margin"),
+            F.col("n_tok").cast("long").alias("n_tok"),
         )
     else:
         # self-train classifies the LABELED corpus (a train-eval pass);
