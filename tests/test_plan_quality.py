@@ -695,8 +695,14 @@ def test_lm_context_counts_reuse_bigram_shuffle(spark, sf_dir):
     # context counts re-aggregate the bigram-count shuffle; the explicit
     # base null filters in ngram_lm_counts keep both branches canonically
     # equal so the train split is scanned ONCE for both count tables
-    # (plus the separate vocab pass and the doc-gram pass = 3 total)
-    df = entrymod.queries()["lm_perplexity"](spark, sf_dir)
+    # (plus the separate vocab pass and the doc-gram pass = 3 total).
+    # Pins the OPERATOR's self-train path; the entry now scores against
+    # the session-cached model (next test).
+    from transmog_spark.operators.lm import lm_score
+
+    df = lm_score(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", "text"
+    )
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("Final Plan")[-1]
@@ -705,6 +711,15 @@ def test_lm_context_counts_reuse_bigram_shuffle(spark, sf_dir):
         final = final[:cut]
     assert final.count("FileScan") == 3, final[:2000]
     assert final.count("ReusedExchange") >= 1, final[:2000]
+
+
+def test_lm_perplexity_entry_scores_with_cached_model(spark, sf_dir):
+    # the ENTRY's lm_perplexity is the train-once/score-many posture: the
+    # memoized count-table triple joins into the doc-gram pass from the
+    # session cache (its InMemoryRelation lineage is printed but not
+    # re-executed, so FileScan counts are not meaningful here)
+    plan = _plan(spark, sf_dir, "lm_perplexity")
+    assert plan.count("InMemoryTableScan") >= 3, plan[:2000]
 
 
 def test_hashfeat_corpus_features_computed_once(spark, sf_dir):

@@ -79,7 +79,12 @@ def cooc_pairs(
         lambda p: p.isNotNull(),
     )
     if hashed_wire:
-        occ = docs.select(F.explode(allp).alias("p")).select(
+        # outer + isNotNull: allp elements are pre-filtered non-NULL;
+        # avoids the inferred generate filter re-building the pair arrays
+        # at the scan (dedup.minhash_signatures note)
+        occ = docs.select(F.explode_outer(allp).alias("p")).where(
+            F.col("p").isNotNull()
+        ).select(
             F.col("p.a").alias("a"),
             F.col("p.b").alias("b"),
         )
@@ -108,14 +113,16 @@ def cooc_pairs(
         )
     else:
         pair_cnt = (
-            docs.select(F.explode(allp).alias("p"))
+            docs.select(F.explode_outer(allp).alias("p"))
+            .where(F.col("p").isNotNull())
             .groupBy(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
             .agg(F.count(F.lit(1)).alias("c_ab"))
             .where(F.col("c_ab") >= min_count)
         )
 
     uni = (
-        docs.select(F.explode("t").alias("tok"))
+        docs.select(F.explode_outer("t").alias("tok"))
+        .where(F.col("tok").isNotNull())
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -187,8 +194,12 @@ def ngram_diversity(
 
     rows = df.select(
         F.col(source_col).alias("source"),
-        F.explode(F.concat(*[_tagged(n) for n in range(1, max_n + 1)])).alias("x"),
-    ).select("source", F.col("x.gn").alias("n"), md5_long(F.col("x.g")).alias("gh"))
+        F.explode_outer(
+            F.concat(*[_tagged(n) for n in range(1, max_n + 1)])
+        ).alias("x"),
+    ).where(F.col("x").isNotNull()).select(
+        "source", F.col("x.gn").alias("n"), md5_long(F.col("x.g")).alias("gh")
+    )
     agg = rows.groupBy("source", "n").agg(
         F.count(F.lit(1)).alias("total_grams"),
         F.countDistinct("gh").alias("distinct_grams"),

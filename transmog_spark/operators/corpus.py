@@ -45,7 +45,12 @@ def bm25_scores(
     engines evaluate the same IEEE operation sequence.
     """
     base = df.select(F.col(id_col).alias("doc_id"), ws_tokens(F.col(text_col)).alias("__t"))
-    exploded = base.select("doc_id", F.size("__t").alias("dl"), F.explode("__t").alias("term"))
+    # explode_outer + isNotNull(term): skips the inferred generate filter
+    # (scan-side re-tokenization); uniform on the shared frame so the
+    # tf/df ReuseExchange branches stay canonically equal
+    exploded = base.select(
+        "doc_id", F.size("__t").alias("dl"), F.explode_outer("__t").alias("term")
+    ).where(F.col("term").isNotNull())
     tf = exploded.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
     # df = count of tf rows per term, written as sum(tf > 0) so the branch
     # REFERENCES the tf value: a plain count(1) lets Catalyst elide the
@@ -136,8 +141,8 @@ def _bm25_postings(
         F.col(id_col).alias("doc_id"), ws_tokens(F.col(text_col)).alias("__t")
     )
     exploded = base.select(
-        "doc_id", F.size("__t").alias("dl"), F.explode("__t").alias("term")
-    )
+        "doc_id", F.size("__t").alias("dl"), F.explode_outer("__t").alias("term")
+    ).where(F.col("term").isNotNull())
     return (
         exploded.groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -440,13 +445,16 @@ def decontaminate(
     fraction, rounded — stable across engines).
     """
     bench_grams = (
-        benchmark.select(F.explode(ngram_hashes(F.col(text_col), n)).alias("g"))
+        benchmark.select(
+            F.explode_outer(ngram_hashes(F.col(text_col), n)).alias("g")
+        )
+        .where(F.col("g").isNotNull())
         .distinct()
         .withColumn("hit", F.lit(1))
     )
     corpus_grams = corpus.select(
-        F.col(id_col), F.explode(ngram_hashes(F.col(text_col), n)).alias("g")
-    )
+        F.col(id_col), F.explode_outer(ngram_hashes(F.col(text_col), n)).alias("g")
+    ).where(F.col("g").isNotNull())
     joined = corpus_grams.join(F.broadcast(bench_grams), "g", "left")
     return joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_ngrams"),
@@ -510,7 +518,10 @@ def decontaminate_fuzzy(
             F.col(id_col).alias(tag), word_shingles(F.col(text_col), shingle_n).alias("__sh")
         )
         sizes = sh.select(tag, F.size("__sh").alias(f"{tag}_n"))
-        grams = sh.select(tag, F.explode("__sh").alias("__s")).select(
+        # explode_outer: word_shingles never yields NULL/empty, and inner
+        # explode's inferred generate filter would re-evaluate the shingle
+        # expression at the scan (dedup.minhash_signatures note)
+        grams = sh.select(tag, F.explode_outer("__sh").alias("__s")).select(
             tag, md5_long(F.col("__s")).alias("g")
         )
         return grams, sizes
@@ -695,8 +706,10 @@ def vocab_stats(
 
     toks = df.select(
         F.col(strata_col),
-        F.explode(ws_tokens(F.col(text_col))).alias("t"),
-    ).select(strata_col, md5_long(F.col("t")).alias("th"))
+        F.explode_outer(ws_tokens(F.col(text_col))).alias("t"),
+    ).where(F.col("t").isNotNull()).select(
+        strata_col, md5_long(F.col("t")).alias("th")
+    )
     cnt = toks.groupBy(strata_col, "th").agg(F.count(F.lit(1)).alias("c"))
     total = F.sum("c")
     return cnt.groupBy(strata_col).agg(
@@ -943,7 +956,8 @@ def tfidf_keywords(
         F.col(id_col).alias("doc_id"), ws_tokens(F.col(text_col)).alias("__t")
     )
     tf = (
-        base.select("doc_id", F.explode("__t").alias("term"))
+        base.select("doc_id", F.explode_outer("__t").alias("term"))
+        .where(F.col("term").isNotNull())
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -1177,9 +1191,11 @@ def source_overlap(
     """
     from transmog_spark.operators.dedup import word_shingles
 
+    # explode_outer: word_shingles never yields NULL/empty (see
+    # dedup.minhash_signatures) — no inferred scan-side filter
     grams = df.select(
         F.col(source_col).alias("__src"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__g"),
+        F.explode_outer(word_shingles(F.col(text_col), shingle_n)).alias("__g"),
     ).select("__src", md5_long(F.col("__g")).alias("__gh"))
     # one shuffle: per-gram distinct source set (bounded by #sources)
     per_gram = grams.groupBy("__gh").agg(

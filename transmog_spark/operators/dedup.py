@@ -104,7 +104,15 @@ def minhash_signatures(
     hash-aggregate with map-side partial min -> shuffle of k longs per doc.
     No shingle array ever crosses the wire.
     """
-    ex = sh.select("__id", F.explode("__sh").alias("__s"))
+    # explode_OUTER: word_shingles never yields a NULL/empty array, so
+    # outer is row-identical to inner — but inner explode makes Catalyst
+    # infer a `size(__sh)>0 AND isnotnull(__sh)` filter that is pushed to
+    # the SCAN, where it re-evaluates the whole shingle expression once
+    # per row before the projection evaluates it again (2x the dominant
+    # map cost at any scale; measured 0.7 s single-core per branch at
+    # bench scale, below the adaptive spread). Outer generate infers no
+    # filter (InferFiltersFromGenerate is outer=false only).
+    ex = sh.select("__id", F.explode_outer("__sh").alias("__s"))
     hashed = ex.select(
         "__id",
         *[
@@ -215,7 +223,9 @@ def ngram_jaccard_pairs(
     sh = shingle_frame(df, id_col, text_col, shingle_n)
     # blocking key = global min shingle hash, via explode + partial-agg min
     minh = (
-        sh.select("__id", F.explode("__sh").alias("__s"))
+        # explode_outer: see minhash_signatures — avoids the inferred
+        # generate filter re-evaluating word_shingles at the scan
+        sh.select("__id", F.explode_outer("__sh").alias("__s"))
         .select("__id", md5_long(F.col("__s")).alias("__h"))
         .groupBy("__id")
         .agg(F.min("__h").alias("__minh"))
@@ -837,7 +847,9 @@ def containment_pairs(
     """
     sh = shingle_frame(df, id_col, text_col, shingle_n)
     minh = (
-        sh.select("__id", F.explode("__sh").alias("__s"))
+        # explode_outer: see minhash_signatures — avoids the inferred
+        # generate filter re-evaluating word_shingles at the scan
+        sh.select("__id", F.explode_outer("__sh").alias("__s"))
         .select("__id", md5_long(F.col("__s")).alias("__h"))
         .groupBy("__id")
         .agg(F.min("__h").alias("__minh"))

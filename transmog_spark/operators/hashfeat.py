@@ -46,10 +46,12 @@ def hash_features(
     hash. Buckets whose signed sum cancels to 0 are dropped (they
     contribute nothing to any inner product) — mirrored in the oracle.
     """
+    # explode_outer + isNotNull: ws_tokens elements are never NULL; the
+    # post-generate filter replaces the inferred scan-side size>0 filter
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(ws_tokens(F.col(text_col))).alias("term"),
-    )
+        F.explode_outer(ws_tokens(F.col(text_col))).alias("term"),
+    ).where(F.col("term").isNotNull())
     bucket = F.pmod(md5_long(seeded(F.col("term"), f"b{seed}")), dim)
     sign = F.when(
         F.pmod(md5_long(seeded(F.col("term"), f"s{seed}")), 2) == 0, F.lit(1)

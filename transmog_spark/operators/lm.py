@@ -107,8 +107,12 @@ def _doc_grams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return (
         df.select(
             F.col(id_col),
-            F.explode(bigram_array(ws_tokens(F.col(text_col)))).alias("gram"),
+            # outer + isNotNull: bigram elements are never NULL; avoids the
+            # inferred generate filter re-evaluating the bigram expression
+            # at the scan (dedup.minhash_signatures note)
+            F.explode_outer(bigram_array(ws_tokens(F.col(text_col)))).alias("gram"),
         )
+        .where(F.col("gram").isNotNull())
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("m"))
     )

@@ -207,7 +207,11 @@ def nb_classify(
         )
         doc_toks = (
             df.select(
-                F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("tok")
+                F.col(id_col),
+                # outer: the existing isNotNull(tok) drops the outer-added
+                # rows; inner explode's inferred filter would re-tokenize
+                # at the scan (dedup.minhash_signatures note)
+                F.explode_outer(ws_tokens(F.col(text_col))).alias("tok"),
             )
             .where(F.col("tok").isNotNull())
             .groupBy(id_col, "tok")

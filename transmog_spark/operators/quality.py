@@ -103,10 +103,17 @@ def quality_gate(
             lambda g: F.struct(F.lit(gram_n).alias("gn"), g.alias("g")),
         )
 
+    # explode_outer + isNotNull on the GENERATED attribute: inner explode
+    # makes Catalyst infer a size>0 filter that re-evaluates the whole
+    # tagged-gram expression at the scan (dedup.minhash_signatures note);
+    # struct elements are never NULL, so the post-generate filter drops
+    # exactly the outer-added rows of empty-token docs.
     exploded = df.select(
         F.col(id_col),
-        F.explode(F.concat(_tagged(1), _tagged(2))).alias("x"),
-    ).select(id_col, F.col("x.gn").alias("gn"), F.col("x.g").alias("g"))
+        F.explode_outer(F.concat(_tagged(1), _tagged(2))).alias("x"),
+    ).where(F.col("x").isNotNull()).select(
+        id_col, F.col("x.gn").alias("gn"), F.col("x.g").alias("g")
+    )
     grams = exploded.groupBy(
         id_col, "gn", md5_long(F.col("g")).alias("gh")
     ).agg(

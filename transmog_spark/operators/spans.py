@@ -51,7 +51,12 @@ def duplicate_spans(
     engines (oracle: ``oracle.duplicate_spans_sql``).
     """
     grams = word_ngrams(ws_tokens(F.col(text_col)), n)
-    g = df.select(F.col(id_col), F.posexplode(grams).alias("__p", "__g")).select(
+    # posexplode_outer + isNotNull(pos) == posexplode, without the
+    # inferred generate filter re-evaluating the gram expression at the
+    # scan (dedup.minhash_signatures note)
+    g = df.select(
+        F.col(id_col), F.posexplode_outer(grams).alias("__p", "__g")
+    ).where(F.col("__p").isNotNull()).select(
         id_col, "__p", md5_long(F.col("__g")).alias("__gh")
     )
     # ONE shared gram-stream exchange (guide §2.4): the count branch and

@@ -167,9 +167,11 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         token_count_bpe(t).alias("n_tokens_bpe"),
     )
 
+    # posexplode_outer + isNotNull(pos) == posexplode for ANY array, and
+    # skips the inferred generate filter's scan-side re-evaluation
     toks = df.select(
-        F.col(id_col), F.posexplode(ws_tokens(t)).alias("__pos", "__t")
-    )
+        F.col(id_col), F.posexplode_outer(ws_tokens(t)).alias("__pos", "__t")
+    ).where(F.col("__pos").isNotNull())
     lang_aggs = [
         F.sum(F.when(F.col("__t").isin(LANG_MARKERS[lang]), 1).otherwise(0)).alias(
             f"__s_{lang}"
@@ -270,10 +272,15 @@ def repetition_profile(
             lambda g: F.struct(F.lit(n).alias("gn"), g.alias("g")),
         )
 
+    # explode_outer + isNotNull(x): avoids the inferred generate filter
+    # re-evaluating the tagged-gram expression at the scan (see
+    # dedup.minhash_signatures); struct elements are never NULL.
     allgrams = df.select(
         F.col(id_col),
-        F.explode(F.concat(_tagged(1), _tagged(2), _tagged(3))).alias("x"),
-    ).select(id_col, F.col("x.gn").alias("n"), md5_long(F.col("x.g")).alias("gh"))
+        F.explode_outer(F.concat(_tagged(1), _tagged(2), _tagged(3))).alias("x"),
+    ).where(F.col("x").isNotNull()).select(
+        id_col, F.col("x.gn").alias("n"), md5_long(F.col("x.g")).alias("gh")
+    )
     cnt = allgrams.groupBy(id_col, "n", "gh").agg(F.count(F.lit(1)).alias("c"))
     c = F.col("c")
     of = lambda n: F.when(F.col("n") == n, c)
@@ -339,9 +346,10 @@ def entropy_profile(
             ws_tokens(t), lambda x: F.struct(F.lit(1).alias("gn"), x.alias("u"))
         ),
     )
-    rows = df.select(F.col(id_col), F.explode(tagged).alias("x")).select(
-        id_col, F.col("x.gn").alias("gn"), md5_long(F.col("x.u")).alias("uh")
-    )
+    # explode_outer + isNotNull(x): see the allgrams note above
+    rows = df.select(F.col(id_col), F.explode_outer(tagged).alias("x")).where(
+        F.col("x").isNotNull()
+    ).select(id_col, F.col("x.gn").alias("gn"), md5_long(F.col("x.u")).alias("uh"))
     cnt = rows.groupBy(id_col, "gn", "uh").agg(F.count(F.lit(1)).alias("c"))
     g = F.round(F.log(F.col("c").cast("double")) * 10000.0).cast("long")
     per = cnt.groupBy(id_col, "gn").agg(

@@ -53,7 +53,10 @@ def winnow_fingerprints(
     hash streams).
     """
     grams = word_ngrams(ws_tokens(F.col(text_col)), k)
-    g = df.select(F.col(id_col), F.posexplode(grams).alias("__p", "__g")).select(
+    # posexplode_outer + isNotNull(pos): see spans.py — same rationale
+    g = df.select(
+        F.col(id_col), F.posexplode_outer(grams).alias("__p", "__g")
+    ).where(F.col("__p").isNotNull()).select(
         id_col, "__p", md5_long(F.col("__g")).alias("__gh")
     )
     part = Window.partitionBy(id_col)
