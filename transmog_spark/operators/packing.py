@@ -128,9 +128,23 @@ def doc_offsets(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = b.withColumn("local_start", F.coalesce(F.sum(ntok_col).over(local_w), F.lit(0)))
+    # block totals as a SECOND window over the same (source, block)
+    # partitioning (whole-partition frame) instead of a separate groupBy
+    # branch: the old shape re-evaluated the input a second time for the
+    # totals aggregate (its partial-agg subtree can't ReuseExchange with
+    # the window's raw exchange); both windows now share ONE exchange+sort
+    # and the totals frame derives from it by a distinct that the same
+    # partitioning already satisfies (no extra shuffle).
+    local = b.withColumn(
+        "local_start", F.coalesce(F.sum(ntok_col).over(local_w), F.lit(0))
+    ).withColumn(
+        "__block_tokens",
+        F.sum(ntok_col).over(Window.partitionBy(source_col, "block")),
+    )
 
-    totals = b.groupBy(source_col, "block").agg(F.sum(ntok_col).alias("block_tokens"))
+    totals = local.select(
+        source_col, "block", F.col("__block_tokens").alias("block_tokens")
+    ).distinct()
     blk_w = (
         Window.partitionBy(source_col)
         .orderBy("block")
@@ -142,7 +156,7 @@ def doc_offsets(
 
     return local.join(F.broadcast(offsets), [source_col, "block"]).withColumn(
         "tok_start", (F.col("block_start") + F.col("local_start")).cast("long")
-    ).drop("local_start", "block_start")
+    ).drop("local_start", "block_start", "__block_tokens")
 
 
 def pack_concat(
