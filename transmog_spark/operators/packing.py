@@ -113,6 +113,7 @@ def doc_offsets(
     *,
     block_rows: int = DEFAULT_BLOCK_ROWS,
     hash_blocks: int = DEFAULT_HASH_BLOCKS,
+    positive_only: bool = False,
 ) -> DataFrame:
     """Exclusive prefix sum of token counts per source, in ``id_col`` order
     (string ids: in ``(block, id)`` order — see ``_blocked``).
@@ -120,8 +121,23 @@ def doc_offsets(
     Two-level scan: local cumsum inside ``(source, block)`` + broadcast
     cumsum of block totals per source. Output adds ``tok_start`` (global
     offset of the document's first token within its source stream).
+
+    ``positive_only=True`` drops ``ntok <= 0`` rows BEFORE the windows:
+    zero-count rows contribute nothing to any prefix sum, so surviving
+    rows get identical ``tok_start`` — but the filter applies UNIFORMLY
+    below the shared exchange instead of being pushed into only the main
+    branch's copy by the caller's post-filter, which would break the
+    stage reuse described below. Callers that discard empty docs anyway
+    (pack_concat) use it.
     """
     b = _blocked(df.select(source_col, id_col, ntok_col), id_col, block_rows, hash_blocks)
+    if positive_only:
+        b = b.where(F.col(ntok_col) > 0)
+    # uniform null-key filter: the (source, block) inner join below drops
+    # null-key rows anyway, but the join only INFERS isnotnull on the main
+    # branch's copy of this subtree — pre-adding it on both keeps the two
+    # exchange children canonically equal (stage reuse; see below)
+    b = b.where(F.col(source_col).isNotNull() & F.col("block").isNotNull())
 
     local_w = (
         Window.partitionBy(source_col, "block")
@@ -129,34 +145,53 @@ def doc_offsets(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     # block totals as a SECOND window over the same (source, block)
-    # partitioning (whole-partition frame) instead of a separate groupBy
-    # branch: the old shape re-evaluated the input a second time for the
-    # totals aggregate (its partial-agg subtree can't ReuseExchange with
-    # the window's raw exchange); both windows now share ONE exchange+sort
-    # and the totals frame derives from it by a distinct that the same
-    # partitioning already satisfies (no extra shuffle).
+    # partitioning instead of a separate groupBy branch: the old shape
+    # re-evaluated the input a second time for the totals aggregate (its
+    # partial-agg subtree can't ReuseExchange with the window's raw
+    # exchange). Expressed as max(local_start + n_tok) — the last row's
+    # exclusive prefix plus its own count, exactly the block total in
+    # integer math — rather than sum(n_tok), ON PURPOSE: the sum form
+    # lets column pruning drop the ordered local_start window (and the
+    # id column) from the totals branch's copy of the subtree, the
+    # exchange children stop being canonically equal, and the input is
+    # generated twice again (observed via AQE stage probes). Referencing
+    # local_start pins both branches to the identical exchange+sort, so
+    # the totals frame is a distinct the partitioning already satisfies
+    # over a REUSED stage.
     local = b.withColumn(
         "local_start", F.coalesce(F.sum(ntok_col).over(local_w), F.lit(0))
     ).withColumn(
         "__block_tokens",
-        F.sum(ntok_col).over(Window.partitionBy(source_col, "block")),
+        F.max(F.col("local_start") + F.col(ntok_col)).over(
+            Window.partitionBy(source_col, "block")
+        ),
     )
 
     totals = local.select(
         source_col, "block", F.col("__block_tokens").alias("block_tokens")
     ).distinct()
+    # INCLUSIVE block cumsum, with the exclusive start recovered on the
+    # main side as (incl - __block_tokens): the main branch then also
+    # references __block_tokens, so column pruning cannot drop the
+    # totals window from either copy — the final piece of keeping the
+    # two subtrees canonically equal for stage reuse.
     blk_w = (
         Window.partitionBy(source_col)
         .orderBy("block")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     offsets = totals.withColumn(
-        "block_start", F.coalesce(F.sum("block_tokens").over(blk_w), F.lit(0))
-    ).select(source_col, "block", "block_start")
+        "block_start_incl", F.sum("block_tokens").over(blk_w)
+    ).select(source_col, "block", "block_start_incl")
 
     return local.join(F.broadcast(offsets), [source_col, "block"]).withColumn(
-        "tok_start", (F.col("block_start") + F.col("local_start")).cast("long")
-    ).drop("local_start", "block_start", "__block_tokens")
+        "tok_start",
+        (
+            F.col("block_start_incl")
+            - F.col("__block_tokens")
+            + F.col("local_start")
+        ).cast("long"),
+    ).drop("local_start", "block_start_incl", "__block_tokens")
 
 
 def pack_concat(
@@ -178,8 +213,9 @@ def pack_concat(
     tokens). All integer math — bit-identical across engines.
     """
     off = doc_offsets(
-        df, id_col, ntok_col, source_col, block_rows=block_rows, hash_blocks=hash_blocks
-    ).where(F.col(ntok_col) > 0)
+        df, id_col, ntok_col, source_col,
+        block_rows=block_rows, hash_blocks=hash_blocks, positive_only=True,
+    )
     first_seq = F.expr(f"tok_start div {budget}")
     last_seq = F.expr(f"(tok_start + {ntok_col} - 1) div {budget}")
     spans = off.withColumn("seq_id", F.explode(F.sequence(first_seq, last_seq)))
